@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver test tables (`/root/repo/TESTDATA.md`,
+  * `/root/repo/FIXTURES.md` §B). One parquet file per table; schemas are
+  * fixed by the driver, so we read them as-is (Catalyst prunes columns and
+  * pushes filters into the vectorized parquet reader — see SURVEY.md §4).
+  *
+  * 100 TB note: at scale these would be partitioned datasets (e.g. lineitem
+  * partitioned by ship-month); `spark.read.parquet(dir)` handles either a
+  * single file or a partitioned directory tree transparently, so every
+  * query in this library is written against the logical table only.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read it as raw nanos and floor-convert to a
+    * microsecond timestamp_ntz (identical to DuckDB's own nanos->micros
+    * truncation, so oracle comparisons agree). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast("timestamp_ntz"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryUtil._
+import TextQueries.{phash, sqlPhash}
+
+/** Deduplication operators for LLM-data pipelines — SURVEY.md §2.2 "LLM
+  * ops" ([E]): exact (content-hash), MinHash-LSH near-dup, SimHash,
+  * n-gram Jaccard.
+  *
+  * All hash functions route through the portable md5-prefix hash
+  * (`TextQueries.phash`) so every stage — shingling, signatures, banding,
+  * candidate pairs, verification — is hash-verified against the DuckDB
+  * oracle, not just spot-checked.
+  *
+  * Scale notes (100 TB):
+  *   - Exact dedup is a hash aggregate on a 256-bit digest — the shuffle
+  *     carries (hash, min_id), never the text.
+  *   - MinHash-LSH: signatures are map-side; the only shuffle is
+  *     groupBy(band, bandKey), whose buckets are small by construction
+  *     (that is the point of banding). The quadratic step runs only
+  *     within buckets. Skewed buckets (boilerplate docs) would be salted
+  *     or capped in production; the exact-Jaccard verify joins shingle
+  *     sets back by doc_id — broadcast at test scale, shuffle-join at 100 TB.
+  *   - SimHash is pure map-side; candidate search would bucket on
+  *     fingerprint chunks (same banding idea) rather than all-pairs.
+  */
+object DedupQueries {
+
+  private val NUM_HASHES = 8
+  private val BANDS = 4 // rows-per-band = 2
+
+  /** Distinct word-3-gram shingles of `text`. Guarded: Spark `sequence`
+    * generates DESCENDING ranges when start > stop, so short docs need an
+    * explicit empty (DuckDB's `range` is empty there — must agree). */
+  private def shingles(c: Column): Column = {
+    val toks = split(c, " ")
+    when(size(toks) >= 3,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  private val sqlShingles =
+    "list_distinct(list_transform(range(len(string_split(text,' ')) - 2), " +
+      "i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))"
+
+  /** MinHash signature entry j = min over shingles of hash_j. */
+  private def minhash(sh: Column, j: Int): Column =
+    array_min(transform(sh, x => phash(x, j)))
+
+  /** doc_id, shingles, band, band_key — shared by LSH + pairs stages. */
+  private def bandedSignatures(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("sh", shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", array((0 until NUM_HASHES).map(j => minhash(col("sh"), j)): _*))
+    docs.select(col("doc_id"), col("sh"), col("sig"),
+        explode(array((0 until BANDS).map(b => struct(
+          lit(b).as("band"),
+          concat_ws("_", element_at(col("sig"), 2 * b + 1),
+            element_at(col("sig"), 2 * b + 2)).as("band_key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.band_key"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup on a content digest (sha256; min-id survivor policy).
+    "q_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("survivor_id"))
+    }),
+
+    // MinHash signatures (the map-side stage of LSH, fully oracle-checked).
+    "q_minhash_signature" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("sh", shingles(col("text")))
+        .filter(size(col("sh")) > 0)
+      docs.select(
+        col("doc_id") +: size(col("sh")).as("n_shingles") +:
+          (0 until NUM_HASHES).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH candidate pairs: same band value in any band, then exact
+    // Jaccard verification over the shingle sets.
+    "q_minhash_lsh_pairs" -> ((s, d) => {
+      val b = bandedSignatures(s, d)
+      val left = b.select(col("band"), col("band_key"),
+        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val right = b.select(col("band"), col("band_key"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = left.join(right,
+          Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+        .dropDuplicates("id_a", "id_b")
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+      pairs.select(col("id_a"), col("id_b"),
+          (inter.cast(DoubleType) / uni.cast(DoubleType)).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // N-gram (token-3-gram) Jaccard within same-source buckets.
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("sh", shingles(col("text")))
+        .filter(size(col("sh")) > 0)
+      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("source"), col("id_a"), col("id_b"),
+          (inter.cast(DoubleType) / uni.cast(DoubleType)).as("jaccard"))
+        .filter(col("jaccard") >= 0.15)
+        .orderBy(col("source"), col("id_a"), col("id_b"))
+    }),
+
+    // SimHash: 48-bit sign-aggregated fingerprint over token hashes.
+    "q_simhash" -> ((s, d) => {
+      val toks = array_distinct(split(col("text"), " "))
+      val hashes = transform(toks, t => phash(t, 7))
+      val bits = 48
+      val fp = (0 until bits).map { p =>
+        when(
+          aggregate(hashes, lit(0L),
+            (acc, h) => acc + shiftright(h, p).bitwiseAND(1L) * 2L - 1L) > 0,
+          shiftleft(lit(1L), p)).otherwise(0L)
+      }.reduce(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private def sqlMinhash(j: Int): String =
+    s"list_min(list_transform(sh, x -> ${sqlPhash("x", j)}))"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash,
+        |  MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY survivor_id""".stripMargin,
+
+    "q_minhash_signature" -> {
+      val cols = (0 until NUM_HASHES).map(j => s"  ${sqlMinhash(j)} AS mh$j").mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+         |SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
+         |$cols
+         |FROM t WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "q_minhash_lsh_pairs" -> {
+      val sigCols = (0 until NUM_HASHES).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
+      val bandStructs = (0 until BANDS)
+        .map(b => s"(${b}, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR))")
+        .mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+         |sigs AS (SELECT doc_id, sh, $sigCols FROM t WHERE len(sh) > 0),
+         |banded AS (
+         |  SELECT doc_id, sh, unnest([$bandStructs]) AS bk FROM sigs),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+         |      / CAST(len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) AS jaccard
+         |  FROM pairs JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM verified
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_ngram_jaccard" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $sqlShingles AS sh FROM documents),
+         |f AS (SELECT * FROM t WHERE len(sh) > 0)
+         |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.15
+         |ORDER BY a.source, id_a, id_b""".stripMargin,
+
+    "q_simhash" -> {
+      val bitTerms = (0 until 48).map(p =>
+        s"CASE WHEN list_sum(list_transform(hs, h -> (h >> $p) & 1) ) * 2 > len(hs) THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_transform(list_distinct(string_split(text, ' ')),
+         |      t -> ${sqlPhash("t", 7)}) AS hs
+         |  FROM documents)
+         |SELECT doc_id, $bitTerms AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin
+    }
+  )
+}

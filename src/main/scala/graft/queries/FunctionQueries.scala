@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryUtil._
+
+/** Scalar-function surface — SURVEY.md §2.2 "Scalar functions".
+  *
+  * Reference evidence: string surgery P1/P2/K1
+  * (`/root/reference/src/generate_mapping.py:141,149`,
+  * `/root/reference/src/load_ground_truths.py:68-77`), substring
+  * classification C1 (`:52-55`), casts D3; date/math/array/json families
+  * are [E] extensions over the driver tables.
+  *
+  * All functions here are Catalyst built-ins (whole-stage-codegen'd) —
+  * no UDFs in the hot path. Oracle parity notes: regex forms kept to the
+  * common POSIX subset (Java regex vs RE2), doubles routed through exact
+  * decimals, no raw timestamps in outputs.
+  */
+object FunctionQueries {
+
+  val defs: Map[String, Q] = Map(
+    // String family over part (split/element_at/substr/replace/pad/trim…).
+    "q_string_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_u"),
+        lower(col("p_brand")).as("brand_l"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        element_at(split(col("p_type"), " "), 1).as("type_first"),
+        element_at(split(col("p_type"), " "), -1).as("type_last"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_masked"),
+        concat_ws("::", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_partkey").cast(StringType), 8, "0").as("key_padded"),
+        col("p_name").contains("blue").cast(IntegerType).as("has_blue"),
+        col("p_type").startsWith("STANDARD").cast(IntegerType).as("is_standard"),
+        col("p_type").endsWith("BRASS").cast(IntegerType).as("is_brass"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // C1: substring-set classifier (benign-first CASE chain), re-expressed
+    // over part names exactly as the reference classifies outcome text.
+    "q_case_classifier" -> ((s, d) => {
+      val benign = Seq("green", "blue", "white")
+      val malignant = Seq("red", "crimson")
+      val t = col("p_name")
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        when(benign.map(t.contains).reduce(_ || _), "BENIGN")
+          .when(malignant.map(t.contains).reduce(_ || _), "MALIGNANT")
+          .otherwise("UNKNOWN").as("label"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    }),
+
+    // Date/time family over orders.
+    "q_date_funcs" -> ((s, d) => {
+      val dt = col("o_orderdate")
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(dt).cast(IntegerType).as("y"),
+        month(dt).cast(IntegerType).as("m"),
+        dayofmonth(dt).cast(IntegerType).as("dom"),
+        quarter(dt).cast(IntegerType).as("q"),
+        dt.cast(DateType).as("order_date"),
+        date_add(dt.cast(DateType), 30).as("due_date"),
+        last_day(dt).as("month_end"),
+        datediff(lit("2025-01-01").cast(DateType), dt.cast(DateType)).cast(IntegerType).as("age_days"),
+        date_format(dt, "yyyy-MM").as("ym"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Math family over lineitem (exact decimal routing for arithmetic).
+    "q_math_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        floor(col("l_extendedprice")).cast(LongType).as("price_floor"),
+        ceil(col("l_extendedprice")).cast(LongType).as("price_ceil"),
+        abs(dec(col("l_discount")) - dec(lit(0.05))).cast(DoubleType).as("disc_dev"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"),
+        (col("l_quantity").cast(LongType) % 7).as("qty_mod7"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        (dec(col("l_extendedprice")) * dec(col("l_quantity"))).cast(DoubleType).as("gross"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("gross"), col("qty_sqrt"),
+          col("max_rate"), col("min_rate"))
+    }),
+
+    // Array family over embeddings (size/element_at/slice/filter-count).
+    "q_array_funcs" -> ((s, d) => {
+      val e = col("embedding")
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(e).as("dim"),
+        element_at(e, 1).cast(DoubleType).as("first_elem"),
+        element_at(e, -1).cast(DoubleType).as("last_elem"),
+        size(filter(e, x => x > 0)).as("n_positive"),
+        array_max(e).cast(DoubleType).as("vmax"),
+        array_min(e).cast(DoubleType).as("vmin"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // JSON family over events.props (get_json_object / from_json).
+    "q_json_funcs" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .withColumn("k_bucket", (col("k") % 10).cast(IntegerType))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+        .orderBy(col("k_bucket"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_u,
+        |  lower(p_brand) AS brand_l,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  substring(p_type, 1, 5) AS type_pfx,
+        |  string_split(p_type, ' ')[1] AS type_first,
+        |  string_split(p_type, ' ')[-1] AS type_last,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked,
+        |  p_brand || '::' || p_type AS brand_type,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+        |  CAST(contains(p_name, 'blue') AS INTEGER) AS has_blue,
+        |  CAST(starts_with(p_type, 'STANDARD') AS INTEGER) AS is_standard,
+        |  CAST(ends_with(p_type, 'BRASS') AS INTEGER) AS is_brass
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_case_classifier" ->
+      """WITH t AS (
+        |  SELECT CASE
+        |    WHEN contains(p_name,'green') OR contains(p_name,'blue') OR contains(p_name,'white') THEN 'BENIGN'
+        |    WHEN contains(p_name,'red') OR contains(p_name,'crimson') THEN 'MALIGNANT'
+        |    ELSE 'UNKNOWN' END AS label
+        |  FROM part)
+        |SELECT label, COUNT(*) AS n FROM t GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INTEGER) AS age_days,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS price_r1,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(abs(CAST(l_discount AS DECIMAL(18,4)) - CAST(0.05 AS DECIMAL(18,4))) AS DOUBLE) AS disc_dev,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate,
+        |  CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DOUBLE) AS gross
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, gross, qty_sqrt, max_rate, min_rate""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+        |  CAST(embedding[-1] AS DOUBLE) AS last_elem,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vmin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_json_funcs" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT CAST(k % 10 AS INTEGER) AS k_bucket, COUNT(*) AS n, MAX(k) AS max_k
+        |FROM t GROUP BY k_bucket ORDER BY k_bucket""".stripMargin
+  )
+}

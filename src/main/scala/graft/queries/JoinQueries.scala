@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryUtil._
+
+/** Join surface — SURVEY.md §2.2 "Joins".
+  *
+  * Reference evidence: J1 (broadcast lookup join,
+  * `/root/reference/src/generate_mapping.py:97-108` build / `:39-40`
+  * probe), J2 (first-row-wins dedup of the build side, `:106`), J3
+  * (laterality-decoded equi-join, `:31-34,59-63`). Semi/anti/range/as-of
+  * are the mandated [E] extensions.
+  *
+  * Scale notes (100 TB):
+  *   - Dimensions (region/nation/supplier/part at TPC-H ratios) stay under
+  *     the broadcast threshold even at SF100k — `broadcast()` pins the
+  *     plan to BroadcastHashJoin: zero shuffle of the fact table.
+  *   - Fact-to-fact joins (lineitem⋈orders) shuffle both sides on the
+  *     key; at scale bucketing both tables on orderkey would remove that
+  *     shuffle entirely. AQE handles skewed keys via skew-join splitting.
+  *   - The pure range join is dim-to-fact with a tiny interval dimension,
+  *     so Spark plans BroadcastNestedLoop over the broadcast dim — linear
+  *     in the fact, never quadratic. The as-of join avoids a per-row sort
+  *     by aggregating with max_by after an interval-bounded join.
+  */
+object JoinQueries {
+
+  val defs: Map[String, Q] = Map(
+    // J1: dimension chain, explicitly broadcast (customer ⋈ nation ⋈ region).
+    "q_join_broadcast" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Fact-to-fact shuffle join (sort-merge hinted): revenue per priority.
+    "q_join_sortmerge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Left outer join preserving empty groups (nations without customers).
+    "q_join_left" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // Full outer: customer-count vs supplier-count per nation key.
+    "q_join_full" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, c("c_nationkey") === sup("s_nationkey"), "full")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Left-semi: orders having at least one high-quantity line (EXISTS).
+    "q_join_semi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val big = Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Left-anti: customers with no orders (NOT EXISTS).
+    "q_join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J3-style theta join: equi key + inequality residual.
+    "q_join_theta" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey") &&
+          o("o_totalprice") > c("c_acctbal") * 20)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Pure range/interval join: lineitems vs a derived month-interval dim
+    // (BroadcastNestedLoop over the tiny broadcast dim — linear at scale).
+    "q_join_range" -> ((s, d) => {
+      val months = Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).as("m_start"))
+        .distinct()
+        .withColumn("m_end", col("m_start") + expr("INTERVAL 1 MONTH"))
+      val li = Tables.lineitem(s, d)
+      li.join(broadcast(months),
+          li("l_shipdate") >= months("m_start") && li("l_shipdate") < months("m_end"))
+        .groupBy(date_format(col("m_start"), "yyyy-MM").as("ship_month"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("ship_month"))
+    }),
+
+    // As-of join: for each order, the LAST lineitem shipped within 90 days
+    // of the order date (latest-at-or-before semantics via max_by over the
+    // interval-bounded join; deterministic tiebreak on linenumber).
+    "q_join_asof" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          max_by(col("l_linenumber"), struct(col("l_shipdate"), col("l_linenumber")))
+            .as("asof_linenumber"),
+          max(col("l_shipdate")).cast(DateType).as("asof_shipdate"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_broadcast" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_cust, ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_cust
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+
+    "q_join_full" ->
+      """WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+        |     s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer
+         |  ON o_custkey = c_custkey AND o_totalprice > c_acctbal * 20
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_range" ->
+      s"""WITH months AS (
+         |  SELECT DISTINCT date_trunc('month', o_orderdate) AS m_start,
+         |    date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS m_end
+         |  FROM orders)
+         |SELECT strftime(m_start, '%Y-%m') AS ship_month,
+         |  COUNT(*) AS n_lines, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN months
+         |  ON l_shipdate >= m_start AND l_shipdate < m_end
+         |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH matched AS (
+        |  SELECT o_orderkey, l_linenumber, l_shipdate,
+        |    row_number() OVER (PARTITION BY o_orderkey
+        |                       ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |    AND l_shipdate >= o_orderdate
+        |    AND l_shipdate < o_orderdate + INTERVAL 90 DAY)
+        |SELECT o_orderkey,
+        |  MAX(CASE WHEN rn = 1 THEN l_linenumber END) AS asof_linenumber,
+        |  CAST(MAX(l_shipdate) AS DATE) AS asof_shipdate
+        |FROM matched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryUtil._
+
+/** Scans, projections and filters — SURVEY.md §2.2 "Scans / sources /
+  * sinks" + "Projection / filter".
+  *
+  * Reference evidence: S1/S4/S5 (scans), P1/P2 (projection + derived
+  * columns, `/root/reference/src/generate_mapping.py:136-152`), F1
+  * (conjunctive filter, `:118`), F2 (null-KEEPING inequality, `:135` —
+  * Python `!=` keeps None rows where SQL `<>` drops them; Spark idiom is
+  * the negated null-safe equal `!(a <=> b)`, SQL `IS DISTINCT FROM`),
+  * F3/F4 (not-null gates, `/root/reference/src/load_ground_truths.py:27,36`).
+  */
+object RelationalQueries {
+
+  val defs: Map[String, Q] = Map(
+    // Plain parquet scan, predicate + projection pushed into the reader.
+    "q_parquet_scan" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // P1: projection with derived columns (string surgery mirrors the
+    // reference's Subject_DE = PatientID.split('-')[-1]).
+    "q_select_derived" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring_index(col("p_name"), " ", -1).as("name_last_word"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          (dec(col("p_retailprice")) * dec(lit(0.9))).cast(DoubleType).as("disc_price"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F1: conjunctive predicate filter.
+    "q_filter_conjunctive" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "A" && col("l_quantity") >= 30 &&
+          !(col("l_linestatus") === "F" && col("l_tax") > 0.05))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_tax"))
+    }),
+
+    // F2: null-KEEPING inequality — rows where the (nullable) derived
+    // column is NULL must survive, exactly like Python `!=` vs None.
+    "q_filter_nullsafe_neq" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("maybe_tax", when(col("l_tax") > 0, col("l_tax")))
+        .filter(!(col("maybe_tax") <=> 0.02) && !(col("maybe_tax") <=> 0.04))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(col("maybe_tax")).as("n_nonnull"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // F3/F4: IS NOT NULL gates on a derived nullable column.
+    "q_filter_notnull" -> ((s, d) => {
+      Tables.customer(s, d)
+        .withColumn("pos_bal", when(col("c_acctbal") > 0, col("c_acctbal")))
+        .filter(col("pos_bal").isNotNull)
+        .select(col("c_custkey"), dec(col("pos_bal")).cast(DoubleType).as("pos_bal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // S5: CSV scan — write a table out as CSV (header), read it back with
+    // an explicit schema, prove value fidelity against the parquet oracle.
+    "q_csv_roundtrip" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Tables.nation(s, d).coalesce(1)
+        .write.mode("overwrite").option("header", true).csv(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.option("header", true).schema(schema).csv(tmp)
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // S6/S8: JSON sink + scan round-trip with explicit schema.
+    "q_json_roundtrip" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Tables.region(s, d).coalesce(1).write.mode("overwrite").json(tmp)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.schema(schema).json(tmp).orderBy(col("r_regionkey"))
+    }),
+
+    // S1/S4/S7: binary scan of the data directory itself (glob-filtered,
+    // recursive). No SQL twin — driver records rows>0. The multimodal
+    // pipeline (graft.operators.Multimodal) builds on this source.
+    "q_binary_scan" -> ((s, d) => {
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(d)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"))
+        .orderBy(col("file_name"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_parquet_scan" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    "q_select_derived" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  CASE WHEN strpos(p_name, ' ') = 0 THEN p_name
+        |       ELSE regexp_extract(p_name, '([^ ]*)$', 1) END AS name_last_word,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(0.9 AS DECIMAL(18,4)) AS DOUBLE) AS disc_price
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_filter_conjunctive" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_tax FROM lineitem
+        |WHERE l_returnflag = 'A' AND l_quantity >= 30
+        |  AND NOT (l_linestatus = 'F' AND l_tax > 0.05)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_tax""".stripMargin,
+
+    "q_filter_nullsafe_neq" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |         CASE WHEN l_tax > 0 THEN l_tax END AS maybe_tax
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n, COUNT(maybe_tax) AS n_nonnull
+        |FROM t
+        |WHERE maybe_tax IS DISTINCT FROM 0.02 AND maybe_tax IS DISTINCT FROM 0.04
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_filter_notnull" ->
+      """SELECT c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS pos_bal
+        |FROM customer WHERE c_acctbal > 0 ORDER BY c_custkey""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_json_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+  )
+}

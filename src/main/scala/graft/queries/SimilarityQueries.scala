@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryUtil._
+import TextQueries.sqlPhash
+
+/** Similarity search over the `embeddings` table — SURVEY.md §2.2 "LLM
+  * ops" ([E]): brute-force cosine top-k as the exact baseline, plus a
+  * random-hyperplane LSH bucketing as the approximate scale path.
+  *
+  * The dot/norm arithmetic runs in DOUBLE over the float vectors with
+  * strictly sequential element order (`aggregate` over `zip_with`), which
+  * is the same evaluation order DuckDB's `list_cosine_similarity` uses —
+  * results are rounded at 1e-6 for the oracle hash.
+  *
+  * Scale notes (100 TB / billions of vectors):
+  *   - The brute-force form is O(n²·dim) — correct but only a baseline.
+  *     Its Spark plan is a broadcast-nested-loop self-join; at scale the
+  *     probe side stays partitioned and only the query set broadcasts.
+  *   - The LSH form is the scale path: signatures are map-side, the
+  *     single shuffle groups by bucket, candidate generation is quadratic
+  *     only within buckets (tunable via n_planes), and re-ranking is
+  *     exact cosine on candidates. An IVF variant (k-means coarse
+  *     quantizer) would replace the hash bucketing with nearest-centroid
+  *     assignment — same join shape.
+  *   - Hyperplanes come from the portable md5 hash, not a Scala RNG, so
+  *     the oracle can re-derive them — and at scale they are a tiny
+  *     broadcast literal, not data.
+  */
+object SimilarityQueries {
+
+  private val DIM = 64
+  private val K = 5
+  private val N_PLANES = 8
+
+  /** cos(a, b) in double precision, sequential element order. */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    dot / (na * nb)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    * plane j, dimension i — derived from the portable hash so the DuckDB
+    * twin generates the identical planes. */
+  private def planeComponent(j: Int, i: Column): Column =
+    (conv(substring(md5(concat_ws(":", lit("plane"), lit(j.toString), i.cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType) % 1000L).cast(DoubleType) / 1000.0 - 0.5
+
+  private def sqlPlaneComponent(j: Int, i: String): String =
+    s"CAST(CAST('0x' || substring(md5('plane' || ':' || '$j' || ':' || CAST($i AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 - 0.5"
+
+  /** Sign bit of <embedding, plane_j> (sequential accumulation). */
+  private def planeBit(j: Int): Column = {
+    val proj = aggregate(
+      zip_with(col("embedding"), sequence(lit(1), lit(DIM)),
+        (x, i) => x.cast(DoubleType) * planeComponent(j, i)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj > 0, lit(1)).otherwise(lit(0))
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Exact brute-force cosine top-k (k=5) per query vector.
+    "q_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a"))
+        .orderBy(col("cos").desc, col("id_b"))
+      a.join(b, col("id_a") =!= col("id_b"))
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("rn"))
+    }),
+
+    // Pairwise cosine above a threshold (self-join form of similarity).
+    "q_cosine_pairs" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("label").as("label_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("label").as("label_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+        .filter(col("cos") >= 0.85)
+        .select(col("id_a"), col("id_b"), col("cos"),
+          (col("label_a") === col("label_b")).cast(IntegerType).as("same_label"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LSH bucketing: 8 hyperplane sign bits per vector (map-side stage of
+    // the approximate path; bucket histogram is the oracle check).
+    "q_lsh_buckets" -> ((s, d) => {
+      val bits = (0 until N_PLANES).map(j => planeBit(j) * (1 << j)).reduce(_ + _)
+      Tables.embeddings(s, d)
+        .withColumn("bucket", bits.cast(IntegerType))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Approximate NN: exact cosine re-rank within LSH buckets. Compared
+    // against q_cosine_topk in the ScalaTest recall test; oracle-checked
+    // for parity here.
+    "q_lsh_ann" -> ((s, d) => {
+      val bits = (0 until N_PLANES).map(j => planeBit(j) * (1 << j)).reduce(_ + _)
+      val e = Tables.embeddings(s, d).withColumn("bucket", bits.cast(IntegerType))
+      val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a"))
+        .orderBy(col("cos").desc, col("id_b"))
+      a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("rn"))
+    })
+  )
+
+  /** DOUBLE[] casts are load-bearing: DuckDB's list_cosine_similarity on
+    * FLOAT[] computes (and returns) float32, which diverges from Spark's
+    * double accumulation well above the 1e-6 rounding grain. */
+  private val sqlCosine =
+    "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)"
+
+  private def sqlBits(tbl: String): String =
+    (0 until N_PLANES).map { j =>
+      val proj = s"list_sum(list_transform(range(1, ${DIM + 1}), i -> $tbl.embedding[i] * (${sqlPlaneComponent(j, "i")})))"
+      s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) * ${1 << j}"
+    }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCosine AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT id_a, id_b, cos,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+         |  FROM pairs)
+         |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
+         |ORDER BY id_a, rn""".stripMargin,
+
+    "q_cosine_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCosine AS cos,
+         |  CAST(a.label = b.label AS INTEGER) AS same_label
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE $sqlCosine >= 0.85
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_lsh_buckets" ->
+      s"""WITH t AS (
+         |  SELECT vec_id, CAST(${sqlBits("embeddings")} AS INTEGER) AS bucket
+         |  FROM embeddings)
+         |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
+         |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_lsh_ann" ->
+      s"""WITH t AS (
+         |  SELECT vec_id, embedding, CAST(${sqlBits("embeddings")} AS INTEGER) AS bucket
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCosine AS cos
+         |  FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT id_a, id_b, cos,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+         |  FROM pairs)
+         |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
+         |ORDER BY id_a, rn""".stripMargin
+  )
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryUtil._
+
+/** Window-function surface — SURVEY.md §2.2 "Window functions" + "Sort /
+  * limit / top-k".
+  *
+  * Reference evidence: S3 (row_number()=1 idiom for earliest-study
+  * pruning, `/root/reference/src/generate_mapping.py:20-21`), J4
+  * (last-in-file-order fold — the analytic last/lag family). Frames and
+  * top-k-per-group are [E] extensions.
+  *
+  * Determinism: every window ORDER BY ends in a unique key so ranking
+  * functions are reproducible; `rank`/`dense_rank` windows deliberately
+  * order by a coarse bucket to exercise tie semantics, which are
+  * deterministic per-row even though intra-tie order is not (row_number
+  * is never taken over a tied order).
+  *
+  * Scale notes: a window over partitionBy(k) is one shuffle on k — same
+  * cost class as groupBy(k). The top-k query relies on Catalyst's
+  * WindowGroupLimit rewrite (rank<=k pushed below the window sort), which
+  * keeps per-partition state at k rows instead of the full partition.
+  */
+object WindowQueries {
+
+  val defs: Map[String, Q] = Map(
+    // Ranking family over price buckets (ties exercised deliberately).
+    "q_window_rank" -> ((s, d) => {
+      val bucket = floor(col("o_totalprice") / 50000).cast(IntegerType)
+      val wTies = Window.partitionBy(col("o_orderstatus")).orderBy(bucket)
+      val wUniq = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(bucket, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          bucket.as("price_bucket"),
+          row_number().over(wUniq).as("rn"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"),
+          ntile(4).over(wUniq).as("quartile"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    }),
+
+    // Analytic lag/lead along each supplier's ship history. The window
+    // ORDER BY is a proven-unique composite ((l_orderkey, l_linenumber,
+    // l_quantity, l_extendedprice) is key-unique in the test data;
+    // (l_shipdate, l_orderkey, l_linenumber) alone is NOT) so lag/lead
+    // values are engine-independent; the output ORDER BY covers every
+    // output column for a total positional order.
+    "q_window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"),
+          first(col("l_quantity")).over(w).as("first_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // Running totals: ROWS frame, exact decimal accumulation.
+    "q_window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"),
+          sum(dec(col("l_extendedprice"))).over(w).cast(DoubleType).as("running_rev"),
+          count(lit(1)).over(w).as("running_n"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+    }),
+
+    // RANGE frame over a numeric key: peers within quantity-5 .. quantity.
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rangeBetween(-5, 0)
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          count(lit(1)).over(w).as("peers_in_band"),
+          sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("band_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("peers_in_band"), col("band_qty"))
+    }),
+
+    // Top-k per group (k=3 orders per customer by price; unique tiebreak).
+    "q_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          dec(col("o_totalprice")).cast(DoubleType).as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // Global sort + limit with deterministic tiebreak.
+    "q_sort_limit" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"),
+          dec(col("o_totalprice")).cast(DoubleType).as("o_totalprice"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_rank" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(floor(o_totalprice / 50000) AS INTEGER) AS price_bucket
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus, price_bucket,
+        |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY price_bucket, o_orderkey) AS rn,
+        |  rank()       OVER (PARTITION BY o_orderstatus ORDER BY price_bucket) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY price_bucket) AS drnk,
+        |  ntile(4)     OVER (PARTITION BY o_orderstatus ORDER BY price_bucket, o_orderkey) AS quartile
+        |FROM t ORDER BY o_orderstatus, rn""".stripMargin,
+
+    "q_window_lag_lead" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  lag(l_quantity, 1)  OVER w AS prev_qty,
+        |  lead(l_quantity, 1) OVER w AS next_qty,
+        |  first_value(l_quantity) OVER w AS first_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_rev,
+        |  COUNT(*) OVER w AS running_n
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  COUNT(*) OVER w AS peers_in_band,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS band_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+        |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, peers_in_band, band_qty""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, rn, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice
+        |FROM t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  )
+}
