@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the EA1141 clinical CSV tables (S5) and the file-order
+  * row_id the J4 fold depends on.
+  *
+  * The reference splits lines naively on ',' (`generate_mapping.py:6-13,
+  * 59-60`); a proper CSV parse produces identical values for every column
+  * it consumes because the unquoted-comma free-text only occurs in later
+  * columns (SURVEY.md §1.3) — so Spark's CSV reader is used, NOT a
+  * replica of the naive splitter.
+  *
+  * Sentinel codes (`N`, `.N`, `.M`, `.F`) are NOT decoded here: the
+  * reference passes them through as text (SURVEY.md §1.2), and the
+  * substring classifier maps them to UNKNOWN. [[decodeSentinels]] is the
+  * opt-in helper for consumers that do want SQL NULLs.
+  */
+object ClinicalCsv {
+
+  val Sentinels: Seq[String] = Seq("N", ".N", ".M", ".F")
+
+  /** CASE WHEN v IN ('N','.N','.M','.F') THEN NULL ELSE v END */
+  def decodeSentinels(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.isin(Sentinels: _*), lit(null: String)).otherwise(c)
+
+  /** Attach a file-order row_id. The clinical tables are single small
+    * files, so the CSV scan is one partition and
+    * monotonically_increasing_id() is sequential within it.
+    *
+    * 100 TB note: for big ordered inputs this idiom does NOT hold across
+    * partitions — there the stable id comes from parquet
+    * `_metadata.row_index` (+ file ordering), or the order column is
+    * explicit in the data. The J4 fold itself is already order-safe
+    * aggregation; only row_id derivation is format-specific.
+    */
+  def withRowId(df: DataFrame): DataFrame =
+    df.coalesce(1).withColumn("row_id", monotonically_increasing_id())
+
+  /** Header CSV scan, all columns as strings (the reference types nothing
+    * up front — SURVEY.md §1.2), plus file-order row_id. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    withRowId(spark.read.option("header", true)
+      .option("inferSchema", false).csv(path))
+}

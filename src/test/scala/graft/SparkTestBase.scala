@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One lazy SparkSession per suite (spark_guide.md "ScalaTest"). */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.session
+  def sf(dir: String = "0.001"): String = s"/root/testdata/sf$dir"
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
