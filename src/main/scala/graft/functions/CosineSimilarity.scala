@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for cosine similarity over two FLOAT
+  * vectors, with whole-stage codegen (`doGenCode` emits a fused loop —
+  * no per-element virtual calls, no lambda allocation).
+  *
+  * Semantics are IDENTICAL to the composed built-in form used by
+  * `graft.queries.SimilarityQueries` (`aggregate(zip_with(...))` with
+  * double accumulation in element order), so the two are
+  * interchangeable; this exists because the composed form evaluates
+  * three separate higher-order traversals per pair, while this is one
+  * pass — the difference matters on O(n²) similarity joins
+  * (SURVEY.md §2.2 "LLM ops"; the reference's only non-relational
+  * kernel pattern, `/root/reference/src/generate_mapping.py:116-140`,
+  * maps to the same custom-kernel surface).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (left.dataType == ArrayType(FloatType, false) ||
+        left.dataType == ArrayType(FloatType, true)) {
+      if (right.dataType == ArrayType(FloatType, false) ||
+          right.dataType == ArrayType(FloatType, true))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"right argument must be array<float>, got ${right.dataType.sql}")
+    } else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"left argument must be array<float>, got ${left.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry points for the custom expressions. */
+object GraftFunctions {
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftShim.toColumn(CosineSimilarity(
+      GraftShim.toExpression(a), GraftShim.toExpression(b)))
+
+  /** Register `cosine_sim` for SQL use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+}

@@ -34,7 +34,9 @@ object SimilarityQueries {
 
   private val DIM = 64
   private val K = 5
-  private val N_PLANES = 8
+  private val N_PLANES = 8    // single-table histogram (q_lsh_buckets)
+  private val LSH_TABLES = 4  // multi-table ANN (q_lsh_ann)
+  private val LSH_BITS = 4
 
   /** cos(a, b) in double precision, sequential element order. */
   private def cosine(a: Column, b: Column): Column = {
@@ -105,18 +107,31 @@ object SimilarityQueries {
         .orderBy(col("bucket"))
     }),
 
-    // Approximate NN: exact cosine re-rank within LSH buckets. Compared
-    // against q_cosine_topk in the ScalaTest recall test; oracle-checked
-    // for parity here.
+    // Approximate NN: multi-table LSH (4 tables × 4 hyperplane bits) —
+    // candidates share ANY table's bucket; exact cosine re-ranks them.
+    // Multi-table is the standard recall lever: P(candidate) =
+    // 1-(1-p^bits)^tables vs p^bits for one wide table. Compared against
+    // q_cosine_topk in the ScalaTest recall test; oracle-checked for
+    // parity here.
     "q_lsh_ann" -> ((s, d) => {
-      val bits = (0 until N_PLANES).map(j => planeBit(j) * (1 << j)).reduce(_ + _)
-      val e = Tables.embeddings(s, d).withColumn("bucket", bits.cast(IntegerType))
-      val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val buckets = (0 until LSH_TABLES).map { t =>
+        struct(lit(t).as("t"),
+          (0 until LSH_BITS).map(k => planeBit(t * LSH_BITS + k) * (1 << k))
+            .reduce(_ + _).cast(IntegerType).as("b"))
+      }
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), explode(array(buckets: _*)).as("bk"))
+      val cand = e.select(col("bk"), col("vec_id").as("id_a")).join(
+          e.select(col("bk"), col("vec_id").as("id_b")), Seq("bk"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val emb = Tables.embeddings(s, d)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id_a"))
         .orderBy(col("cos").desc, col("id_b"))
-      a.join(b, Seq("bucket")).filter(col("id_a") =!= col("id_b"))
+      cand
+        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
         .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= K)
@@ -163,18 +178,34 @@ object SimilarityQueries {
          |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
-    "q_lsh_ann" ->
+    "q_lsh_ann" -> {
+      val bucketCols = (0 until LSH_TABLES).map { t =>
+        val bits = (0 until LSH_BITS).map { k =>
+          val j = t * LSH_BITS + k
+          val proj = s"list_sum(list_transform(range(1, ${DIM + 1}), i -> embeddings.embedding[i] * (${sqlPlaneComponent(j, "i")})))"
+          s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) * ${1 << k}"
+        }.mkString(" + ")
+        s"CAST($bits AS INTEGER) AS b$t"
+      }.mkString(", ")
+      val bandStructs = (0 until LSH_TABLES).map(t => s"($t, b$t)").mkString(", ")
       s"""WITH t AS (
-         |  SELECT vec_id, embedding, CAST(${sqlBits("embeddings")} AS INTEGER) AS bucket
-         |  FROM embeddings),
-         |pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCosine AS cos
-         |  FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |  SELECT vec_id, embedding, $bucketCols FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, unnest([$bandStructs]) AS bk FROM t),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM banded x JOIN banded y ON x.bk = y.bk AND x.vec_id <> y.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+         |  FROM cand JOIN embeddings a ON a.vec_id = id_a
+         |            JOIN embeddings b ON b.vec_id = id_b),
          |ranked AS (
          |  SELECT id_a, id_b, cos,
          |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
-         |  FROM pairs)
+         |  FROM scored)
          |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
          |ORDER BY id_a, rn""".stripMargin
+    }
   )
 }

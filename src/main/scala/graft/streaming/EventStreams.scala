@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming jobs over the events stream — SURVEY.md §2.2
+  * "Streaming" ([E]). Each aggregation is the SAME expression tree as its
+  * batch twin in `graft.queries.EventQueries`, so stream-vs-batch
+  * agreement on closed windows is a direct test (SURVEY.md §5) and the
+  * DuckDB oracle covers the semantics via the batch form.
+  *
+  * Scale notes: state is keyed by (window[, key]) in the state store;
+  * the watermark bounds state size and drops late data deterministically.
+  * Skewed keys (hot users) shard across partitions by key hash exactly
+  * like the batch shuffle.
+  */
+object EventStreams {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** Tumbling 15-minute windows per event type (twin: q_window_tumbling). */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 30m/15m windows (twin: q_window_sliding). */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+
+  /** Session windows, 5-minute gap per user (twin: q_window_session). */
+  def sessionCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+
+  /** Stateful dedup: first event per event_id within the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserCount(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: cumulative per-user
+    * counters emitted on every update (the mapGroupsWithState surface of
+    * SURVEY.md §2.2). */
+  def runningUserCounts(events: Dataset[(Long, Double)]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), UserCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (oldN, oldV) = state.getOption.getOrElse((0L, 0.0))
+          var n = oldN
+          var v = oldV
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          Iterator(UserCount(user, n, v))
+      }
+  }
+}

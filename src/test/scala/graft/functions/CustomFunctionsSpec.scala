@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Custom Catalyst Expression + typed Aggregator surfaces
+  * (SURVEY.md §2.2 "UDF/UDAF/UDTF surface").
+  */
+class CustomFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def composedCosine(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    dot / (na * nb)
+  }
+
+  test("CosineSimilarity expression == composed built-in form, bit-exact") {
+    val e = Tables.embeddings(spark, sf())
+    val a = e.select($"vec_id".as("id_a"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("id_b"), $"embedding".as("eb"))
+    val pairs = a.join(b, $"id_a" < $"id_b").limit(5000)
+      .select(
+        GraftFunctions.cosine_sim($"ea", $"eb").as("custom"),
+        composedCosine($"ea", $"eb").as("composed"))
+    assert(pairs.filter($"custom" =!= $"composed").count() === 0)
+    assert(pairs.filter($"custom".isNull).count() === 0)
+  }
+
+  test("CosineSimilarity registered for SQL; null-safe; identity == 1.0") {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sf()).createOrReplaceTempView("emb_t")
+    val self = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_t").collect()
+    assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    val nullRes = spark.sql(
+      "SELECT cosine_sim(CAST(NULL AS ARRAY<FLOAT>), embedding) AS c FROM emb_t LIMIT 1")
+      .collect()
+    assert(nullRes.head.isNullAt(0))
+  }
+
+  test("CosineSimilarity participates in whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf())
+    val plan = e.select(GraftFunctions.cosine_sim($"embedding", $"embedding").as("c"))
+      .queryExecution.executedPlan
+    // The "*(n)" prefix marks operators fused into a WholeStageCodegen
+    // stage; a CodegenFallback expression would strip it from Project.
+    assert(plan.toString.contains("*(1) Project [cosinesimilarity"),
+      s"expected codegen'd project in plan:\n$plan")
+  }
+
+  test("LastMatchFold Aggregator == built-in fold over random partitions") {
+    import LastMatchFold._
+    val rnd = new scala.util.Random(7)
+    val outcomes = Array("Benign", "Invasive", "No biopsy", "weird", "DCIS")
+    val rows = (0 until 200).map(i =>
+      In(i.toLong, rnd.nextBoolean(), outcomes(rnd.nextInt(outcomes.length))))
+    // typed aggregation across many partitions (exercises merge())
+    val ds = spark.createDataset(rows).repartition(7)
+    val got = ds.select(LastMatchFold.column).head()
+    // sequential truth
+    val hasMismatch = rows.exists(!_.matched)
+    val last = rows.maxBy(_.rowId)
+    val wantBiopsy =
+      if (last.matched) Some(SequentialClassify.classify(last.outcome)) else None
+    assert(got.hasMismatch === hasMismatch)
+    assert(got.biopsy === wantBiopsy)
+  }
+
+  private object SequentialClassify {
+    def classify(o: String): String = graft.pipeline.SequentialReference.classify(o)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{SparkTestBase, Tables}
+import graft.SparkEntry
+import org.apache.spark.sql.functions._
+
+/** Specs for the query-library entries WITHOUT a DuckDB oracle (the
+  * driver only rows-checks these), plus cross-query invariants the
+  * oracle can't see.
+  */
+class QueryLibrarySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("every oracleSql key has a queries entry; flagship returns rows") {
+    val qs = SparkEntry.queries
+    val missing = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct within declared 2% rsd (observed < 10%)") {
+    val approx = SparkEntry.queries("q_approx_count_distinct")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf())
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err < 0.10, s"flag $k: approx=${approx(k)} exact=$n err=$err")
+    }
+  }
+
+  test("binary scan sees every table file with correct sizes") {
+    val got = SparkEntry.queries("q_binary_scan")(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Tables.names.map(_ + ".parquet").toSet)
+    got.values.foreach(len => assert(len > 0))
+  }
+
+  test("LSH ANN recall vs brute-force top-k (same bucket ⇒ found)") {
+    val exact = SparkEntry.queries("q_cosine_topk")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = SparkEntry.queries("q_lsh_ann")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // 4 tables × 4 bits over 64-dim embeddings: for neighbors at
+    // cosine≈0.3, per-table hit ≈ 0.6^4 ≈ 0.13, multi-table ≈ 0.42.
+    assert(recall > 0.2, s"recall collapsed: $recall")
+    assert(ann.nonEmpty)
+    info(f"LSH multi-table recall@5 = $recall%.3f")
+  }
+
+  test("minhash LSH candidates contain every truly-similar pair (jaccard ≥ 0.5)") {
+    // Ground truth: brute-force jaccard over all pairs.
+    val docs = Tables.documents(spark, sf())
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .withColumn("sh", array_distinct(transform(
+        sequence(lit(0), size($"toks") - 3),
+        i => concat_ws(" ", slice($"toks", i + 1, lit(3))))))
+      .select($"doc_id", $"sh")
+    val a = docs.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = docs.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val inter = size(array_intersect($"sh_a", $"sh_b"))
+    val truth = a.join(b, $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        (inter.cast("double") / (size($"sh_a") + size($"sh_b") - inter).cast("double")).as("j"))
+      .filter($"j" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = SparkEntry.queries("q_minhash_lsh_pairs")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bands × 2 rows: P(catch | j=0.5) per band = 0.25, overall ~68%;
+    // on this data all high-sim pairs must be caught or nearly so.
+    val caught = (truth & candidates).size
+    assert(truth.isEmpty || caught.toDouble / truth.size >= 0.5,
+      s"minhash missed too many: caught=$caught of ${truth.size}")
+  }
+
+  test("explain: broadcast join query uses BroadcastHashJoin, no shuffle of fact side") {
+    val plan = SparkEntry.queries("q_join_broadcast")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("explain: parquet scan pushes filters and prunes columns") {
+    val qe = Tables.lineitem(spark, sf())
+      .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp_ntz"))
+      .select($"l_orderkey", $"l_quantity")
+      .queryExecution
+    val scan = qe.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double"),
+      s"columns not pruned:\n$scan")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream-vs-batch agreement on closed windows (SURVEY.md §5): the same
+  * aggregation expressions run over a MemoryStream and over a batch
+  * DataFrame of the identical rows must agree once the watermark has
+  * closed the windows.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Real rows from the sf0.001 events table, sorted by time. */
+  private lazy val realEvents: Seq[Ev] = {
+    graft.Tables.events(spark, sf())
+      .select(col("event_id"), col("ts").cast("timestamp"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy("ts")
+      .limit(300)
+      .as[Ev]
+      .collect()
+      .toSeq
+  }
+
+  private def flushSentinel(after: Seq[Ev]): Ev = {
+    val maxTs = after.map(_.ts.getTime).max
+    Ev(999999L, new Timestamp(maxTs + 3 * 3600 * 1000L), -1L, "flush", 0.0)
+  }
+
+  test("tumbling windows: streaming append == batch on closed windows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = realEvents.splitAt(150)
+      stream.addData(c1)
+      q.processAllAvailable()
+      stream.addData(c2)
+      q.processAllAvailable()
+      stream.addData(Seq(flushSentinel(realEvents))) // advance watermark far out
+      q.processAllAvailable()
+
+      val got = spark.table("tumbling_out")
+        .filter(col("event_type") =!= "flush")
+        .select(col("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+
+      val want = realEvents.toDF()
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(col("w.start"), col("event_type"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("session windows: streaming append == batch sessionization") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.sessionCounts(stream.toDF())
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(realEvents)
+      q.processAllAvailable()
+      stream.addData(Seq(flushSentinel(realEvents)))
+      q.processAllAvailable()
+
+      val got = spark.table("session_out")
+        .filter(col("user_id") =!= -1L)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(3)).toMap
+
+      val want = realEvents.toDF()
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: repeated event_ids collapse to one") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val base = realEvents.take(20)
+      stream.addData(base)
+      q.processAllAvailable()
+      stream.addData(base.take(10)) // exact duplicates within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 20)
+      assert(spark.table("dedup_out").select("event_id").distinct().count() === 20)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: cumulative per-user counters across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val q = EventStreams.runningUserCounts(stream.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq((1L, 1.0), (1L, 2.0), (2L, 5.0)))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, 3.0)))
+      q.processAllAvailable()
+      // last update per user wins
+      val last = spark.table("state_out")
+        .groupBy("user_id").agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.total_value"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(last === Map(1L -> (3L, 6.0), 2L -> (1L, 5.0)))
+    } finally q.stop()
+  }
+}
