@@ -49,22 +49,52 @@ object DedupQueries {
     "list_distinct(list_transform(range(len(string_split(text,' ')) - 2), " +
       "i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')))"
 
-  /** MinHash signature entry j = min over shingles of hash_j. */
-  private def minhash(sh: Column, j: Int): Column =
-    array_min(transform(sh, x => phash(x, j)))
+  /** 60-bit hashes of the shingle set — computed ONCE per doc; the 8
+    * MinHash functions derive from it by universal hashing
+    * (a_j·h+b_j mod P) instead of 8 separate md5 passes (the md5 was
+    * ~8× of the signature cost at sf0.1). Collisions merge shingles
+    * identically in both engines, so parity is unaffected. */
+  private def hashedShingles(c: Column): Column =
+    array_distinct(transform(shingles(c), x => phash(x, 0)))
 
-  /** doc_id, shingles, band, band_key — shared by LSH + pairs stages. */
-  private def bandedSignatures(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .withColumn("sh", shingles(col("text")))
+  private val sqlHashedShingles =
+    s"list_distinct(list_transform($sqlShingles, x -> ${sqlPhash("x", 0)}))"
+
+  private val P = 1000000007L
+  private def hashA(j: Int): Long = 1000003L * (j + 1)
+  private def hashB(j: Int): Long = 7919L * (j + 1)
+
+  /** MinHash signature entry j = min over hashed shingles of the j-th
+    * universal hash. */
+  private def minhash(shh: Column, j: Int): Column =
+    array_min(transform(shh, h => (lit(hashA(j)) * (h % P) + hashB(j)) % P))
+
+  /** documents spread across cores: the table is one small parquet file
+    * (one scan partition), and shingling/hashing are higher-order
+    * expressions evaluated per doc — without a repartition the whole map
+    * stage runs on one thread. At 100 TB the input is many files and
+    * this is a no-op to remove. */
+  private def docsSpread(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  /** (doc_id, source, sh) — the per-doc shingle-hash map stage. */
+  private def docShingles(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    docsSpread(s, d)
+      .select(col("doc_id"), col("source"), hashedShingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** doc_id, band, band_key — the LSH bucketing stage (ids only; shingle
+    * payloads are joined back AFTER candidate dedup so the shuffle never
+    * carries arrays). */
+  private def bandedSignatures(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    docShingles(s, d)
       .withColumn("sig", array((0 until NUM_HASHES).map(j => minhash(col("sh"), j)): _*))
-    docs.select(col("doc_id"), col("sh"), col("sig"),
+      .select(col("doc_id"),
         explode(array((0 until BANDS).map(b => struct(
           lit(b).as("band"),
           concat_ws("_", element_at(col("sig"), 2 * b + 1),
             element_at(col("sig"), 2 * b + 2)).as("band_key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.band_key"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -78,9 +108,7 @@ object DedupQueries {
 
     // MinHash signatures (the map-side stage of LSH, fully oracle-checked).
     "q_minhash_signature" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("sh", shingles(col("text")))
-        .filter(size(col("sh")) > 0)
+      val docs = docShingles(s, d)
       docs.select(
         col("doc_id") +: size(col("sh")).as("n_shingles") +:
           (0 until NUM_HASHES).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
@@ -88,60 +116,77 @@ object DedupQueries {
     }),
 
     // LSH candidate pairs: same band value in any band, then exact
-    // Jaccard verification over the shingle sets.
+    // Jaccard verification over the shingle sets — candidates travel as
+    // (id, id) only; shingle arrays join back once per surviving pair.
     "q_minhash_lsh_pairs" -> ((s, d) => {
       val b = bandedSignatures(s, d)
-      val left = b.select(col("band"), col("band_key"),
-        col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val right = b.select(col("band"), col("band_key"),
-        col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val pairs = left.join(right,
-          Seq("band", "band_key")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-        .dropDuplicates("id_a", "id_b")
+      val pairs = b.toDF("id_a", "band", "band_key")
+        .join(b.toDF("id_b", "band", "band_key"), Seq("band", "band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val sh = docShingles(s, d).select(col("doc_id"), col("sh"))
+      val joined = pairs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
       val uni = size(col("sh_a")) + size(col("sh_b")) - inter
-      pairs.select(col("id_a"), col("id_b"),
+      joined.select(col("id_a"), col("id_b"),
           (inter.cast(DoubleType) / uni.cast(DoubleType)).as("jaccard"))
         .filter(col("jaccard") >= 0.2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // N-gram (token-3-gram) Jaccard within same-source buckets.
+    // N-gram (token-3-gram) Jaccard within same-source buckets, as an
+    // inverted-index set-similarity join: explode shingle hashes, join
+    // on (source, shingle) to count the intersection per pair, then
+    // derive Jaccard from the per-doc set sizes. Pairs sharing zero
+    // shingles never materialize (they cannot pass a positive
+    // threshold), so the work is proportional to actual overlap — the
+    // textbook scalable shape vs the dense per-bucket cross join, which
+    // benched 6× slower at sf0.1 and degrades quadratically.
     "q_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .withColumn("sh", shingles(col("text")))
-        .filter(size(col("sh")) > 0)
-      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      val uni = size(col("sh_a")) + size(col("sh_b")) - inter
-      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+      val docs = docShingles(s, d)
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val inv = docs.select(col("source"), col("doc_id"), explode(col("sh")).as("h"))
+      val inter = inv.toDF("source", "id_a", "h")
+        .join(inv.toDF("source", "id_b", "h"), Seq("source", "h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("source"), col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+        .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
         .select(col("source"), col("id_a"), col("id_b"),
-          (inter.cast(DoubleType) / uni.cast(DoubleType)).as("jaccard"))
+          (col("n_common").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
         .filter(col("jaccard") >= 0.15)
         .orderBy(col("source"), col("id_a"), col("id_b"))
     }),
 
     // SimHash: 48-bit sign-aggregated fingerprint over token hashes.
+    // Single-pass shape: explode distinct tokens, one vectorized hash
+    // aggregate with 48 conditional sums (bit p set iff 2*Σbit_p > n) —
+    // vs 48 higher-order array traversals per doc, which benched 7×
+    // slower at sf0.1. At 100 TB this is one map-side-combined shuffle
+    // keyed by doc_id.
     "q_simhash" -> ((s, d) => {
-      val toks = array_distinct(split(col("text"), " "))
-      val hashes = transform(toks, t => phash(t, 7))
       val bits = 48
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", phash(col("tok"), 7))
       val fp = (0 until bits).map { p =>
-        when(
-          aggregate(hashes, lit(0L),
-            (acc, h) => acc + shiftright(h, p).bitwiseAND(1L) * 2L - 1L) > 0,
+        when(sum(shiftright(col("h"), p).bitwiseAND(1L)) * 2 > count(lit(1)),
           shiftleft(lit(1L), p)).otherwise(0L)
       }.reduce(_ + _)
-      Tables.documents(s, d)
-        .select(col("doc_id"), fp.as("simhash"))
+      toks.groupBy(col("doc_id"))
+        .agg(fp.as("simhash"))
         .orderBy(col("doc_id"))
     })
   )
 
   private def sqlMinhash(j: Int): String =
-    s"list_min(list_transform(sh, x -> ${sqlPhash("x", j)}))"
+    s"list_min(list_transform(sh, h -> (${hashA(j)} * (h % $P) + ${hashB(j)}) % $P))"
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -151,7 +196,7 @@ object DedupQueries {
 
     "q_minhash_signature" -> {
       val cols = (0 until NUM_HASHES).map(j => s"  ${sqlMinhash(j)} AS mh$j").mkString(",\n")
-      s"""WITH t AS (SELECT doc_id, $sqlShingles AS sh FROM documents)
+      s"""WITH t AS (SELECT doc_id, $sqlHashedShingles AS sh FROM documents)
          |SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
          |$cols
          |FROM t WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
@@ -162,7 +207,7 @@ object DedupQueries {
       val bandStructs = (0 until BANDS)
         .map(b => s"(${b}, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR))")
         .mkString(", ")
-      s"""WITH t AS (SELECT doc_id, $sqlShingles AS sh FROM documents),
+      s"""WITH t AS (SELECT doc_id, $sqlHashedShingles AS sh FROM documents),
          |sigs AS (SELECT doc_id, sh, $sigCols FROM t WHERE len(sh) > 0),
          |banded AS (
          |  SELECT doc_id, sh, unnest([$bandStructs]) AS bk FROM sigs),
@@ -181,7 +226,7 @@ object DedupQueries {
 
     "q_ngram_jaccard" ->
       s"""WITH t AS (
-         |  SELECT source, doc_id, $sqlShingles AS sh FROM documents),
+         |  SELECT source, doc_id, $sqlHashedShingles AS sh FROM documents),
          |f AS (SELECT * FROM t WHERE len(sh) > 0)
          |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -193,15 +238,14 @@ object DedupQueries {
 
     "q_simhash" -> {
       val bitTerms = (0 until 48).map(p =>
-        s"CASE WHEN list_sum(list_transform(hs, h -> (h >> $p) & 1) ) * 2 > len(hs) THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END")
+        s"CASE WHEN CAST(SUM((h >> $p) & 1) AS BIGINT) * 2 > COUNT(*) THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END")
         .mkString(" + ")
       s"""WITH t AS (
-         |  SELECT doc_id,
-         |    list_transform(list_distinct(string_split(text, ' ')),
-         |      t -> ${sqlPhash("t", 7)}) AS hs
-         |  FROM documents)
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${sqlPhash("tok", 7)} AS h FROM t)
          |SELECT doc_id, $bitTerms AS simhash
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }
   )
 }

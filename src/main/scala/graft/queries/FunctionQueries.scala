@@ -103,6 +103,42 @@ object FunctionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Map family: build a map per group (map_from_entries over collected
+    // pairs), consume it via element_at + explode back to rows. The
+    // relational oracle sees only the exploded rows, proving the map
+    // round-trip preserves content ([R] S6's uid->struct map pattern).
+    "q_map_funcs" -> ((s, d) => {
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("l_linestatus"), col("n"))))).as("status_counts"))
+      m.select(col("l_returnflag"),
+          size(col("status_counts")).as("n_statuses"),
+          element_at(col("status_counts"), "F").as("n_f"),
+          explode(col("status_counts")).as(Seq("l_linestatus", "n")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // J4 ordered fold on TPC-H data (the reference's last-write-wins /
+    // erase-on-mismatch reduction as a driver-verified query): per order,
+    // over lines in a total deterministic order, "matched" = returnflag
+    // 'R'; result = last line's status iff the last line matched, plus an
+    // any-mismatch flag (`/root/reference/src/generate_mapping.py:59-75`).
+    "q_ordered_fold" -> ((s, d) => {
+      val ord = struct(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          max(when(col("l_returnflag") =!= "R", 1).otherwise(0)).as("has_mismatch"),
+          max_by(struct((col("l_returnflag") === "R").as("m"), col("l_linestatus")), ord).as("last"))
+        .select(col("l_orderkey"), col("has_mismatch") === 1,
+          when(col("last.m"), col("last.l_linestatus")).as("final_status"))
+        .toDF("l_orderkey", "has_mismatch", "final_status")
+        .orderBy(col("l_orderkey"))
+    }),
+
     // JSON family over events.props (get_json_object / from_json).
     "q_json_funcs" -> ((s, d) => {
       Tables.events(s, d).select(
@@ -176,6 +212,28 @@ object FunctionQueries {
         |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
         |  CAST(list_min(embedding) AS DOUBLE) AS vmin
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |s AS (SELECT l_returnflag, CAST(COUNT(*) AS INTEGER) AS n_statuses,
+        |        MAX(CASE WHEN l_linestatus = 'F' THEN n END) AS n_f
+        |      FROM c GROUP BY l_returnflag)
+        |SELECT c.l_returnflag, s.n_statuses, s.n_f, c.l_linestatus, c.n
+        |FROM c JOIN s ON c.l_returnflag = s.l_returnflag
+        |ORDER BY c.l_returnflag, c.l_linestatus""".stripMargin,
+
+    "q_ordered_fold" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, l_returnflag, l_linestatus,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC) AS rd
+        |  FROM lineitem)
+        |SELECT l_orderkey,
+        |  MAX(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) = 1 AS has_mismatch,
+        |  MAX(CASE WHEN rd = 1 AND l_returnflag = 'R' THEN l_linestatus END) AS final_status
+        |FROM r GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "q_json_funcs" ->
       """WITH t AS (

@@ -106,8 +106,13 @@ object JoinQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
-    // Pure range/interval join: lineitems vs a derived month-interval dim
-    // (BroadcastNestedLoop over the tiny broadcast dim — linear at scale).
+    // Range/interval join: lineitems vs a derived month-interval dim.
+    // The scalable range-join shape: an equi bucket key (here the
+    // interval's own granularity) turns BroadcastNestedLoop into
+    // BroadcastHashJoin with the range predicate as residual — at sf0.1
+    // this was 11s as a pure BNL, sub-second bucketed. For intervals
+    // that span buckets, the dim explodes one row per overlapped bucket
+    // (same technique; here 1:1).
     "q_join_range" -> ((s, d) => {
       val months = Tables.orders(s, d)
         .select(date_trunc("month", col("o_orderdate")).as("m_start"))
@@ -115,6 +120,7 @@ object JoinQueries {
         .withColumn("m_end", col("m_start") + expr("INTERVAL 1 MONTH"))
       val li = Tables.lineitem(s, d)
       li.join(broadcast(months),
+          date_trunc("month", li("l_shipdate")) === months("m_start") &&
           li("l_shipdate") >= months("m_start") && li("l_shipdate") < months("m_end"))
         .groupBy(date_format(col("m_start"), "yyyy-MM").as("ship_month"))
         .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))

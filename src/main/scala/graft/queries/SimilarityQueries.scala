@@ -38,30 +38,40 @@ object SimilarityQueries {
   private val LSH_TABLES = 4  // multi-table ANN (q_lsh_ann)
   private val LSH_BITS = 4
 
-  /** cos(a, b) in double precision, sequential element order. */
-  private def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    dot / (na * nb)
+  /** cos(a, b) in double precision, sequential element order — the
+    * native codegen'd expression (graft.functions.CosineSimilarity),
+    * bit-identical to the composed aggregate(zip_with(...)) form (proven
+    * in CustomFunctionsSpec) and to DuckDB's double
+    * list_cosine_similarity, but a single fused loop: on the O(n²) pair
+    * joins this is the difference between minutes and seconds. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5) for
+    * plane j, dimension i (1-based) — md5-derived so the DuckDB twin
+    * re-generates the identical planes. Evaluated at PLAN BUILD time
+    * (the planes are constants — recomputing md5 per row × dim was the
+    * dominant cost of the LSH queries). */
+  private def planeComponent(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane:$j:$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 1000L).toDouble / 1000.0 - 0.5
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
-    * plane j, dimension i — derived from the portable hash so the DuckDB
-    * twin generates the identical planes. */
-  private def planeComponent(j: Int, i: Column): Column =
-    (conv(substring(md5(concat_ws(":", lit("plane"), lit(j.toString), i.cast(StringType))), 1, 15), 16, 10)
-      .cast(LongType) % 1000L).cast(DoubleType) / 1000.0 - 0.5
+  private def planeVector(j: Int): Array[Double] =
+    Array.tabulate(DIM)(i => planeComponent(j, i + 1))
 
   private def sqlPlaneComponent(j: Int, i: String): String =
     s"CAST(CAST('0x' || substring(md5('plane' || ':' || '$j' || ':' || CAST($i AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 - 0.5"
 
-  /** Sign bit of <embedding, plane_j> (sequential accumulation). */
+  /** Sign bit of <embedding, plane_j>: sequential double accumulation
+    * against the literal plane vector (same op order as the SQL twin's
+    * list_sum over index order). */
   private def planeBit(j: Int): Column = {
+    val plane = lit(planeVector(j))
     val proj = aggregate(
-      zip_with(col("embedding"), sequence(lit(1), lit(DIM)),
-        (x, i) => x.cast(DoubleType) * planeComponent(j, i)),
+      zip_with(col("embedding"), plane, (x, p) => x.cast(DoubleType) * p),
       lit(0.0), (acc, x) => acc + x)
     when(proj > 0, lit(1)).otherwise(lit(0))
   }
