@@ -28,7 +28,8 @@ object SparkEntry {
       EventQueries.defs ++
       TextQueries.defs ++
       DedupQueries.defs ++
-      SimilarityQueries.defs
+      SimilarityQueries.defs ++
+      SqlQueries.defs
 
   /** DuckDB twin for each SQL-expressible query (same parquet tables).
     * Keys absent here (approx sketches, binary scans) get the driver's
@@ -43,5 +44,6 @@ object SparkEntry {
       EventQueries.oracle ++
       TextQueries.oracle ++
       DedupQueries.oracle ++
-      SimilarityQueries.oracle
+      SimilarityQueries.oracle ++
+      SqlQueries.oracle
 }
