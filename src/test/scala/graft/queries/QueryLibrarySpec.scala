@@ -81,6 +81,29 @@ class QueryLibrarySpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("explain: merge hint yields SortMergeJoin; top-k gets WindowGroupLimit pushdown") {
+    val smj = SparkEntry.queries("q_join_sortmerge")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"), s"plan:\n$smj")
+    val topk = SparkEntry.queries("q_topk_per_group")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(topk.contains("WindowGroupLimit"), s"plan:\n$topk")
+  }
+
+  test("explain: bucketed range join plans BroadcastHashJoin, not nested loop") {
+    val plan = SparkEntry.queries("q_join_range")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
+
+  test("sentinel decode helper maps clinical sentinels to NULL, keeps values") {
+    val df = Seq("N", ".N", ".M", ".F", "1", "Benign").toDF("v")
+      .select(graft.pipeline.ClinicalCsv.decodeSentinels($"v").as("d"))
+    assert(df.filter($"d".isNull).count() === 4)
+    assert(df.filter($"d".isNotNull).as[String].collect().toSet === Set("1", "Benign"))
+  }
+
   test("explain: parquet scan pushes filters and prunes columns") {
     val qe = Tables.lineitem(spark, sf())
       .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp_ntz"))
