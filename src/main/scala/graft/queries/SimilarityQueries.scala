@@ -123,6 +123,8 @@ object SimilarityQueries {
     // 1-(1-p^bits)^tables vs p^bits for one wide table. Compared against
     // q_cosine_topk in the ScalaTest recall test; oracle-checked for
     // parity here.
+    "q_ivf_ann" -> ((s, d) => ivfAnn(s, d)),
+
     "q_lsh_ann" -> ((s, d) => {
       val buckets = (0 until LSH_TABLES).map { t =>
         struct(lit(t).as("t"),
@@ -153,6 +155,51 @@ object SimilarityQueries {
   /** DOUBLE[] casts are load-bearing: DuckDB's list_cosine_similarity on
     * FLOAT[] computes (and returns) float32, which diverges from Spark's
     * double accumulation well above the 1e-6 rounding grain. */
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — 16
+    * seed centroids chosen by hash order of vec_id (production would run
+    * k-means||; the join shape is identical) — assigns every vector to
+    * its nearest centroid; queries probe their `nprobe`=4 nearest
+    * centroids and exact-re-rank the union of those posting lists.
+    * No SQL twin (driver rows-check); recall is asserted vs the exact
+    * top-k in QueryLibrarySpec.
+    *
+    * Scale shape: assignment is a broadcast join against O(centroids)
+    * rows; the only shuffle groups by centroid id (the posting lists);
+    * probing is a second broadcast join + per-query top-k. */
+  private def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val nCent = 16
+    val nProbe = 4
+    val emb = Tables.embeddings(s, d)
+    val cents = emb
+      .withColumn("h", conv(substring(md5(concat(lit("seed:"),
+        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType))
+      .orderBy(col("h"), col("vec_id")).limit(nCent)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("cent"))
+      .withColumn("cid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("seed_id"))))
+      .select(col("cid"), col("cent"))
+    val wNear = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val scored = emb.join(broadcast(cents))
+      .withColumn("ccos", cosine(col("embedding"), col("cent")))
+      .withColumn("crn", row_number().over(wNear))
+    val members = scored.filter(col("crn") === 1)
+      .select(col("cid"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val probes = scored.filter(col("crn") <= nProbe)
+      .select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    probes.join(members, Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= K)
+      .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("rn"))
+  }
+
   private val sqlCosine =
     "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)"
 

@@ -50,6 +50,19 @@ class QueryLibrarySpec extends SparkTestBase {
     info(f"LSH multi-table recall@5 = $recall%.3f")
   }
 
+  test("IVF ANN recall vs brute-force top-k") {
+    val exact = SparkEntry.queries("q_cosine_topk")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SparkEntry.queries("q_ivf_ann")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // 16 centroids / probe 4 on near-random embeddings: neighbors are
+    // weakly clustered, so recall is the probed fraction (~4/16) plus
+    // the cluster signal.
+    assert(recall > 0.2, s"IVF recall collapsed: $recall")
+    info(f"IVF recall@5 = $recall%.3f (16 centroids, nprobe=4)")
+  }
+
   test("minhash LSH candidates contain every truly-similar pair (jaccard ≥ 0.5)") {
     // Ground truth: brute-force jaccard over all pairs.
     val docs = Tables.documents(spark, sf())
