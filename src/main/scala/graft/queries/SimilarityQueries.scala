@@ -184,15 +184,17 @@ object SimilarityQueries {
       .withColumn("ccos", cosine(col("embedding"), col("cent")))
       .withColumn("crn", row_number().over(wNear))
     val members = scored.filter(col("crn") === 1)
-      .select(col("cid"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .select(col("cid"), col("vec_id").as("id_b"))
     val probes = scored.filter(col("crn") <= nProbe)
-      .select(col("cid"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .select(col("cid"), col("vec_id").as("id_a"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    val e = Tables.embeddings(s, d)
     probes.join(members, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
       .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= K)
