@@ -37,14 +37,14 @@ object Ea1141Json {
     spark.read.option("wholetext", true).text(path)
       .select(from_json(col("value"), MapType(StringType, recordSchema)).as("m"))
       .select(explode(col("m")).as(Seq("uid", "r")))
-      .select(col("uid") +: recordSchema.fieldNames.map(f => col(s"r.$f")): _*)
+      .select(col("uid") +: recordSchema.fieldNames.toIndexedSeq.map(f => col(s"r.$f")): _*)
 
   /** Sink the mapping back to a single JSON map document (S8,
     * `generate_mapping.py:168-169`) — golden-format compatible. */
   def writeMappingJson(mapping: DataFrame, path: String): Unit = {
     val entries = mapping
       .select(col("uid"),
-        to_json(struct(recordSchema.fieldNames.map(col): _*)).as("j"))
+        to_json(struct(recordSchema.fieldNames.toIndexedSeq.map(col): _*)).as("j"))
       .orderBy(col("uid"))
       .collect()
       .map(r => s""""${r.getString(0)}": ${r.getString(1)}""")
