@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Bucketing removes the fact-to-fact shuffle (SCALE.md "Joins": at
+  * 100 TB lineitem⋈orders would be bucketed on orderkey at write time).
+  * This proves the claim end-to-end on the real tables: bucketed copies
+  * join with NO Exchange in the physical plan, and results match the
+  * shuffled join.
+  */
+class BucketingSpec extends SparkTestBase {
+
+  test("bucketed lineitem⋈orders plans without a shuffle and matches the shuffled join") {
+    // tables land in the default ./spark-warehouse (gitignored)
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    Tables.lineitem(spark, sf()).write.bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").format("parquet").saveAsTable("li_b")
+    Tables.orders(spark, sf()).write.bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").format("parquet").saveAsTable("o_b")
+
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"fact side still shuffles:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side still shuffles:\n$plan")
+
+    val want = Tables.lineitem(spark, sf())
+      .join(Tables.orders(spark, sf()), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+}
