@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point — the deployment-grade way to ship
+  * the engine's custom expressions: sessions built
+  * `.withExtensions(new GraftExtensions)` (or with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) get
+  * `cosine_sim` in SQL with no per-session registration call.
+  *
+  * Deliberately small: SURVEY.md §4 records that no custom
+  * Rule/SparkStrategy is REQUIRED — every reference operator composes
+  * from built-ins — so the extension surface carries only the one native
+  * expression that earns its place on performance (see
+  * `CosineSimilarity`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

@@ -54,6 +54,26 @@ class CustomFunctionsSpec extends SparkTestBase {
       s"expected codegen'd project in plan:\n$plan")
   }
 
+  test("GraftExtensions injects cosine_sim into a fresh session's SQL") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // materialize the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // new SparkSession over the same SparkContext, WITH extensions
+    val s2 = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s2 ne base) // really a fresh session, not the shared one
+      graft.Tables.embeddings(s2, sf()).limit(5).createOrReplaceTempView("emb_ext")
+      val r = s2.sql("SELECT cosine_sim(embedding, embedding) AS c FROM emb_ext").collect()
+      assert(r.length === 5 && r.forall(x => math.abs(x.getDouble(0) - 1.0) < 1e-12))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("LastMatchFold Aggregator == built-in fold over random partitions") {
     import LastMatchFold._
     val rnd = new scala.util.Random(7)

@@ -12,9 +12,18 @@ import org.apache.spark.sql.functions._
 class BucketingSpec extends SparkTestBase {
 
   test("bucketed lineitem⋈orders plans without a shuffle and matches the shuffled join") {
-    // tables land in the default ./spark-warehouse (gitignored)
+    // tables land in the default ./spark-warehouse (gitignored); the
+    // in-memory catalog forgets tables between JVM runs but the
+    // directories persist, so clean both catalog AND disk.
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
+    Seq("li_b", "o_b").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete())
+        dir.delete()
+      }
+    }
     Tables.lineitem(spark, sf()).write.bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").format("parquet").saveAsTable("li_b")
     Tables.orders(spark, sf()).write.bucketBy(8, "o_orderkey")
