@@ -93,6 +93,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Normalization pipeline: casefold, strip non-alphanumerics,
+    // collapse whitespace, distinct-token stats — the canonicalization
+    // step that feeds exact dedup.
+    "q_text_normalize" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        norm.as("norm_text"),
+        size(array_distinct(split(norm, " "))).as("n_distinct_tokens"),
+        length(norm).as("n_norm_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint: polynomial rolling hash over token hashes
     // (order-sensitive — reordered docs get different prints).
     "q_fingerprint" -> ((s, d) => {
@@ -151,6 +165,16 @@ object TextQueries {
         |  CAST(length(text) AS INTEGER) AS n_chars_computed,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(len(list_distinct(string_split(norm_text, ' '))) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(length(norm_text) AS INTEGER) AS n_norm_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT doc_id,

@@ -52,6 +52,28 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each 'click' joined to 'view' events
+    * of the same user within the preceding 10 minutes. Both sides are
+    * watermarked so the state store can discard rows once the interval
+    * can no longer match (the canonical bounded-state stream join).
+    */
+  def clickViewJoin(events: DataFrame, watermark: String = "10 minutes",
+      lookback: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   case class UserCount(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState: cumulative per-user

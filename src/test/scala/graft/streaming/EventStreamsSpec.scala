@@ -110,6 +110,39 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch join on the same rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.clickViewJoin(stream.toDF(), lookback = "4 hours")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(realEvents)
+      q.processAllAvailable()
+      stream.addData(Seq(flushSentinel(realEvents)))
+      q.processAllAvailable()
+
+      val got = spark.table("ssj_out")
+        .select("click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      val batch = realEvents.toDF()
+      val clicks = batch.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val views = batch.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val want = clicks.join(views,
+          col("user_id") === col("vu") &&
+            col("view_ts") <= col("click_ts") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 4 HOURS"))
+        .select("click_id", "view_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      assert(got === want)
+      assert(want.nonEmpty, "test data produced no click-view matches")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: cumulative per-user counters across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, Double)]
