@@ -123,6 +123,24 @@ object SimilarityQueries {
     // 1-(1-p^bits)^tables vs p^bits for one wide table. Compared against
     // q_cosine_topk in the ScalaTest recall test; oracle-checked for
     // parity here.
+    // Embedding-cosine near-dup with survivor policy: a vector is a
+    // duplicate if a LOWER-id vector sits within cosine >= 0.85; output
+    // every vector with its dup flag and (for dups) the dominating id —
+    // the embedding-space analog of q_dedup_exact's min-id survivorship.
+    "q_embed_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val dups = a.join(b, col("id_b") < col("id_a"))
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+        .filter(col("cos") >= 0.85)
+        .groupBy(col("id_a"))
+        .agg(min(col("id_b")).as("dup_of"))
+      e.select(col("vec_id")).join(dups.toDF("vec_id", "dup_of"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_ivf_ann" -> ((s, d) => ivfAnn(s, d)),
 
     "q_lsh_ann" -> ((s, d) => {
@@ -229,6 +247,16 @@ object SimilarityQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE $sqlCosine >= 0.85
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_dedup" ->
+      s"""WITH dups AS (
+         |  SELECT a.vec_id AS id_a, MIN(b.vec_id) AS dup_of
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id < a.vec_id
+         |  WHERE $sqlCosine >= 0.85
+         |  GROUP BY a.vec_id)
+         |SELECT e.vec_id, dups.dup_of IS NOT NULL AS is_dup, dups.dup_of
+         |FROM embeddings e LEFT JOIN dups ON e.vec_id = dups.id_a
+         |ORDER BY e.vec_id""".stripMargin,
 
     "q_lsh_buckets" ->
       s"""WITH t AS (

@@ -107,6 +107,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF term weighting: explode tokens, tf per (doc, term), df per
+    // term, weight = tf · N/df (the idf kept as an exact ratio rather
+    // than ln(N/df) — IEEE-exact in both engines, same ranking order);
+    // top-3 terms per doc with deterministic tiebreaks.
+    "q_tfidf_top_terms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = docs.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("weight").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .withColumn("weight",
+          col("tf").cast(DoubleType) * (lit(n).cast(DoubleType) / col("df").cast(DoubleType)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("weight"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     // Document fingerprint: polynomial rolling hash over token hashes
     // (order-sensitive — reordered docs get different prints).
     "q_fingerprint" -> ((s, d) => {
@@ -175,6 +197,23 @@ object TextQueries {
         |  CAST(len(list_distinct(string_split(norm_text, ' '))) AS INTEGER) AS n_distinct_tokens,
         |  CAST(length(norm_text) AS INTEGER) AS n_norm_chars
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |wt AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS weight
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, weight,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rn
+        |  FROM wt)
+        |SELECT doc_id, rn, term, tf, df, weight FROM ranked
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT doc_id,
