@@ -44,6 +44,23 @@ object SetOpQueries {
       c.except(sup).orderBy(col("nationkey"))
     }),
 
+    // Multiset variants: INTERSECT ALL / EXCEPT ALL preserve copies.
+    "q_intersect_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.intersectAll(sup).groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_except_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.exceptAll(sup).groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy(col("nationkey"))
+    }),
+
     // DISTINCT on a projection.
     "q_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -85,6 +102,22 @@ object SetOpQueries {
         |EXCEPT
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "q_intersect_all" ->
+      """WITH i AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, COUNT(*) AS n_copies FROM i
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q_except_all" ->
+      """WITH x AS (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |SELECT nationkey, COUNT(*) AS n_copies FROM x
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
 
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
