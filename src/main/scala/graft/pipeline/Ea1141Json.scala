@@ -42,9 +42,12 @@ object Ea1141Json {
   /** Sink the mapping back to a single JSON map document (S8,
     * `generate_mapping.py:168-169`) — golden-format compatible. */
   def writeMappingJson(mapping: DataFrame, path: String): Unit = {
+    // ignoreNullFields=false: the reference's json.dump writes explicit
+    // nulls (28 DBT_BIRADS / 2000 DBT_Outcome nulls in the golden file).
     val entries = mapping
       .select(col("uid"),
-        to_json(struct(recordSchema.fieldNames.toIndexedSeq.map(col): _*)).as("j"))
+        to_json(struct(recordSchema.fieldNames.toIndexedSeq.map(col): _*),
+          Map("ignoreNullFields" -> "false")).as("j"))
       .orderBy(col("uid"))
       .collect()
       .map(r => s""""${r.getString(0)}": ${r.getString(1)}""")

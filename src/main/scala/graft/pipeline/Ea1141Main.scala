@@ -31,12 +31,18 @@ object Ea1141Main {
   def run(spark: SparkSession, args: Array[String]): Unit = args.toList match {
     case "generate-mapping" :: imageRoot :: csvDir :: outJson :: Nil =>
       val volumes = graft.sources.DicomLike.volumes(VolumeScan.scan(spark, imageRoot))
+      // binaryFile paths are file: URIs; rebase the URI prefix (slash
+      // included) so ImagePath comes out `$ROOT$/<patient>/...` exactly
+      // like the reference's str.replace with a trailing-slash root.
+      val rebaseRoot =
+        (if (imageRoot.contains(":")) imageRoot else s"file:$imageRoot") +
+          (if (imageRoot.endsWith("/")) "" else "/")
       val mapping = Ea1141Pipeline.buildMapping(
         volumes,
         ClinicalCsv.read(spark, s"$csvDir/ea1141_year0_screening_derived.csv"),
         ClinicalCsv.read(spark, s"$csvDir/ea1141_year0_tomolesions_outcome.csv"),
         ClinicalCsv.read(spark, s"$csvDir/ea1141_year0_mrilesions_outcome.csv"),
-        imageRoot = imageRoot)
+        imageRoot = rebaseRoot)
       Ea1141Json.writeMappingJson(mapping, outJson)
       println(s"[ea1141] wrote ${Ea1141Json.readMappingJson(spark, outJson).count()} records to $outJson")
 
