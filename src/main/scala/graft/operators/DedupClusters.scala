@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive near-dup clustering: connected components over a pair
+  * graph by iterative min-label propagation (SURVEY.md §2.2 "LLM ops" —
+  * the step after candidate generation: MinHash pairs say "a~b, b~c";
+  * dedup needs the {a,b,c} cluster and one canonical survivor).
+  *
+  * Each iteration is one join + aggregate over (node, label) — the
+  * standard large-graph CC in the relational model (no graph library
+  * needed). Iterations bound by graph diameter; the driver loop checks a
+  * fixpoint via a count (an action per round, as any iterate-to-
+  * convergence job). At 100 TB-scale this is the same alternating
+  * join/groupBy shape used by GraphFrames' CC; labels are (id, long)
+  * pairs only.
+  */
+object DedupClusters {
+
+  /** nodes: single column `id`; edges: `src`, `dst` (undirected input —
+    * symmetrized internally). Returns (id, cluster_rep) where
+    * cluster_rep = min id reachable. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val spark = nodes.sparkSession
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .cache()
+    var labels = nodes.select(col("id"), col("id").as("label")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // label(n) <- min(label(n), min over neighbors m of label(m))
+      val viaNeighbors = sym
+        .join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      next.count() // materialize before comparing
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "cluster_rep")
+  }
+}

@@ -97,6 +97,25 @@ object DedupQueries {
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
   }
 
+  /** Verified near-dup pairs (id_a < id_b, jaccard >= 0.2) — shared by
+    * the pairs query and the transitive clustering. */
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val b = bandedSignatures(s, d)
+    val pairs = b.toDF("id_a", "band", "band_key")
+      .join(b.toDF("id_b", "band", "band_key"), Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sh = docShingles(s, d).select(col("doc_id"), col("sh"))
+    val joined = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+    joined.select(col("id_a"), col("id_b"),
+        (inter.cast(DoubleType) / uni.cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+  }
+
   val defs: Map[String, Q] = Map(
     // Exact dedup on a content digest (sha256; min-id survivor policy).
     "q_dedup_exact" -> ((s, d) => {
@@ -118,22 +137,20 @@ object DedupQueries {
     // LSH candidate pairs: same band value in any band, then exact
     // Jaccard verification over the shingle sets — candidates travel as
     // (id, id) only; shingle arrays join back once per surviving pair.
-    "q_minhash_lsh_pairs" -> ((s, d) => {
-      val b = bandedSignatures(s, d)
-      val pairs = b.toDF("id_a", "band", "band_key")
-        .join(b.toDF("id_b", "band", "band_key"), Seq("band", "band_key"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      val sh = docShingles(s, d).select(col("doc_id"), col("sh"))
-      val joined = pairs
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      val uni = size(col("sh_a")) + size(col("sh_b")) - inter
-      joined.select(col("id_a"), col("id_b"),
-          (inter.cast(DoubleType) / uni.cast(DoubleType)).as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
-        .orderBy(col("id_a"), col("id_b"))
+    "q_minhash_lsh_pairs" -> ((s, d) =>
+      minhashPairs(s, d).orderBy(col("id_a"), col("id_b"))),
+
+    // Transitive dedup clusters: connected components over the verified
+    // MinHash pairs; survivor = min doc_id per component. Oracle is a
+    // DuckDB recursive CTE computing the identical transitive closure.
+    "q_dedup_clusters" -> ((s, d) => {
+      val edges = minhashPairs(s, d)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      graft.operators.DedupClusters.connectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("cluster_rep"),
+          (col("id") === col("cluster_rep")).as("is_survivor"))
+        .orderBy(col("doc_id"))
     }),
 
     // N-gram (token-3-gram) Jaccard within same-source buckets, as an
@@ -188,6 +205,28 @@ object DedupQueries {
   private def sqlMinhash(j: Int): String =
     s"list_min(list_transform(sh, h -> (${hashA(j)} * (h % $P) + ${hashB(j)}) % $P))"
 
+  /** CTE chain producing `verified(id_a, id_b, jaccard)` — shared by the
+    * pairs oracle and the recursive-closure clusters oracle. */
+  private val sqlVerifiedPairs: String = {
+    val sigCols = (0 until NUM_HASHES).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
+    val bandStructs = (0 until BANDS)
+      .map(b => s"(${b}, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR))")
+      .mkString(", ")
+    s"""t AS (SELECT doc_id, $sqlHashedShingles AS sh FROM documents),
+       |sigs AS (SELECT doc_id, sh, $sigCols FROM t WHERE len(sh) > 0),
+       |banded AS (
+       |  SELECT doc_id, sh, unnest([$bandStructs]) AS bk FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+       |      / CAST(len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) AS jaccard
+       |  FROM pairs JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash,
@@ -202,27 +241,23 @@ object DedupQueries {
          |FROM t WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
     },
 
-    "q_minhash_lsh_pairs" -> {
-      val sigCols = (0 until NUM_HASHES).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
-      val bandStructs = (0 until BANDS)
-        .map(b => s"(${b}, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR))")
-        .mkString(", ")
-      s"""WITH t AS (SELECT doc_id, $sqlHashedShingles AS sh FROM documents),
-         |sigs AS (SELECT doc_id, sh, $sigCols FROM t WHERE len(sh) > 0),
-         |banded AS (
-         |  SELECT doc_id, sh, unnest([$bandStructs]) AS bk FROM sigs),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
-         |      / CAST(len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)) AS DOUBLE) AS jaccard
-         |  FROM pairs JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+    "q_minhash_lsh_pairs" ->
+      s"""WITH $sqlVerifiedPairs
          |SELECT id_a, id_b, jaccard FROM verified
-         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
-    },
+         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlVerifiedPairs,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified WHERE jaccard >= 0.2
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM verified WHERE jaccard >= 0.2),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+         |SELECT a AS doc_id, MIN(b) AS cluster_rep, MIN(b) = a AS is_survivor
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH t AS (
