@@ -34,6 +34,21 @@ object SqlQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Unpivot/melt: wide metric columns to (metric, value) rows.
+    "q_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .groupBy(col("metric"))
+        .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n"))
+        .orderBy(col("metric"))
+    }),
+
     // Exact ordered statistics (median + interpolated percentiles).
     "q_median_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -61,6 +76,14 @@ object SqlQueries {
          |  ${sqlDsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F",
          |  ${sqlDsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O"
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH u AS (
+         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+         |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+         |SELECT metric, ${sqlDsum("value")} AS sum_value, COUNT(*) AS n
+         |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
 
     "q_median_percentile" ->
       """SELECT l_returnflag,
