@@ -28,7 +28,10 @@ object DedupClusters {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
-    var labels = nodes.select(col("id"), col("id").as("label")).cache()
+    // localCheckpoint (eager) per round: truncates the logical plan,
+    // which otherwise deepens every iteration and blows up analysis
+    // memory long before the data does.
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -40,13 +43,11 @@ object DedupClusters {
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      next.count() // materialize before comparing
+        .localCheckpoint(true)
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
         .filter(col("n.label") =!= col("o.label"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1

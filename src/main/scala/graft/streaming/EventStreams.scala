@@ -74,6 +74,20 @@ object EventStreams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** foreachBatch sink: per-microbatch parquet append with the batchId
+    * recorded per row — the idempotence hook for exactly-once sinks
+    * (a restart re-delivers a batchId; a production sink would
+    * MERGE/overwrite by that id instead of appending blindly). */
+  def sinkCountsToParquet(events: DataFrame, outDir: String,
+      watermark: String = "10 minutes"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    tumblingCounts(events, watermark).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+  }
+
   case class UserCount(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState: cumulative per-user

@@ -183,6 +183,8 @@ class Ea1141PipelineSpec extends SparkTestBase {
         "ViewModifier", "FrameLaterality", "ImagePath")
     val out = Ea1141Pipeline.buildMapping(vols, screening(("s1", "2", "2")),
       emptyTomo, emptyMri, imageRoot = "/img/")
+    // the truth dimension joins as a broadcast (zero volume-side shuffle)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     assert(out.select("uid").as[String].collect().toSet === Set("v1", "v6", "v8"))
     // P2 rebase applied
     assert(out.filter($"uid" === "v1").select("ImagePath").head().getString(0)

@@ -143,6 +143,32 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink persists closed windows with batch ids") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("fb_sink").toString + "/agg"
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.sinkCountsToParquet(stream.toDF(), out).start()
+    try {
+      stream.addData(realEvents.take(100))
+      q.processAllAvailable()
+      stream.addData(Seq(flushSentinel(realEvents)))
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(out)
+      assert(sunk.count() > 0)
+      assert(sunk.columns.contains("batch_id"))
+      // every persisted window is fully closed: its count matches batch
+      val got = sunk.filter(col("event_type") =!= "flush")
+        .select("w_start", "event_type", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = realEvents.take(100).toDF()
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start"), col("event_type"), col("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      got.foreach { case (k, n) => assert(want(k) === n, s"window $k") }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: cumulative per-user counters across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, Double)]
