@@ -109,4 +109,71 @@ object DicomLike {
     withMeta(scanned)
       .filter(col("meta").isNotNull)
       .select(col("path").as("ImagePath"), col("meta.*"))
+
+  /** One sampled frame: slice index + its byte range + a per-frame
+    * digest standing in for decoded pixels. */
+  case class Frame(slice: Int, offset: Long, nBytes: Long, digest: Long)
+
+  /** Frame sampling over the opaque pixel payload: pick `k` evenly
+    * spaced slices using the shape metadata, slice the corresponding
+    * byte ranges, and emit a per-frame record. The byte geometry
+    * (payload split into shape[0] equal slices) is real; the per-frame
+    * "decode" is the deterministic digest stub — swapping in an image
+    * lib changes only [[frameDigest]]. */
+  private def frameDigest(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 1125899906842597L
+    var i = from
+    while (i < until && i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
+  private def sampleFramesImpl(bytes: Array[Byte], shape: Seq[Int], k: Int): Seq[Frame] = {
+    if (bytes == null || shape.isEmpty || shape.head <= 0) return Seq.empty
+    val metaEnd = {
+      if (bytes.length < Magic.length + 4) return Seq.empty
+      Magic.length + 4 + ByteBuffer.wrap(bytes, Magic.length, 4).getInt
+    }
+    if (metaEnd < 0 || metaEnd > bytes.length) return Seq.empty
+    val nSlices = shape.head
+    val payload = bytes.length - metaEnd
+    val perSlice = math.max(1L, payload.toLong / nSlices)
+    val picks = if (k >= nSlices) 0 until nSlices
+      else (0 until k).map(i => (i.toLong * nSlices / k).toInt)
+    picks.map { s =>
+      val from = metaEnd + s * perSlice
+      val until = math.min(bytes.length.toLong, from + perSlice)
+      Frame(s, from - metaEnd, until - from,
+        frameDigest(bytes, from.toInt, until.toInt))
+    }
+  }
+
+  private val framesUdf = udf((bytes: Array[Byte], shape: Seq[Int], k: Int) =>
+    sampleFramesImpl(bytes, shape, k))
+
+  /** Explode a decoded scan into per-sampled-frame rows. */
+  def sampleFrames(scanned: DataFrame, k: Int): DataFrame =
+    withMeta(scanned)
+      .filter(col("meta").isNotNull)
+      .select(col("path"), col("meta.SOPInstanceUID").as("uid"),
+        col("meta.ImageShape").as("shape"),
+        explode(framesUdf(col("content"), col("meta.ImageShape"), lit(k))).as("frame"))
+      .select(col("uid"), col("shape"), col("frame.*"))
+
+  /** Feature-extraction stub: fixed-length deterministic feature vector
+    * per volume (payload digests at stratified offsets) — the schema,
+    * batching and partitioning of a real embedding UDF without the
+    * model. */
+  private val featureUdf = udf((bytes: Array[Byte], dim: Int) =>
+    if (bytes == null) null
+    else Array.tabulate(dim) { i =>
+      val from = (i.toLong * bytes.length / dim).toInt
+      val until = ((i + 1).toLong * bytes.length / dim).toInt
+      (frameDigest(bytes, from, math.max(until, from + 1)) % 1000L).toFloat / 1000f
+    })
+
+  def extractFeatures(scanned: DataFrame, dim: Int = 16): DataFrame =
+    withMeta(scanned)
+      .filter(col("meta").isNotNull)
+      .select(col("meta.SOPInstanceUID").as("uid"),
+        featureUdf(col("content"), lit(dim)).as("features"))
 }

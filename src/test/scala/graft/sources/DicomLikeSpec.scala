@@ -65,6 +65,30 @@ class DicomLikeSpec extends SparkTestBase {
     assert(row.getAs[String]("ViewModifier") === null)
   }
 
+  test("frame sampling slices the payload by shape; features are fixed-length") {
+    val root = Files.createTempDirectory("dicom_frames")
+    writeVolume(root, "EA1141-4001", "19400604", "u1",
+      Map("FrameLaterality" -> "R"), shape = Seq(8, 10, 10)) // 8 slices, 64 payload bytes
+    val scanned = VolumeScan.scan(spark, root.toString)
+
+    val frames = DicomLike.sampleFrames(scanned, k = 4).collect()
+    assert(frames.length === 4)
+    assert(frames.map(_.getAs[Int]("slice")).toSeq === Seq(0, 2, 4, 6))
+    assert(frames.forall(_.getAs[Long]("nBytes") === 8L)) // 64 bytes / 8 slices
+    // deterministic digests, distinct per frame for this payload
+    assert(frames.map(_.getAs[Long]("digest")).distinct.length === 4)
+
+    val feats = DicomLike.extractFeatures(scanned, dim = 16).collect()
+    assert(feats.length === 1)
+    val v = feats.head.getAs[scala.collection.Seq[Float]]("features")
+    assert(v.length === 16)
+    assert(v.forall(x => x >= -1f && x <= 1f))
+    // determinism: same bytes -> same features
+    val again = DicomLike.extractFeatures(scanned, dim = 16).collect()
+      .head.getAs[scala.collection.Seq[Float]]("features")
+    assert(v === again)
+  }
+
   test("end-to-end: tree scan -> extraction -> mapping with truth labels") {
     val root = Files.createTempDirectory("dicom_e2e")
     writeVolume(root, "EA1141-3001", "19400604", "u1", Map("FrameLaterality" -> "R"))
