@@ -33,7 +33,16 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The first timed query otherwise absorbs the warm-up garbage (one
+    // major GC) plus target-SF file-listing costs: run it once untimed
+    // and collect before the measured pass.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    ordered.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    System.gc()
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
