@@ -103,6 +103,18 @@ object FunctionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Regex family: capture-group extraction + match counting (patterns
+    // kept to the Java/RE2-common subset).
+    "q_regexp_funcs" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1)
+          .cast(LongType).as("cust_num"),
+        regexp_count(col("c_name"), lit("0")).cast(IntegerType).as("n_zeros"),
+        regexp_like(col("c_name"), lit("^Customer#\\d+$")).as("well_formed"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Map family: build a map per group (map_from_entries over collected
     // pairs), consume it via element_at + explode back to rows. The
     // relational oracle sees only the exploded rows, proving the map
@@ -212,6 +224,13 @@ object FunctionQueries {
         |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
         |  CAST(list_min(embedding) AS DOUBLE) AS vmin
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_regexp_funcs" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS cust_num,
+        |  CAST(len(regexp_extract_all(c_name, '0')) AS INTEGER) AS n_zeros,
+        |  regexp_matches(c_name, '^Customer#\d+$') AS well_formed
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_map_funcs" ->
       """WITH c AS (
