@@ -39,6 +39,14 @@ object Ea1141Json {
       .select(explode(col("m")).as(Seq("uid", "r")))
       .select(col("uid") +: recordSchema.fieldNames.toIndexedSeq.map(f => col(s"r.$f")): _*)
 
+  /** Production shape: one record per line (`{"uid": ..., fields...}`),
+    * read as a plain parallel JSON scan — the scale path documented on
+    * [[readMappingJson]] (a single JSON map document is inherently one
+    * task; JSONL splits across the cluster). */
+  def readMappingJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(recordSchema.add(StructField("uid", StringType))).json(path)
+      .select(col("uid") +: recordSchema.fieldNames.toIndexedSeq.map(col): _*)
+
   /** Sink the mapping back to a single JSON map document (S8,
     * `generate_mapping.py:168-169`) — golden-format compatible. */
   def writeMappingJson(mapping: DataFrame, path: String): Unit = {

@@ -82,6 +82,18 @@ class Ea1141GoldenSpec extends SparkTestBase {
     assert(dbtOut === Map("BENIGN" -> 21L, "MALIGNANT" -> 4L, "UNKNOWN" -> 5L, "null" -> 2000L))
   }
 
+  test("JSONL mapping reader ≡ map-document reader on the golden file") {
+    assume(available)
+    val jsonl = java.nio.file.Files.createTempDirectory("gj").resolve("m.jsonl")
+    val lines = golden.toJSON.collect()
+    java.nio.file.Files.write(jsonl, String.join("\n", lines: _*).getBytes)
+    val viaJsonl = Ea1141Json.readMappingJsonl(spark, jsonl.toString)
+    assert(viaJsonl.count() === 2030)
+    val a = golden.orderBy("uid").collect().toSeq
+    val b = viaJsonl.orderBy("uid").collect().toSeq
+    assert(a === b)
+  }
+
   test("golden: label query matches sequential oracle for all 24 parameterizations") {
     assume(available)
     val records = golden.select("uid", "Subject_DE", "FrameLaterality",
