@@ -35,14 +35,24 @@ object DedupClusters {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // label(n) <- min(label(n), min over neighbors m of label(m))
+      // (1) neighbor round: label(n) <- min over neighbors m of label(m)
       val viaNeighbors = sym
         .join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // (2) pointer-jumping round: label(n) <- label(label(n)) — halves
+      // the remaining path length each iteration, so convergence is
+      // O(log diameter) instead of O(diameter) (a pure neighbor loop
+      // would silently return partial labels on any chain longer than
+      // maxIter).
+      val byId = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
+      val next = stepped
+        .join(byId, stepped("label") === byId("jid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
@@ -52,6 +62,8 @@ object DedupClusters {
       converged = changed == 0
       i += 1
     }
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds")
     sym.unpersist()
     labels.withColumnRenamed("label", "cluster_rep")
   }

@@ -27,6 +27,15 @@ class DedupClustersSpec extends SparkTestBase {
       5L -> 5L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("a 400-node chain converges via pointer jumping (far under maxIter rounds)") {
+    val n = 400
+    val edges = (1 until n).map(i => (i.toLong, (i - 1).toLong))
+    val nodes = (0L until n.toLong).toDF("id").repartition(8)
+    val got = DedupClusters.connectedComponents(nodes, edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(0L), "every chain node must resolve to 0")
+  }
+
   test("random graphs match sequential union-find (10 seeded trials)") {
     for (seed <- 0 until 10) {
       val rnd = new scala.util.Random(seed)
