@@ -42,18 +42,30 @@ object Bench {
       catch { case _: Throwable => () }
     }
     System.gc()
+    // A crashing query must not read as a performance win: failures are
+    // reported with a NEGATIVE elapsed time plus an explicit errors map.
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isEmpty) sec else -sec, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m.take(200)) }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v, _) => math.abs(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

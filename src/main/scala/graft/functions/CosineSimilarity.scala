@@ -12,10 +12,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * vectors, with whole-stage codegen (`doGenCode` emits a fused loop —
   * no per-element virtual calls, no lambda allocation).
   *
-  * Semantics are IDENTICAL to the composed built-in form used by
+  * Semantics match the composed built-in form used by
   * `graft.queries.SimilarityQueries` (`aggregate(zip_with(...))` with
-  * double accumulation in element order), so the two are
-  * interchangeable; this exists because the composed form evaluates
+  * double accumulation in element order) FOR FIXED-DIMENSION,
+  * NON-NULL-ELEMENT embeddings — the only inputs the library produces
+  * (proven bit-identical in CustomFunctionsSpec on that domain). Outside
+  * it they diverge: this loops over min(length) and reads null elements
+  * as 0.0, where the composed form yields NULL for length-mismatched or
+  * null-element arrays. This exists because the composed form evaluates
   * three separate higher-order traversals per pair, while this is one
   * pass — the difference matters on O(n²) similarity joins
   * (SURVEY.md §2.2 "LLM ops"; the reference's only non-relational

@@ -35,8 +35,18 @@ object ClinicalCsv {
     * explicit in the data. The J4 fold itself is already order-safe
     * aggregation; only row_id derivation is format-specific.
     */
-  def withRowId(df: DataFrame): DataFrame =
+  def withRowId(df: DataFrame): DataFrame = {
+    // Guard the idiom's precondition: above maxPartitionBytes the scan
+    // splits, and split packing orders by length descending — coalesce(1)
+    // would then concatenate out of file order and silently corrupt the
+    // order-sensitive J4 fold. Fail loudly instead; the multi-split path
+    // is parquet `_metadata.row_index` (see OrderedFoldSpec).
+    require(df.rdd.getNumPartitions == 1,
+      s"file-order row_id requires a single-split scan (got " +
+        s"${df.rdd.getNumPartitions} partitions); use _metadata.row_index " +
+        "over parquet for multi-split inputs")
     df.coalesce(1).withColumn("row_id", monotonically_increasing_id())
+  }
 
   /** Header CSV scan, all columns as strings (the reference types nothing
     * up front — SURVEY.md §1.2), plus file-order row_id. */

@@ -234,7 +234,14 @@ object Ea1141Pipeline {
     val key = scope match {
       case "volume-wise"  => col("uid")
       case "breast-wise"  =>
-        concat_ws("_", col("Subject_DE"), studyDir, upper(col("FrameLaterality")))
+        // The reference raises AttributeError on a null laterality
+        // (`load_ground_truths.py:73`, laterality.upper() on None); fail
+        // loudly too rather than silently emitting a patient-wise-shaped
+        // key (concat_ws would skip the null).
+        concat_ws("_", col("Subject_DE"), studyDir,
+          when(col("FrameLaterality").isNull,
+            raise_error(lit("breast-wise scope requires non-null FrameLaterality")))
+            .otherwise(upper(col("FrameLaterality"))))
       case "patient-wise" => concat_ws("_", col("Subject_DE"), studyDir)
     }
 

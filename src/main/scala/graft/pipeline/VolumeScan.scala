@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** S1/S3/S4: hierarchical scan of an image tree
@@ -32,9 +31,24 @@ object VolumeScan {
         (if (withContent) Seq(col("content")) else Nil)): _*)
       .withColumn("patient", element_at(parts, -3))
       .withColumn("study_date", element_at(parts, -2))
-    val w = Window.partitionBy(col("patient"))
+    // The reference takes min over the patient's study DIRECTORIES and
+    // then lists only that one (`generate_mapping.py:20-24`) — a patient
+    // whose earliest study dir holds no .dcm files yields ZERO volumes,
+    // not the next study's. So min_study derives from an unfiltered
+    // listing of the tree, not from the glob-matched files. Residual
+    // divergence: a study dir with no files at all is invisible to any
+    // file listing (documented; HDFS-style listings see files only).
+    val minStudy = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(imageRoot)
+      .select(element_at(split(col("path"), "/"), -3).as("patient"),
+        element_at(split(col("path"), "/"), -2).as("study_date"))
+      .groupBy(col("patient"))
+      .agg(min(col("study_date")).as("min_study"))
+    // No broadcast hint: the per-patient min table scales with the data
+    // (one row per patient), so AQE picks broadcast vs shuffle at runtime.
     base
-      .withColumn("min_study", min(col("study_date")).over(w))
+      .join(minStudy, Seq("patient"))
       .filter(col("study_date") === col("min_study"))
       .drop("min_study")
   }

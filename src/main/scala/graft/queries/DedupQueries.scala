@@ -78,16 +78,19 @@ object DedupQueries {
     Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
   /** (doc_id, source, sh) — the per-doc shingle-hash map stage. */
-  private def docShingles(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    docsSpread(s, d)
+  private[queries] def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), hashedShingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  private def docShingles(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    docShinglesOf(docsSpread(s, d))
 
   /** doc_id, band, band_key — the LSH bucketing stage (ids only; shingle
     * payloads are joined back AFTER candidate dedup so the shuffle never
     * carries arrays). */
-  private def bandedSignatures(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    docShingles(s, d)
+  private[queries] def bandedSignaturesOf(docs: DataFrame): DataFrame = {
+    docShinglesOf(docs)
       .withColumn("sig", array((0 until NUM_HASHES).map(j => minhash(col("sh"), j)): _*))
       .select(col("doc_id"),
         explode(array((0 until BANDS).map(b => struct(
@@ -97,15 +100,49 @@ object DedupQueries {
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
   }
 
+  private def bandedSignatures(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    bandedSignaturesOf(docsSpread(s, d))
+
+  /** Bucket-size cap for LSH candidate generation (SCALE.md "skewed
+    * buckets"): buckets at or under the cap do all-pairs; oversized
+    * buckets (boilerplate/identical docs) STAR-link every member to the
+    * bucket's min-id representative instead — O(n) pairs, and
+    * connectivity within the bucket is preserved for the transitive
+    * clustering. Mirrored exactly in the DuckDB twins so parity holds
+    * whether or not the cap triggers (it does not on the driver data;
+    * DedupSkewSpec exercises a degenerate band). Approximation note: a
+    * star pair failing the Jaccard verify can split what all-pairs would
+    * have joined — acceptable for near-dup buckets this size. */
+  private[queries] val BUCKET_CAP = 64
+
+  /** Candidate pairs (id_a < id_b) from banded signatures with the
+    * oversized-bucket star fallback. */
+  private[queries] def cappedBucketPairs(banded: DataFrame): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_key"))
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .withColumn("rep", min(col("doc_id")).over(wB))
+    val small = sized.filter(col("bsz") <= BUCKET_CAP)
+      .select(col("band"), col("band_key"), col("doc_id"))
+    val smallPairs = small.toDF("band", "band_key", "id_a")
+      .join(small.toDF("band", "band_key", "id_b"), Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val starPairs = sized
+      .filter(col("bsz") > BUCKET_CAP && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
+    smallPairs.union(starPairs).distinct()
+  }
+
   /** Verified near-dup pairs (id_a < id_b, jaccard >= 0.2) — shared by
     * the pairs query and the transitive clustering. */
-  private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val b = bandedSignatures(s, d)
-    val pairs = b.toDF("id_a", "band", "band_key")
-      .join(b.toDF("id_b", "band", "band_key"), Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val sh = docShingles(s, d).select(col("doc_id"), col("sh"))
+  private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    verifiedPairsOf(docsSpread(s, d))
+
+  private[queries] def verifiedPairsOf(docs: DataFrame): DataFrame = {
+    val pairs = cappedBucketPairs(bandedSignaturesOf(docs))
+    val sh = docShinglesOf(docs).select(col("doc_id"), col("sh"))
     val joined = pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -216,10 +253,20 @@ object DedupQueries {
        |sigs AS (SELECT doc_id, sh, $sigCols FROM t WHERE len(sh) > 0),
        |banded AS (
        |  SELECT doc_id, sh, unnest([$bandStructs]) AS bk FROM sigs),
+       |sized AS (
+       |  SELECT doc_id, bk,
+       |    COUNT(*) OVER (PARTITION BY bk) AS bsz,
+       |    MIN(doc_id) OVER (PARTITION BY bk) AS rep
+       |  FROM banded),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b
-       |    ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |    FROM sized a JOIN sized b
+       |      ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |    WHERE a.bsz <= $BUCKET_CAP
+       |    UNION ALL
+       |    SELECT rep AS id_a, doc_id AS id_b FROM sized
+       |    WHERE bsz > $BUCKET_CAP AND doc_id <> rep) u),
        |verified AS (
        |  SELECT id_a, id_b,
        |    CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)

@@ -5,45 +5,59 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import QueryUtil._
-import TextQueries.sqlPhash
 
 /** Similarity search over the `embeddings` table — SURVEY.md §2.2 "LLM
-  * ops" ([E]): brute-force cosine top-k as the exact baseline, plus a
-  * random-hyperplane LSH bucketing as the approximate scale path.
+  * ops" ([E]): exact cosine top-k over a bounded probe set, LSH-bucketed
+  * pair search / near-dup detection, multi-table hyperplane LSH ANN, and
+  * an IVF (coarse-quantizer) ANN.
   *
   * The dot/norm arithmetic runs in DOUBLE over the float vectors with
-  * strictly sequential element order (`aggregate` over `zip_with`), which
-  * is the same evaluation order DuckDB's `list_cosine_similarity` uses —
-  * results are rounded at 1e-6 for the oracle hash.
+  * strictly sequential element order (the codegen'd
+  * `graft.functions.CosineSimilarity`), which is the same evaluation
+  * order DuckDB's `list_cosine_similarity` uses on DOUBLE[] — results
+  * are rounded at 1e-6 for the oracle hash.
   *
-  * Scale notes (100 TB / billions of vectors):
-  *   - The brute-force form is O(n²·dim) — correct but only a baseline.
-  *     Its Spark plan is a broadcast-nested-loop self-join; at scale the
-  *     probe side stays partitioned and only the query set broadcasts.
-  *   - The LSH form is the scale path: signatures are map-side, the
-  *     single shuffle groups by bucket, candidate generation is quadratic
-  *     only within buckets (tunable via n_planes), and re-ranking is
-  *     exact cosine on candidates. An IVF variant (k-means coarse
-  *     quantizer) would replace the hash bucketing with nearest-centroid
-  *     assignment — same join shape.
+  * Scale notes (100 TB / billions of vectors) — no gated query here is
+  * an unbounded cartesian self-join:
+  *   - `q_cosine_topk` bounds the probe side to a fixed query set (in
+  *     production a separate small query table): broadcast(|Q|) × one
+  *     linear corpus scan, O(|Q|·n·dim).
+  *   - `q_cosine_pairs` / `q_embed_dedup` generate candidates through
+  *     the capped multi-table LSH index; the quadratic step runs only
+  *     within buckets, and oversized buckets are capped (see
+  *     [[lshCandidates]]) so a pathological bucket bounds at CAP·bucket
+  *     rather than bucket².
   *   - Hyperplanes come from the portable md5 hash, not a Scala RNG, so
-  *     the oracle can re-derive them — and at scale they are a tiny
-  *     broadcast literal, not data.
+  *     the oracle re-derives them — and at scale they are a tiny
+  *     plan-time literal, not data.
+  *   - The FULL brute-force all-pairs form ([[bruteForceTopK]]) is kept
+  *     as the test-only recall reference (QueryLibrarySpec), not a
+  *     driver-gated query.
   */
 object SimilarityQueries {
 
   private val DIM = 64
   private val K = 5
   private val N_PLANES = 8    // single-table histogram (q_lsh_buckets)
-  private val LSH_TABLES = 4  // multi-table ANN (q_lsh_ann)
+  private val LSH_TABLES = 4  // multi-table ANN (q_lsh_ann and pair queries)
   private val LSH_BITS = 4
+  /** Fixed probe-set size for the exact top-k query. */
+  private val N_QUERIES = 50
+
+  /** Per-bucket cap on the index side of LSH candidate generation
+    * (SCALE.md "skewed buckets"): within a bucket only the CAP
+    * smallest-id members serve as candidates, every member still probes,
+    * so one degenerate bucket costs O(bucket·CAP) not O(bucket²).
+    * Mirrored exactly in the DuckDB twins, so parity holds whether or
+    * not the cap triggers (at sf0.01 it does not; at sf0.1 the 16-bucket
+    * tables exceed it and both engines cap identically). */
+  private[queries] val CAND_CAP = 200
 
   /** cos(a, b) in double precision, sequential element order — the
     * native codegen'd expression (graft.functions.CosineSimilarity),
-    * bit-identical to the composed aggregate(zip_with(...)) form (proven
-    * in CustomFunctionsSpec) and to DuckDB's double
-    * list_cosine_similarity, but a single fused loop: on the O(n²) pair
-    * joins this is the difference between minutes and seconds. */
+    * bit-identical to DuckDB's double list_cosine_similarity on the
+    * fixed-dim non-null embeddings domain (CustomFunctionsSpec), but a
+    * single fused loop. */
   private def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine_sim(a, b)
 
@@ -76,16 +90,85 @@ object SimilarityQueries {
     when(proj > 0, lit(1)).otherwise(lit(0))
   }
 
+  /** (vec_id, bk) — one row per vector per LSH table, bk = (table,
+    * bucket) struct. The map-side stage shared by every LSH-driven
+    * query. */
+  private def lshBanded(e: DataFrame): DataFrame = {
+    val buckets = (0 until LSH_TABLES).map { t =>
+      struct(lit(t).as("t"),
+        (0 until LSH_BITS).map(k => planeBit(t * LSH_BITS + k) * (1 << k))
+          .reduce(_ + _).cast(IntegerType).as("b"))
+    }
+    e.select(col("vec_id"), explode(array(buckets: _*)).as("bk"))
+  }
+
+  /** Distinct directed candidate pairs (id_a, id_b), id_a ≠ id_b, from
+    * the capped multi-table LSH index: every member probes its buckets;
+    * only the CAND_CAP smallest-id members of each bucket serve on the
+    * index side. Shuffle carries (bucket, id) pairs only — never the
+    * embedding arrays. */
+  private def lshCandidates(e: DataFrame): DataFrame = {
+    val banded = lshBanded(e)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("vec_id"))
+    val index = banded
+      .withColumn("brn", row_number().over(wB))
+      .filter(col("brn") <= CAND_CAP)
+      .select(col("bk"), col("vec_id").as("id_b"))
+    banded.select(col("bk"), col("vec_id").as("id_a"))
+      .join(index, Seq("bk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact cosine re-rank of candidate pairs to top-K per id_a. */
+  private def rerankTopK(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("rn"))
+  }
+
+  /** Test-only FULL brute-force top-k (unbounded O(n²) all-pairs): the
+    * exact recall reference for the ANN queries (QueryLibrarySpec). Not
+    * driver-gated — the shape dies at 100 TB by design. */
+  private[graft] def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("rn"))
+  }
+
   val defs: Map[String, Q] = Map(
-    // Exact brute-force cosine top-k (k=5) per query vector.
+    // Exact cosine top-k (k=5) for a BOUNDED probe set (the first
+    // N_QUERIES ids — in production the probe set is its own small query
+    // table): broadcast(queries) × one linear corpus scan; the window
+    // top-k partial-limits map-side (WindowGroupLimit).
     "q_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id_a"))
         .orderBy(col("cos").desc, col("id_b"))
-      a.join(b, col("id_a") =!= col("id_b"))
+      b.join(broadcast(q), col("id_a") =!= col("id_b"))
         .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= K)
@@ -93,12 +176,20 @@ object SimilarityQueries {
         .orderBy(col("id_a"), col("rn"))
     }),
 
-    // Pairwise cosine above a threshold (self-join form of similarity).
+    // Pairwise cosine above a threshold through the capped LSH index
+    // (candidates only where some table buckets them together; exact
+    // cosine verifies) — the scale shape for similarity pair search.
     "q_cosine_pairs" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("label").as("label_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("label").as("label_b"))
-      a.join(b, col("id_a") < col("id_b"))
+      val pairs = lshCandidates(e)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+      pairs
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          col("label").as("label_a")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("label").as("label_b")), Seq("id_b"))
         .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
         .filter(col("cos") >= 0.85)
         .select(col("id_a"), col("id_b"), col("cos"),
@@ -117,21 +208,17 @@ object SimilarityQueries {
         .orderBy(col("bucket"))
     }),
 
-    // Approximate NN: multi-table LSH (4 tables × 4 hyperplane bits) —
-    // candidates share ANY table's bucket; exact cosine re-ranks them.
-    // Multi-table is the standard recall lever: P(candidate) =
-    // 1-(1-p^bits)^tables vs p^bits for one wide table. Compared against
-    // q_cosine_topk in the ScalaTest recall test; oracle-checked for
-    // parity here.
-    // Embedding-cosine near-dup with survivor policy: a vector is a
-    // duplicate if a LOWER-id vector sits within cosine >= 0.85; output
-    // every vector with its dup flag and (for dups) the dominating id —
-    // the embedding-space analog of q_dedup_exact's min-id survivorship.
+    // Embedding-cosine near-dup with survivor policy, through the capped
+    // LSH index: a vector is a duplicate if a LOWER-id candidate sits
+    // within cosine >= 0.85; output every vector with its dup flag and
+    // (for dups) the dominating id — the embedding-space analog of
+    // q_dedup_exact's min-id survivorship.
     "q_embed_dedup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      val dups = a.join(b, col("id_b") < col("id_a"))
+      val dups = lshCandidates(e)
+        .filter(col("id_b") < col("id_a"))
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
         .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
         .filter(col("cos") >= 0.85)
         .groupBy(col("id_a"))
@@ -143,31 +230,14 @@ object SimilarityQueries {
 
     "q_ivf_ann" -> ((s, d) => ivfAnn(s, d)),
 
-    "q_lsh_ann" -> ((s, d) => {
-      val buckets = (0 until LSH_TABLES).map { t =>
-        struct(lit(t).as("t"),
-          (0 until LSH_BITS).map(k => planeBit(t * LSH_BITS + k) * (1 << k))
-            .reduce(_ + _).cast(IntegerType).as("b"))
-      }
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), explode(array(buckets: _*)).as("bk"))
-      val cand = e.select(col("bk"), col("vec_id").as("id_a")).join(
-          e.select(col("bk"), col("vec_id").as("id_b")), Seq("bk"))
-        .filter(col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      val emb = Tables.embeddings(s, d)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id_a"))
-        .orderBy(col("cos").desc, col("id_b"))
-      cand
-        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
-        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
-        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
-        .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
-        .orderBy(col("id_a"), col("rn"))
-    })
+    // Approximate NN: multi-table LSH (4 tables × 4 hyperplane bits) —
+    // candidates share ANY table's bucket (capped); exact cosine re-ranks
+    // them. Multi-table is the standard recall lever: P(candidate) =
+    // 1-(1-p^bits)^tables vs p^bits for one wide table. Compared against
+    // bruteForceTopK in the ScalaTest recall test; oracle-checked for
+    // parity here.
+    "q_lsh_ann" -> ((s, d) =>
+      rerankTopK(s, d, lshCandidates(Tables.embeddings(s, d))))
   )
 
   /** DOUBLE[] casts are load-bearing: DuckDB's list_cosine_similarity on
@@ -178,8 +248,9 @@ object SimilarityQueries {
     * k-means||; the join shape is identical) — assigns every vector to
     * its nearest centroid; queries probe their `nprobe`=4 nearest
     * centroids and exact-re-rank the union of those posting lists.
-    * No SQL twin (driver rows-check); recall is asserted vs the exact
-    * top-k in QueryLibrarySpec.
+    * The quantizer is deterministic (md5 seed order), so the DuckDB twin
+    * replays it exactly; recall is asserted vs the exact top-k in
+    * QueryLibrarySpec.
     *
     * Scale shape: assignment is a broadcast join against O(centroids)
     * rows; the only shuffle groups by centroid id (the posting lists);
@@ -205,19 +276,10 @@ object SimilarityQueries {
       .select(col("cid"), col("vec_id").as("id_b"))
     val probes = scored.filter(col("crn") <= nProbe)
       .select(col("cid"), col("vec_id").as("id_a"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
-    val e = Tables.embeddings(s, d)
-    probes.join(members, Seq("cid"))
+    val cand = probes.join(members, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
-      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= K)
-      .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
-      .orderBy(col("id_a"), col("rn"))
+    rerankTopK(s, d, cand)
   }
 
   private val sqlCosine =
@@ -229,11 +291,49 @@ object SimilarityQueries {
       s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) * ${1 << j}"
     }.mkString(" + ")
 
+  /** CTE chain `t → banded → capped → cand(id_a, id_b)` mirroring
+    * [[lshCandidates]] (including the CAND_CAP index-side cap). */
+  private val sqlLshCandidates: String = {
+    val bucketCols = (0 until LSH_TABLES).map { t =>
+      val bits = (0 until LSH_BITS).map { k =>
+        val j = t * LSH_BITS + k
+        val proj = s"list_sum(list_transform(range(1, ${DIM + 1}), i -> embeddings.embedding[i] * (${sqlPlaneComponent(j, "i")})))"
+        s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) * ${1 << k}"
+      }.mkString(" + ")
+      s"CAST($bits AS INTEGER) AS b$t"
+    }.mkString(", ")
+    val bandStructs = (0 until LSH_TABLES).map(t => s"($t, b$t)").mkString(", ")
+    s"""t AS (
+       |  SELECT vec_id, $bucketCols FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, unnest([$bandStructs]) AS bk FROM t),
+       |capped AS (
+       |  SELECT vec_id, bk,
+       |    row_number() OVER (PARTITION BY bk ORDER BY vec_id) AS brn
+       |  FROM banded),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM banded x JOIN capped y
+       |    ON x.bk = y.bk AND y.brn <= $CAND_CAP AND x.vec_id <> y.vec_id)""".stripMargin
+  }
+
+  private val sqlRerank: String =
+    s"""scored AS (
+       |  SELECT id_a, id_b,
+       |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+       |  FROM cand JOIN embeddings a ON a.vec_id = id_a
+       |            JOIN embeddings b ON b.vec_id = id_b),
+       |ranked AS (
+       |  SELECT id_a, id_b, cos,
+       |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+       |  FROM scored)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCosine AS cos
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $N_QUERIES),
          |ranked AS (
          |  SELECT id_a, id_b, cos,
          |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
@@ -242,18 +342,27 @@ object SimilarityQueries {
          |ORDER BY id_a, rn""".stripMargin,
 
     "q_cosine_pairs" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCosine AS cos,
+      s"""WITH $sqlLshCandidates,
+         |pairs AS (
+         |  SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+         |  FROM cand)
+         |SELECT p.id_a, p.id_b,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos,
          |  CAST(a.label = b.label AS INTEGER) AS same_label
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE $sqlCosine >= 0.85
-         |ORDER BY id_a, id_b""".stripMargin,
+         |FROM pairs p JOIN embeddings a ON a.vec_id = p.id_a
+         |             JOIN embeddings b ON b.vec_id = p.id_b
+         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.85
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
 
     "q_embed_dedup" ->
-      s"""WITH dups AS (
-         |  SELECT a.vec_id AS id_a, MIN(b.vec_id) AS dup_of
-         |  FROM embeddings a JOIN embeddings b ON b.vec_id < a.vec_id
-         |  WHERE $sqlCosine >= 0.85
-         |  GROUP BY a.vec_id)
+      s"""WITH $sqlLshCandidates,
+         |dups AS (
+         |  SELECT c.id_a, MIN(c.id_b) AS dup_of
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+         |              JOIN embeddings b ON b.vec_id = c.id_b
+         |  WHERE c.id_b < c.id_a
+         |    AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.85
+         |  GROUP BY c.id_a)
          |SELECT e.vec_id, dups.dup_of IS NOT NULL AS is_dup, dups.dup_of
          |FROM embeddings e LEFT JOIN dups ON e.vec_id = dups.id_a
          |ORDER BY e.vec_id""".stripMargin,
@@ -265,34 +374,40 @@ object SimilarityQueries {
          |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec_id
          |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
-    "q_lsh_ann" -> {
-      val bucketCols = (0 until LSH_TABLES).map { t =>
-        val bits = (0 until LSH_BITS).map { k =>
-          val j = t * LSH_BITS + k
-          val proj = s"list_sum(list_transform(range(1, ${DIM + 1}), i -> embeddings.embedding[i] * (${sqlPlaneComponent(j, "i")})))"
-          s"(CASE WHEN $proj > 0 THEN 1 ELSE 0 END) * ${1 << k}"
-        }.mkString(" + ")
-        s"CAST($bits AS INTEGER) AS b$t"
-      }.mkString(", ")
-      val bandStructs = (0 until LSH_TABLES).map(t => s"($t, b$t)").mkString(", ")
-      s"""WITH t AS (
-         |  SELECT vec_id, embedding, $bucketCols FROM embeddings),
-         |banded AS (
-         |  SELECT vec_id, unnest([$bandStructs]) AS bk FROM t),
+    "q_lsh_ann" ->
+      s"""WITH $sqlLshCandidates,
+         |$sqlRerank
+         |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
+         |ORDER BY id_a, rn""".stripMargin,
+
+    // Mirrors ivfAnn step by step: md5 seed order → 16 centroids → full
+    // nearest-centroid scoring (crn=1 assignment, crn<=4 probes) →
+    // posting-list join → exact re-rank. The centroid cosines are
+    // compared UNROUNDED for ranking, exactly as the Spark side does.
+    "q_ivf_ann" ->
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS seed_id, embedding AS cent
+         |  FROM embeddings
+         |  ORDER BY CAST('0x' || substring(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+         |  LIMIT 16),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY seed_id) AS cid, cent FROM seeds),
+         |cscored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cent AS DOUBLE[])) AS ccos
+         |  FROM embeddings e CROSS JOIN cents c),
+         |cranked AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+         |  FROM cscored),
+         |members AS (SELECT cid, vec_id AS id_b FROM cranked WHERE crn = 1),
+         |probes AS (SELECT cid, vec_id AS id_a FROM cranked WHERE crn <= 4),
          |cand AS (
-         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |  FROM banded x JOIN banded y ON x.bk = y.bk AND x.vec_id <> y.vec_id),
-         |scored AS (
-         |  SELECT id_a, id_b,
-         |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
-         |  FROM cand JOIN embeddings a ON a.vec_id = id_a
-         |            JOIN embeddings b ON b.vec_id = id_b),
-         |ranked AS (
-         |  SELECT id_a, id_b, cos,
-         |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
-         |  FROM scored)
+         |  SELECT DISTINCT id_a, id_b
+         |  FROM probes JOIN members USING (cid)
+         |  WHERE id_a <> id_b),
+         |$sqlRerank
          |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
          |ORDER BY id_a, rn""".stripMargin
-    }
   )
 }

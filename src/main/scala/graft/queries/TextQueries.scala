@@ -116,13 +116,16 @@ object TextQueries {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = docs.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val n = Tables.documents(s, d).count()
+      // N as a lazy 1-row aggregate broadcast into the plan — a driver-side
+      // .count() here would run an eager extra job per invocation.
+      val nDf = Tables.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("weight").desc, col("term"))
       tf.join(df, Seq("term"))
+        .crossJoin(broadcast(nDf))
         .withColumn("weight",
-          col("tf").cast(DoubleType) * (lit(n).cast(DoubleType) / col("df").cast(DoubleType)))
+          col("tf").cast(DoubleType) * (col("n_docs") / col("df").cast(DoubleType)))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"), col("weight"))

@@ -38,7 +38,9 @@ class QueryLibrarySpec extends SparkTestBase {
   }
 
   test("LSH ANN recall vs brute-force top-k (same bucket ⇒ found)") {
-    val exact = SparkEntry.queries("q_cosine_topk")(spark, sf())
+    // bruteForceTopK is the test-only unbounded all-pairs reference —
+    // the gated q_cosine_topk bounds its probe set by design.
+    val exact = SimilarityQueries.bruteForceTopK(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ann = SparkEntry.queries("q_lsh_ann")(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -51,7 +53,7 @@ class QueryLibrarySpec extends SparkTestBase {
   }
 
   test("IVF ANN recall vs brute-force top-k") {
-    val exact = SparkEntry.queries("q_cosine_topk")(spark, sf())
+    val exact = SimilarityQueries.bruteForceTopK(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = SparkEntry.queries("q_ivf_ann")(spark, sf())
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
