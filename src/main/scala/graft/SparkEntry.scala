@@ -29,6 +29,7 @@ object SparkEntry {
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
+      ClinicalQueries.defs ++
       SqlQueries.defs
 
   /** DuckDB twin for each SQL-expressible query (same parquet tables).
@@ -45,5 +46,6 @@ object SparkEntry {
       TextQueries.oracle ++
       DedupQueries.oracle ++
       SimilarityQueries.oracle ++
+      ClinicalQueries.oracle ++
       SqlQueries.oracle
 }

@@ -53,4 +53,25 @@ object ClinicalCsv {
   def read(spark: SparkSession, path: String): DataFrame =
     withRowId(spark.read.option("header", true)
       .option("inferSchema", false).csv(path))
+
+  /** The 100 TB row-id path: stable (file, row) order for MULTI-FILE
+    * parquet inputs, independent of split packing and partition count —
+    * `row_id = fileRank(_metadata.file_path) << 40 | _metadata.row_index`.
+    * File rank comes from sorting the (small) distinct file list, which
+    * broadcasts back onto the scan; `row_index` is the reader-provided
+    * within-file position, so no ordering ever depends on task layout.
+    * Proven against the sequential reference fold in OrderedFoldSpec
+    * (multi-partition, shuffled split order, no coalesce). */
+  def withParquetRowId(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+      .withColumn("_fp", col("_metadata.file_path"))
+      .withColumn("_ri", col("_metadata.row_index"))
+    val files = df.select(col("_fp")).distinct()
+      .withColumn("_fidx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("_fp")))
+        .cast("long") - 1)
+    df.join(broadcast(files), Seq("_fp"))
+      .withColumn("row_id", shiftleft(col("_fidx"), 40) + col("_ri"))
+      .drop("_fp", "_ri", "_fidx")
+  }
 }
