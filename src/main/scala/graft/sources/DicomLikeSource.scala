@@ -1,0 +1,266 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for the DICOM-like container (SURVEY.md §7's idiomatic
+  * endpoint for S7): the reader understands the format's byte layout
+  * (magic | metaLen | metadata k=v | pixel payload), so projection
+  * decides HOW MUCH OF EACH FILE IS READ — a metadata-only query reads
+  * just the header bytes and never touches the pixel payload, which is
+  * ~all of a 100 TB corpus.
+  *
+  * Pruning contract (exercised by DicomLikeV2Spec):
+  *   - `meta` (all tag fields + pixelBytes) needs only the header;
+  *     pixelBytes derives from file length minus header length.
+  *   - `pixel_checksum` — the stub stand-in for pixel DECODE — is
+  *     deliberately a TOP-LEVEL column, so Spark's guaranteed top-level
+  *     column pruning (SupportsPushDownRequiredColumns) makes the
+  *     payload read provably skippable; DicomLikeV2Spec asserts zero
+  *     payload bytes read for metadata-only queries via
+  *     [[DicomLikeSource.payloadBytesRead]].
+  *   - `content` returns the whole file (v1-compatible escape hatch).
+  *
+  * Scale shape: the driver lists the tree once and greedy-packs files
+  * into ≤ `maxPartitionBytes` partitions (small-volume trees don't
+  * explode into per-file tasks); each task streams its files off the
+  * FileSystem, seeking past payloads it does not need. Malformed files
+  * yield a NULL `meta` (the reference's try/except-to-None), never an
+  * error.
+  */
+class DicomLikeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "dicomlike"
+  override def supportsExternalMetadata(): Boolean = false
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DicomLikeSource.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new DicomLikeTable(properties.asScala.toMap)
+}
+
+object DicomLikeSource {
+  val metaSchema: StructType = StructType(Seq(
+    StructField("SOPInstanceUID", StringType),
+    StructField("PatientID", StringType),
+    StructField("StudyInstanceUID", StringType),
+    StructField("SeriesInstanceUID", StringType),
+    StructField("Modality", StringType),
+    StructField("SeriesDescription", StringType),
+    StructField("FrameLaterality", StringType),
+    StructField("SliceThickness", IntegerType),
+    StructField("ViewModifier", StringType),
+    StructField("ImageShape", ArrayType(IntegerType, containsNull = false)),
+    StructField("pixelBytes", LongType)))
+
+  val fullSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("meta", metaSchema),
+    StructField("pixel_checksum", LongType),
+    StructField("content", BinaryType)))
+
+  /** Test hook: payload bytes actually read across all readers in this
+    * JVM (local mode). A metadata-only projection must leave this at 0. */
+  val payloadBytesRead = new AtomicLong(0L)
+
+  private[sources] val defaultMaxPartitionBytes = 128L * 1024 * 1024
+}
+
+private[sources] class DicomLikeTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"dicomlike(${properties.getOrElse("path", "")})"
+  override def schema(): StructType = DicomLikeSource.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DicomLikeScanBuilder(options)
+}
+
+private[sources] class DicomLikeScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = DicomLikeSource.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = {
+    val path = Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException("dicomlike: path required"))
+    val suffix = Option(options.get("suffix")).getOrElse(".dcm")
+    new DicomLikeScan(path, suffix, required)
+  }
+}
+
+/** One partition = a greedy byte-bounded pack of files (path, length). */
+private[sources] case class DicomLikeInputPartition(
+    files: Seq[(String, Long)]) extends InputPartition
+
+private[sources] class DicomLikeScan(
+    root: String, suffix: String, requiredSchema: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DicomLikeScan(root=$root, schema=${requiredSchema.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val p = new HPath(root)
+    val fs = p.getFileSystem(conf)
+    val out = Seq.newBuilder[FileStatus]
+    def walk(dir: HPath): Unit = fs.listStatus(dir).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(suffix)) out += st
+    }
+    walk(p)
+    // Deterministic order, then greedy byte-bounded packing so a 100 TB
+    // tree becomes O(bytes / maxPartitionBytes) tasks, not O(files).
+    val files = out.result().map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
+    val max = DicomLikeSource.defaultMaxPartitionBytes
+    val parts = Seq.newBuilder[DicomLikeInputPartition]
+    var cur = Seq.newBuilder[(String, Long)]
+    var curBytes = 0L
+    var curN = 0
+    files.foreach { case (f, len) =>
+      if (curN > 0 && curBytes + len > max) {
+        parts += DicomLikeInputPartition(cur.result())
+        cur = Seq.newBuilder[(String, Long)]; curBytes = 0L; curN = 0
+      }
+      cur += ((f, len)); curBytes += len; curN += 1
+    }
+    if (curN > 0) parts += DicomLikeInputPartition(cur.result())
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DicomLikeReaderFactory(requiredSchema)
+}
+
+private[sources] class DicomLikeReaderFactory(requiredSchema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new DicomLikeReader(
+      partition.asInstanceOf[DicomLikeInputPartition].files, requiredSchema)
+}
+
+/** Streams the partition's files; per file reads the header always, the
+  * payload only when the projection needs it. */
+private[sources] class DicomLikeReader(
+    files: Seq[(String, Long)], requiredSchema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val needContent = requiredSchema.fieldNames.contains("content")
+  private val needChecksum = requiredSchema.fieldNames.contains("pixel_checksum")
+  private val needPayload = needContent || needChecksum
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val it = files.iterator
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    val (path, len) = it.next()
+    row = readOne(path, len)
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+
+  private def readOne(path: String, len: Long): InternalRow = {
+    val hp = new HPath(path)
+    val fs = hp.getFileSystem(conf)
+    val in = fs.open(hp)
+    try {
+      val headerLen = DicomLike.Magic.length + 4
+      val header = new Array[Byte](math.min(len, headerLen.toLong).toInt)
+      in.readFully(0, header)
+      val valid = header.length == headerLen &&
+        header.take(DicomLike.Magic.length).sameElements(DicomLike.Magic)
+      val metaLen = if (valid)
+        java.nio.ByteBuffer.wrap(header, DicomLike.Magic.length, 4).getInt else -1
+      val metaOk = valid && metaLen >= 0 && headerLen.toLong + metaLen <= len
+
+      val kv: Map[String, String] = if (metaOk) {
+        val metaBytes = new Array[Byte](metaLen)
+        in.readFully(headerLen.toLong, metaBytes)
+        new String(metaBytes, StandardCharsets.UTF_8).split("\n").iterator
+          .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      } else Map.empty
+
+      val pixelStart = if (metaOk) headerLen.toLong + metaLen else len
+      val pixelBytes = len - pixelStart
+
+      // Payload is read ONLY under a content/checksum projection.
+      lazy val payload: Array[Byte] = {
+        val b = new Array[Byte](pixelBytes.toInt)
+        in.readFully(pixelStart, b)
+        DicomLikeSource.payloadBytesRead.addAndGet(b.length.toLong)
+        b
+      }
+
+      val metaValid = metaOk && kv.contains("SOPInstanceUID") && kv.contains("PatientID")
+      val values = requiredSchema.fields.map { f =>
+        f.name match {
+          case "path" => UTF8String.fromString(path)
+          case "length" => len
+          case "content" =>
+            val full = new Array[Byte](len.toInt)
+            in.readFully(0, full)
+            DicomLikeSource.payloadBytesRead.addAndGet(pixelBytes)
+            full
+          case "pixel_checksum" =>
+            if (!metaValid) null
+            else {
+              var sum = 0L
+              payload.foreach(b => sum = sum * 31 + (b & 0xff))
+              java.lang.Long.valueOf(sum)
+            }
+          case "meta" =>
+            if (!metaValid) null
+            else {
+              val ms = f.dataType.asInstanceOf[StructType]
+              new GenericInternalRow(ms.fields.map { mf =>
+                (mf.name match {
+                  case "SOPInstanceUID" => kv.get("SOPInstanceUID")
+                  case "PatientID" => kv.get("PatientID")
+                  case "StudyInstanceUID" => Some(kv.getOrElse("StudyInstanceUID", ""))
+                  case "SeriesInstanceUID" => Some(kv.getOrElse("SeriesInstanceUID", ""))
+                  case "Modality" => Some(kv.getOrElse("Modality", ""))
+                  case "SeriesDescription" => Some(kv.getOrElse("SeriesDescription", ""))
+                  case "FrameLaterality" => kv.get("FrameLaterality")
+                  case "ViewModifier" => kv.get("ViewModifier")
+                  case "SliceThickness" => kv.get("SliceThickness").flatMap(_.toIntOption)
+                  case "ImageShape" => Some(new GenericArrayData(
+                    kv.get("ImageShape").map(_.split("x").toSeq.flatMap(_.toIntOption))
+                      .getOrElse(Seq.empty).toArray))
+                  case "pixelBytes" => Some(pixelBytes)
+                  case other => throw new IllegalArgumentException(s"unknown meta field $other")
+                }).map {
+                  case s: String => UTF8String.fromString(s)
+                  case i: Int => java.lang.Integer.valueOf(i)
+                  case l: Long => java.lang.Long.valueOf(l)
+                  case x => x
+                }.orNull
+              }.asInstanceOf[Array[Any]])
+            }
+          case other => throw new IllegalArgumentException(s"unknown field $other")
+        }
+      }
+      new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    } finally in.close()
+  }
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The DataSource V2 endpoint: format-aware projection — a
+  * metadata-only query must read ZERO payload bytes (asserted through
+  * the source's byte counter, not just the plan), results must agree
+  * with the v1 (binaryFile + UDF) path, and small files must pack into
+  * few partitions.
+  */
+class DicomLikeV2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val fmt = classOf[DicomLikeSource].getName
+
+  private def writeVolume(root: Path, patient: String, study: String,
+      uid: String, fields: Map[String, String],
+      shape: Seq[Int] = Seq(8, 4, 2), nPix: Int = 64): Unit = {
+    val dir = root.resolve(patient).resolve(study)
+    Files.createDirectories(dir)
+    val base = Map(
+      "SOPInstanceUID" -> uid, "PatientID" -> patient,
+      "StudyInstanceUID" -> s"st-$patient-$study", "SeriesInstanceUID" -> s"se-$uid",
+      "Modality" -> "MG", "SeriesDescription" -> "R CC Breast Tomosynthesis Image")
+    val pixels = Array.tabulate[Byte](nPix)(i => ((i * 7 + uid.hashCode) & 0xff).toByte)
+    Files.write(dir.resolve(s"$uid.dcm"), DicomLike.encode(base ++ fields, shape, pixels))
+  }
+
+  private def fixture(): Path = {
+    val root = Files.createTempDirectory("dicom_v2")
+    writeVolume(root, "EA1141-9001", "19400101", "v1", Map("FrameLaterality" -> "R"))
+    writeVolume(root, "EA1141-9001", "19400101", "v2",
+      Map("FrameLaterality" -> "L", "SliceThickness" -> "2"), nPix = 96)
+    writeVolume(root, "EA1141-9002", "19500101", "v3", Map("FrameLaterality" -> "R"))
+    root
+  }
+
+  test("metadata-only projection reads zero payload bytes and matches v1") {
+    val root = fixture()
+    DicomLikeSource.payloadBytesRead.set(0L)
+    val v2 = spark.read.format(fmt).load(root.toString)
+      .select(col("path"), col("length"), col("meta"))
+      .filter(col("meta").isNotNull)
+      .select(col("path"), col("meta.SOPInstanceUID").as("uid"),
+        col("meta.PatientID"), col("meta.FrameLaterality"),
+        col("meta.ImageShape"), col("meta.pixelBytes"))
+      .collect()
+      .map(r => r.getAs[String]("uid") ->
+        (r.getAs[String]("PatientID"), r.getAs[String]("FrameLaterality"),
+          r.getAs[scala.collection.Seq[Int]]("ImageShape").toSeq,
+          r.getAs[Long]("pixelBytes")))
+      .toMap
+    assert(DicomLikeSource.payloadBytesRead.get() === 0L,
+      "metadata-only projection must not touch the pixel payload")
+
+    val v1 = DicomLike.withMeta(
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.dcm")
+          .option("recursiveFileLookup", "true").load(root.toString))
+      .filter(col("meta").isNotNull)
+      .select(col("meta.SOPInstanceUID").as("uid"), col("meta.PatientID"),
+        col("meta.FrameLaterality"), col("meta.ImageShape"), col("meta.pixelBytes"))
+      .collect()
+      .map(r => r.getAs[String]("uid") ->
+        (r.getAs[String]("PatientID"), r.getAs[String]("FrameLaterality"),
+          r.getAs[scala.collection.Seq[Int]]("ImageShape").toSeq,
+          r.getAs[Long]("pixelBytes")))
+      .toMap
+    assert(v2 === v1)
+  }
+
+  test("pixel_checksum projection reads exactly the payload and matches the v1 stub decode") {
+    val root = fixture()
+    DicomLikeSource.payloadBytesRead.set(0L)
+    val v2 = spark.read.format(fmt).load(root.toString)
+      .filter(col("meta").isNotNull)
+      .select(col("meta.SOPInstanceUID").as("uid"), col("pixel_checksum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 64 + 96 + 64 payload bytes across the three volumes
+    assert(DicomLikeSource.payloadBytesRead.get() === 224L)
+
+    val v1 = DicomLike.withMeta(
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.dcm")
+          .option("recursiveFileLookup", "true").load(root.toString))
+      .filter(col("meta").isNotNull)
+      .select(col("meta.SOPInstanceUID").as("uid"), col("meta.pixelChecksum"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 === v1)
+  }
+
+  test("small files pack into one partition; corrupt file yields NULL meta") {
+    val root = fixture()
+    val bad = root.resolve("EA1141-9003").resolve("19400101")
+    Files.createDirectories(bad)
+    Files.write(bad.resolve("bad.dcm"), "not a volume".getBytes)
+
+    val df = spark.read.format(fmt).load(root.toString)
+    assert(df.rdd.getNumPartitions === 1,
+      "byte-bounded packing must not create per-file partitions for small files")
+    assert(df.count() === 4)
+    assert(df.filter(col("meta").isNull).count() === 1)
+    // the corrupt row still carries path + length
+    val r = df.filter(col("meta").isNull).select("path", "length").head()
+    assert(r.getString(0).endsWith("bad.dcm") && r.getLong(1) > 0)
+  }
+}
