@@ -27,6 +27,7 @@ object SparkEntry {
       FunctionQueries.defs ++
       EventQueries.defs ++
       TextQueries.defs ++
+      TrainPrepQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       ClinicalQueries.defs ++
@@ -44,6 +45,7 @@ object SparkEntry {
       FunctionQueries.oracle ++
       EventQueries.oracle ++
       TextQueries.oracle ++
+      TrainPrepQueries.oracle ++
       DedupQueries.oracle ++
       SimilarityQueries.oracle ++
       ClinicalQueries.oracle ++

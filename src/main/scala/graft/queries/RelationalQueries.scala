@@ -83,6 +83,17 @@ object RelationalQueries {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Columnar-sink variety: ORC write + read round-trip (same data
+    // contract as the parquet path — the oracle reads the original
+    // parquet, so the check proves ORC loses nothing).
+    "q_orc_roundtrip" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_supplier_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // S6/S8: JSON sink + scan round-trip with explicit schema.
     "q_json_roundtrip" -> ((s, d) => {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
@@ -147,6 +158,9 @@ object RelationalQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "q_json_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_orc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey"
   )
 }

@@ -24,6 +24,37 @@ object SqlQueries {
       |              WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
 
+  /** Shared verbatim: EXISTS / NOT EXISTS anti-pattern pair. Catalyst
+    * rewrites these to left-semi and left-anti joins (RewritePredicate-
+    * Subquery) — the subqueries never materialize. */
+  private val existsSql =
+    """SELECT c.c_custkey, c.c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F')
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** Shared verbatim: WITH chain where the second CTE aggregates the
+    * first and the final select joins both (revenue share per nation).
+    * The exact-decimal sums keep rev and rev_share bit-identical. */
+  private val cteSql =
+    """WITH nat_rev AS (
+      |  SELECT c.c_nationkey AS nationkey,
+      |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_nationkey),
+      |tot AS (
+      |  SELECT CAST(SUM(CAST(rev AS DECIMAL(18,4))) AS DOUBLE) AS t FROM nat_rev)
+      |SELECT n.n_name, nat_rev.rev, nat_rev.rev / tot.t AS rev_share
+      |FROM nat_rev
+      |JOIN nation n ON n.n_nationkey = nat_rev.nationkey
+      |CROSS JOIN tot
+      |ORDER BY n.n_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     // Pivot: one column per line status, exact decimal sums.
     "q_pivot" -> ((s, d) => {
@@ -67,6 +98,32 @@ object SqlQueries {
       Tables.customer(s, d).createOrReplaceTempView("customer")
       Tables.orders(s, d).createOrReplaceTempView("orders")
       s.sql(subquerySql)
+    }),
+
+    // EXISTS / NOT EXISTS — planned as left-semi + left-anti joins.
+    "q_sql_exists" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(existsSql)
+    }),
+
+    // Chained CTEs with a cross-joined grand total.
+    "q_sql_cte" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(cteSql)
+    }),
+
+    // LATERAL VIEW explode (HiveQL generator syntax) — the spark.sql
+    // twin of the DataFrame explode; the oracle uses DuckDB's unnest.
+    "q_sql_lateral" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(
+        """SELECT doc_id, term, COUNT(*) AS n
+          |FROM documents LATERAL VIEW explode(split(text, ' ')) x AS term
+          |GROUP BY doc_id, term HAVING COUNT(*) >= 8
+          |ORDER BY doc_id, term""".stripMargin)
     })
   )
 
@@ -93,6 +150,17 @@ object SqlQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    "q_sql_subquery" -> subquerySql
+    "q_sql_subquery" -> subquerySql,
+
+    "q_sql_exists" -> existsSql,
+
+    "q_sql_cte" -> cteSql,
+
+    "q_sql_lateral" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT doc_id, term, COUNT(*) AS n
+        |FROM toks GROUP BY doc_id, term HAVING COUNT(*) >= 8
+        |ORDER BY doc_id, term""".stripMargin
   )
 }

@@ -1,0 +1,361 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import QueryUtil._
+import TextQueries.{phash, sqlPhash}
+
+/** Training-corpus preparation operators — the curation stages a
+  * large-scale LLM data pipeline runs after text analysis
+  * (SURVEY.md §2.2 "LLM ops", [E] mandated by BASELINE.json north_star):
+  * repetition-based quality filters, deterministic corpus splitting and
+  * stratified sampling, context-window chunking, sequence packing, and
+  * PII/boilerplate scrubbing.
+  *
+  * Design rules shared by every operator here:
+  *   - Determinism by hashing, never by RNG: sampling/splitting decisions
+  *     come from the portable md5 hash ([[TextQueries.phash]]) so the
+  *     DuckDB oracle reproduces them bit-for-bit and a re-run over
+  *     re-partitioned data yields the same corpus (a seeded `rand()` is
+  *     partitioning-dependent and would not).
+  *   - Map-side where possible: repetition stats, splits, samples,
+  *     chunking and scrubbing are per-row expression trees (codegen'd, no
+  *     UDFs); the only shuffles are doc-keyed n-gram counts and the
+  *     per-source packing window.
+  *   - 100 TB notes inline per operator.
+  */
+object TrainPrepQueries {
+
+  private def toks: Column = split(col("text"), " ")
+
+  val defs: Map[String, Q] = Map(
+    // Repetition quality filter (Gopher-style): fraction of duplicate
+    // tokens + share of tokens covered by the single most common bigram.
+    // Shuffle key is (doc_id, bigram) — cardinality ∝ corpus tokens,
+    // perfectly parallel; no skew beyond single-document size, so at
+    // 100 TB the only requirement is that one document's bigrams fit an
+    // executor (documents are bounded; crawl shards are split upstream).
+    "q_repetition_filter" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), toks.as("toks"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"))
+      val bigrams = base.select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode(when(col("n_tokens") >= 2,
+          expr("transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))).as("bigram"))
+      val counts = bigrams
+        .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bigram"))
+        .agg(count(lit(1)).as("bn"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("bn").desc, col("bigram"))
+      val dupFrac =
+        lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType)
+      val bgFrac = (col("bn") * 2).cast(DoubleType) / col("n_tokens").cast(DoubleType)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(
+          col("doc_id"), col("n_tokens"),
+          dupFrac.as("dup_token_frac"),
+          col("bigram").as("top_bigram"),
+          col("bn").as("top_bigram_n"),
+          bgFrac.as("top_bigram_frac"),
+          (dupFrac <= 0.3 && bgFrac <= 0.2).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Duplicate-trigram coverage (the Gopher "dup n-gram chars" filter,
+    // token-granular): share of token positions covered by any trigram
+    // that occurs >= 2 times in the document. Window count over
+    // (doc_id, tri) instead of a self-join; covered positions are
+    // de-duplicated before counting so overlapping repeats don't
+    // double-count.
+    "q_dup_ngram_cover" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), toks.as("toks"), size(toks).as("n_tokens"))
+      val tris = base.select(col("doc_id"), col("n_tokens"),
+        posexplode(when(col("n_tokens") >= 3,
+          expr("transform(sequence(0, n_tokens - 3), " +
+            "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
+          .otherwise(expr("CAST(array() AS array<string>)"))))
+        .toDF("doc_id", "n_tokens", "pos", "tri")
+      val dup = tris
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("doc_id"), col("tri"))))
+        .filter(col("cnt") >= 2)
+      val covered = dup
+        .select(col("doc_id"), col("n_tokens"),
+          explode(sequence(col("pos"), col("pos") + 2)).as("cpos"))
+        .distinct()
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(count(lit(1)).as("n_covered"))
+      base.select(col("doc_id"), col("n_tokens"))
+        .join(covered, Seq("doc_id", "n_tokens"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+          (coalesce(col("n_covered"), lit(0L)).cast(DoubleType)
+            / col("n_tokens").cast(DoubleType)).as("dup_trigram_cover"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic train/val/test split: md5-bucket of the stable doc id
+    // (80/10/10). Pure map-side; the assignment is a property of the row,
+    // not of the partitioning, so executors can split shards
+    // independently and a doc never migrates between splits across runs.
+    "q_hash_split" -> ((s, d) => {
+      val bucket = phash(col("doc_id").cast(StringType), 7) % 100L
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified (per-language) downsampling with hash thresholds:
+    // dominant languages are kept at a lower rate, rare ones near-fully —
+    // the standard corpus-rebalancing step. Map-side filter; no shuffle.
+    "q_stratified_sample" -> ((s, d) => {
+      val u = phash(col("doc_id").cast(StringType), 13) % 1000L
+      val thresh = when(col("lang") === "en", 200L)
+        .when(col("lang").isin("de", "es", "fr"), 500L)
+        .when(col("lang") === "zh", 800L)
+        .otherwise(1000L)
+      Tables.documents(s, d)
+        .filter(u < thresh)
+        .select(col("doc_id"), col("lang"), u.as("u_bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Context-window chunking: fixed 32-token windows, stride 24
+    // (8-token overlap) — the doc→training-example explosion step.
+    // explode(sequence(...)) keeps it one codegen stage per row; output
+    // size ∝ input tokens × (size/stride).
+    "q_doc_chunks" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(
+        col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+      val chunk = slice(col("toks"), col("chunk_start") + 1, lit(32))
+      base
+        .select(col("doc_id"), col("toks"), col("n_tok"),
+          explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)), lit(24)))
+            .as("chunk_start"))
+        .filter(col("chunk_start") < col("n_tok"))
+        .select(
+          col("doc_id"),
+          expr("chunk_start div 24").cast(IntegerType).as("chunk_idx"),
+          col("chunk_start"),
+          size(chunk).as("chunk_len"),
+          array_join(chunk, " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Sequence packing (concat-and-chunk, GPT-style): docs are laid out
+    // contiguously per source shard in stable doc_id order and cut into
+    // 512-token context windows; each doc reports its first bin, offset,
+    // and how many bins it spans. One window shuffle on (source) — at
+    // 100 TB the packing unit is the shard/file, which is exactly how
+    // production packers bound state; the running sum is O(1) per row.
+    "q_seq_packing" -> ((s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), size(toks).as("n_tokens"))
+        .withColumn("cum_excl",
+          coalesce(sum(col("n_tokens").cast(LongType)).over(w), lit(0L)))
+        .select(
+          col("doc_id"), col("source"), col("n_tokens"),
+          expr("cum_excl div 512").as("bin_start"),
+          (col("cum_excl") % 512).cast(IntegerType).as("bin_offset"),
+          (expr("(cum_excl + greatest(n_tokens, 1) - 1) div 512")
+            - expr("cum_excl div 512") + 1).cast(IntegerType).as("bins_spanned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing: emails, phone numbers, IPv4 addresses replaced with
+    // typed placeholders. The corpus is synthetic and PII-free, so the
+    // query injects deterministic fake PII (doc_id-derived, documentation
+    // address ranges) and then removes it — the oracle verifies the
+    // actual regex behavior, not a no-op. Pure map-side regexp_replace
+    // chain inside codegen; the regex subset (no backrefs, no lookaround)
+    // is portable between Java regex and DuckDB's RE2.
+    "q_pii_scrub" -> ((s, d) => {
+      val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+      val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val aug = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com call +1-202-555-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+        lit(" from 192.0.2."), (col("doc_id") % 200) + 1)
+      val scrubbed = regexp_replace(
+        regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"),
+        ipRe, "<IP>")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(aug, lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(aug, lit(phoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(regexp_replace(aug, emailRe, ""), lit(ipRe), lit(0)))
+          .as("n_ips"),
+        scrubbed.as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL / boilerplate strip: remove injected URLs, collapse the
+    // whitespace they leave behind, count removals. Same injected-input
+    // pattern as q_pii_scrub.
+    "q_url_strip" -> ((s, d) => {
+      val urlRe = "https?://[^ ]+"
+      val aug = concat(
+        lit("http://ref.example.org/a "), substring(col("text"), 1, 40),
+        lit(" see https://docs.example.com/p/"), col("doc_id"), lit(" done"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(aug, lit(urlRe), lit(0))).as("n_urls"),
+        trim(regexp_replace(regexp_replace(aug, urlRe, ""), " +", " "))
+          .as("stripped"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, n_tokens, n_distinct,
+        |    unnest(list_transform(generate_series(1, n_tokens - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS bn
+        |  FROM bg GROUP BY doc_id, n_tokens, n_distinct, bigram),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bn DESC, bigram) AS rn
+        |  FROM c)
+        |SELECT doc_id, n_tokens,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
+        |  bigram AS top_bigram, bn AS top_bigram_n,
+        |  CAST(bn * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_bigram_frac,
+        |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.3
+        |    AND CAST(bn * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2 AS keep
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dup_ngram_cover" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, n_tokens, i - 1 AS pos,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tri
+        |  FROM (SELECT doc_id, toks, n_tokens,
+        |          unnest(generate_series(1, n_tokens - 2)) AS i FROM t)),
+        |dup AS (
+        |  SELECT * FROM (
+        |    SELECT *, COUNT(*) OVER (PARTITION BY doc_id, tri) AS cnt FROM tri)
+        |  WHERE cnt >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, n_tokens, cpos FROM (
+        |    SELECT doc_id, n_tokens, unnest(generate_series(pos, pos + 2)) AS cpos
+        |    FROM dup)),
+        |agg AS (SELECT doc_id, n_tokens, COUNT(*) AS n_covered
+        |        FROM cov GROUP BY doc_id, n_tokens)
+        |SELECT t.doc_id, t.n_tokens,
+        |  CAST(COALESCE(agg.n_covered, 0) AS BIGINT) AS n_covered,
+        |  CAST(COALESCE(agg.n_covered, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+        |    AS dup_trigram_cover
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q_hash_split" -> {
+      val b = s"${sqlPhash("CAST(doc_id AS VARCHAR)", 7)} % 100"
+      s"""SELECT doc_id, $b AS bucket,
+         |  CASE WHEN $b < 80 THEN 'train'
+         |       WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_stratified_sample" -> {
+      val u = s"${sqlPhash("CAST(doc_id AS VARCHAR)", 13)} % 1000"
+      s"""SELECT doc_id, lang, $u AS u_bucket
+         |FROM documents
+         |WHERE $u < (CASE WHEN lang = 'en' THEN 200
+         |                 WHEN lang IN ('de', 'es', 'fr') THEN 500
+         |                 WHEN lang = 'zh' THEN 800 ELSE 1000 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, n, unnest(generate_series(1, n, 24)) AS s1 FROM t)
+        |SELECT doc_id,
+        |  CAST((s1 - 1) // 24 AS INTEGER) AS chunk_idx,
+        |  CAST(s1 - 1 AS INTEGER) AS chunk_start,
+        |  CAST(len(list_slice(toks, s1, least(s1 + 31, n))) AS INTEGER) AS chunk_len,
+        |  array_to_string(list_slice(toks, s1, least(s1 + 31, n)), ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_seq_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_excl
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  cum_excl // 512 AS bin_start,
+        |  CAST(cum_excl % 512 AS INTEGER) AS bin_offset,
+        |  CAST((cum_excl + greatest(n_tokens, 1) - 1) // 512
+        |       - cum_excl // 512 + 1 AS INTEGER) AS bins_spanned
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com call +1-202-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 192.0.2.' || CAST(doc_id % 200 + 1 AS VARCHAR) AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER)
+        |    AS n_phones,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(aug, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS scrubbed
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_url_strip" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    'http://ref.example.org/a ' || substring(text, 1, 40)
+        |      || ' see https://docs.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |      || ' done' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
+        |  trim(regexp_replace(regexp_replace(aug, 'https?://[^ ]+', '', 'g'),
+        |       ' +', ' ', 'g')) AS stripped
+        |FROM a ORDER BY doc_id""".stripMargin
+  )
+}

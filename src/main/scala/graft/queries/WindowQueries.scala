@@ -109,6 +109,26 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
+    // Distribution family: percent_rank / cume_dist over a tied bucket
+    // order (both are deterministic per-row under ties) + nth_value with
+    // an explicit ROWS frame over a unique order. Doubles are the exact
+    // (rank-1)/(n-1) and peers/n ratios — IEEE-identical in DuckDB.
+    "q_window_dist" -> ((s, d) => {
+      val bucket = floor(col("o_totalprice") / 50000).cast(IntegerType)
+      val wTies = Window.partitionBy(col("o_orderstatus")).orderBy(bucket)
+      val wUniq = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(bucket, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          bucket.as("price_bucket"),
+          percent_rank().over(wTies).as("pct_rank"),
+          cume_dist().over(wTies).as("cume"),
+          nth_value(col("o_orderkey"), 2).over(wUniq).as("second_key"))
+        .orderBy(col("o_orderstatus"), col("price_bucket"), col("o_orderkey"))
+    }),
+
     // Global sort + limit with deterministic tiebreak.
     "q_sort_limit" -> ((s, d) => {
       Tables.orders(s, d)
@@ -170,6 +190,19 @@ object WindowQueries {
         |SELECT o_custkey, rn, o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice
         |FROM t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_dist" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(floor(o_totalprice / 50000) AS INTEGER) AS price_bucket
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus, price_bucket,
+        |  percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY price_bucket) AS pct_rank,
+        |  cume_dist()    OVER (PARTITION BY o_orderstatus ORDER BY price_bucket) AS cume,
+        |  nth_value(o_orderkey, 2) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY price_bucket, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        |FROM t ORDER BY o_orderstatus, price_bucket, o_orderkey""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey,
