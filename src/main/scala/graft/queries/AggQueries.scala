@@ -137,6 +137,47 @@ object AggQueries {
           sum(when(col("l_returnflag") === "R", dec(col("l_quantity")))).cast(DoubleType).as("qty_r"),
           count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"))
         .orderBy(col("l_linestatus"))
+    }),
+
+    // Statistical outlier detection: per-group mean/std from EXACT
+    // decimal sums (a built-in stddev is a partial-aggregation-order-
+    // dependent double fold — not reproducible), then z-scores per row
+    // via a broadcast of the tiny stats table, flag counts + the most
+    // extreme row per group. Two shuffles on the group key; the stats
+    // join is broadcast so the fact table is scanned once more, map-only.
+    "q_zscore_outliers" -> ((s, d) => {
+      // Numeric contract: everything runs on INTEGER CENTS with scale-0
+      // decimal sums. Why not dsum(price²): the raw units exceed 2^53,
+      // where DuckDB's decimal→double (int128→double, then /10^scale)
+      // double-rounds vs Spark's single rounding; and any fractional
+      // quantization of DERIVED doubles hits the half-up(shortest-string)
+      // vs round(exact-value) cast divergence. With integral values and
+      // scale 0, both engines round the same exact integer once —
+      // bit-identical. c and c² are exact integral doubles (< 2^53), so
+      // the decimal casts are lossless.
+      val o = Tables.orders(s, d)
+        .withColumn("c", round(col("o_totalprice") * 100))
+      val stats = o.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast(DecimalType(38, 0))).cast(DoubleType).as("s1"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).cast(DoubleType).as("s2"))
+        .withColumn("mean_c", col("s1") / col("n").cast(DoubleType))
+        .withColumn("std_c",
+          sqrt((col("s2") - col("s1") * col("s1") / col("n").cast(DoubleType))
+            / (col("n") - 1).cast(DoubleType)))
+      val z = o.join(broadcast(stats), Seq("o_orderpriority"))
+        .withColumn("z", (col("c") - col("mean_c")) / col("std_c"))
+      z.groupBy(col("o_orderpriority"), col("n"), col("mean_c"), col("std_c"))
+        .agg(
+          count(when(abs(col("z")) > 1.5, lit(1))).as("n_beyond_1_5"),
+          max_by(col("o_orderkey"), struct(abs(col("z")), -col("o_orderkey")))
+            .as("extreme_orderkey"),
+          max(abs(col("z"))).as("max_abs_z"))
+        .select(col("o_orderpriority"), col("n"),
+          (col("mean_c") / 100.0).as("mean_price"),
+          (col("std_c") / 100.0).as("std_price"),
+          col("n_beyond_1_5"), col("extreme_orderkey"), col("max_abs_z"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -215,6 +256,34 @@ object AggQueries {
         |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_a,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_r,
         |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_zscore_outliers" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey, round(o_totalprice * 100) AS c FROM orders),
+        |stats AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        |  FROM o GROUP BY o_orderpriority),
+        |m AS (
+        |  SELECT o_orderpriority, n, s1 / CAST(n AS DOUBLE) AS mean_c,
+        |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS std_c
+        |  FROM stats),
+        |z AS (
+        |  SELECT o.o_orderpriority, m.n, m.mean_c, m.std_c, o.o_orderkey,
+        |    (o.c - m.mean_c) / m.std_c AS z
+        |  FROM o JOIN m ON o.o_orderpriority = m.o_orderpriority),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |                               ORDER BY abs(z) DESC, o_orderkey) AS rn
+        |  FROM z)
+        |SELECT o_orderpriority, n, mean_c / 100.0 AS mean_price,
+        |  std_c / 100.0 AS std_price,
+        |  COUNT(CASE WHEN abs(z) > 1.5 THEN 1 END) AS n_beyond_1_5,
+        |  MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS extreme_orderkey,
+        |  MAX(abs(z)) AS max_abs_z
+        |FROM r GROUP BY o_orderpriority, n, mean_c, std_c
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

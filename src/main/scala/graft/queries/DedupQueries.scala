@@ -223,21 +223,57 @@ object DedupQueries {
     // vs 48 higher-order array traversals per doc, which benched 7×
     // slower at sf0.1. At 100 TB this is one map-side-combined shuffle
     // keyed by doc_id.
-    "q_simhash" -> ((s, d) => {
-      val bits = 48
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", phash(col("tok"), 7))
-      val fp = (0 until bits).map { p =>
-        when(sum(shiftright(col("h"), p).bitwiseAND(1L)) * 2 > count(lit(1)),
-          shiftleft(lit(1L), p)).otherwise(0L)
-      }.reduce(_ + _)
-      toks.groupBy(col("doc_id"))
-        .agg(fp.as("simhash"))
-        .orderBy(col("doc_id"))
+    "q_simhash" -> ((s, d) =>
+      simhashFp(s, d).orderBy(col("doc_id"))),
+
+    // SimHash near-dup candidate search, scale-shaped end to end:
+    // 1. collapse identical fingerprints first (exact-dup classes — the
+    //    step that stops replicated boilerplate from going quadratic:
+    //    n identical docs are ONE node here, not n);
+    // 2. band the 48-bit space into 4×12-bit chunks and equi-join on
+    //    (chunk, value) — by pigeonhole, hamming ≤ 3 implies at least
+    //    one chunk is identical, so candidate recall at the ≤3
+    //    threshold is EXACT, not probabilistic;
+    // 3. verify with bit_count(xor) on the candidates only.
+    "q_simhash_near" -> ((s, d) => {
+      val reps = simhashFp(s, d)
+        .groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      val chunks = reps.select(col("simhash"), col("rep_id"), col("n_docs"),
+        explode(array((0 until 4).map(c => struct(
+          lit(c).as("chunk"),
+          shiftright(col("simhash"), c * 12).bitwiseAND(4095L).as("ck"))): _*))
+          .as("b"))
+        .select(col("simhash"), col("rep_id"), col("n_docs"),
+          col("b.chunk").as("chunk"), col("b.ck").as("ck"))
+      val a = chunks.toDF("fp_a", "rep_a", "n_a", "chunk", "ck")
+      val b = chunks.toDF("fp_b", "rep_b", "n_b", "chunk", "ck")
+      a.join(b, Seq("chunk", "ck"))
+        .filter(col("fp_a") < col("fp_b"))
+        .select(col("fp_a"), col("fp_b"), col("rep_a"), col("rep_b"),
+          col("n_a"), col("n_b"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        .filter(col("hamming") <= 3)
+        .select(col("rep_a"), col("rep_b"), col("hamming"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("rep_a"), col("rep_b"))
     })
   )
+
+  /** (doc_id, simhash) — shared by q_simhash and q_simhash_near. */
+  private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val bits = 48
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", phash(col("tok"), 7))
+    val fp = (0 until bits).map { p =>
+      when(sum(shiftright(col("h"), p).bitwiseAND(1L)) * 2 > count(lit(1)),
+        shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id")).agg(fp.as("simhash"))
+  }
 
   private def sqlMinhash(j: Int): String =
     s"list_min(list_transform(sh, h -> (${hashA(j)} * (h % $P) + ${hashB(j)}) % $P))"
@@ -318,16 +354,41 @@ object DedupQueries {
          |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.15
          |ORDER BY a.source, id_a, id_b""".stripMargin,
 
-    "q_simhash" -> {
-      val bitTerms = (0 until 48).map(p =>
-        s"CASE WHEN CAST(SUM((h >> $p) & 1) AS BIGINT) * 2 > COUNT(*) THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-         |  FROM documents),
-         |h AS (SELECT doc_id, ${sqlPhash("tok", 7)} AS h FROM t)
-         |SELECT doc_id, $bitTerms AS simhash
-         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    "q_simhash" ->
+      s"""WITH $sqlSimhashCte
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_near" ->
+      s"""WITH $sqlSimhashCte,
+         |reps AS (
+         |  SELECT simhash, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+         |  FROM sims GROUP BY simhash),
+         |chunks AS (
+         |  SELECT simhash, rep_id, n_docs, u.c AS chunk,
+         |    (simhash >> (u.c * 12)) & 4095 AS ck
+         |  FROM reps, unnest([0, 1, 2, 3]) AS u(c)),
+         |cand AS (
+         |  SELECT DISTINCT a.simhash AS fp_a, b.simhash AS fp_b,
+         |    a.rep_id AS rep_a, b.rep_id AS rep_b,
+         |    a.n_docs AS n_a, b.n_docs AS n_b
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk = b.chunk AND a.ck = b.ck AND a.simhash < b.simhash)
+         |SELECT rep_a, rep_b,
+         |  CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming, n_a, n_b
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+         |ORDER BY rep_a, rep_b""".stripMargin
   )
+
+  /** CTE chain producing `sims(doc_id, simhash)` — shared by the simhash
+    * and simhash-near oracles. */
+  private lazy val sqlSimhashCte: String = {
+    val bitTerms = (0 until 48).map(p =>
+      s"CASE WHEN CAST(SUM((h >> $p) & 1) AS BIGINT) * 2 > COUNT(*) THEN (CAST(1 AS BIGINT) << $p) ELSE 0 END")
+      .mkString(" + ")
+    s"""t AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, ${sqlPhash("tok", 7)} AS h FROM t),
+       |sims AS (SELECT doc_id, $bitTerms AS simhash FROM h GROUP BY doc_id)""".stripMargin
+  }
 }

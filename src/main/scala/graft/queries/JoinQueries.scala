@@ -142,6 +142,31 @@ object JoinQueries {
             .as("asof_linenumber"),
           max(col("l_shipdate")).cast(DateType).as("asof_shipdate"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Blocked fuzzy self-join (entity resolution): candidate pairs come
+    // from an equi-join on a blocking key (nation + name prefix), the
+    // edit-distance predicate runs only within blocks. The prefix cuts
+    // the id space into fixed-width groups, so block size stays bounded
+    // as the table grows — the standard ER recall/cost tradeoff (pairs
+    // differing inside the prefix are missed by design, documented).
+    // Never an unblocked cartesian.
+    "q_fuzzy_match" -> ((s, d) => {
+      val block = (c: String) => struct(
+        col(s"${c}_nationkey").as("bk_nat"),
+        substring(col(s"${c}_name"), 1, 15).as("bk_prefix"))
+      val a = Tables.customer(s, d).select(
+        col("c_custkey").as("id_a"), col("c_name").as("name_a"),
+        block("c").as("blk"))
+      val b = Tables.customer(s, d).select(
+        col("c_custkey").as("id_b"), col("c_name").as("name_b"),
+        block("c").as("blk"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("lev") <= 1)
+        .select(col("id_a"), col("id_b"), col("lev"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -212,6 +237,19 @@ object JoinQueries {
         |SELECT o_orderkey,
         |  MAX(CASE WHEN rn = 1 THEN l_linenumber END) AS asof_linenumber,
         |  CAST(MAX(l_shipdate) AS DATE) AS asof_shipdate
-        |FROM matched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+        |FROM matched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    substring(c_name, 1, 15) AS bk_prefix
+        |  FROM customer)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
+        |FROM c a JOIN c b
+        |  ON a.c_nationkey = b.c_nationkey AND a.bk_prefix = b.bk_prefix
+        |WHERE a.c_custkey < b.c_custkey
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -254,7 +254,19 @@ object SimilarityQueries {
     *
     * Scale shape: assignment is a broadcast join against O(centroids)
     * rows; the only shuffle groups by centroid id (the posting lists);
-    * probing is a second broadcast join + per-query top-k. */
+    * probing is a second broadcast join + per-query top-k.
+    *
+    * Posting lists are CAPPED on the serving side ([[IVF_CAP]], same
+    * pattern as [[CAND_CAP]]): with a fixed quantizer, list length grows
+    * ∝ corpus and every vector probes nprobe lists, which is a hidden
+    * O(n²/nlist) — measured 139× cost at 10× data before the cap. With
+    * it, candidates are ≤ n·nprobe·CAP (linear). Production additionally
+    * retrains the quantizer with nlist ∝ √n, which keeps expected list
+    * length at √n; the cap bounds the worst case either way. Mirrored in
+    * the DuckDB twin; at the sf0.01 gate lists are ~31 long, so the cap
+    * does not trigger and parity is unconditional. */
+  private[queries] val IVF_CAP = 128
+
   private def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val nCent = 16
     val nProbe = 4
@@ -272,8 +284,13 @@ object SimilarityQueries {
     val scored = emb.join(broadcast(cents))
       .withColumn("ccos", cosine(col("embedding"), col("cent")))
       .withColumn("crn", row_number().over(wNear))
+    val wMember = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("id_b"))
     val members = scored.filter(col("crn") === 1)
       .select(col("cid"), col("vec_id").as("id_b"))
+      .withColumn("mrn", row_number().over(wMember))
+      .filter(col("mrn") <= IVF_CAP)
+      .select(col("cid"), col("id_b"))
     val probes = scored.filter(col("crn") <= nProbe)
       .select(col("cid"), col("vec_id").as("id_a"))
     val cand = probes.join(members, Seq("cid"))
@@ -400,7 +417,12 @@ object SimilarityQueries {
          |  SELECT vec_id, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
          |  FROM cscored),
-         |members AS (SELECT cid, vec_id AS id_b FROM cranked WHERE crn = 1),
+         |members AS (
+         |  SELECT cid, id_b FROM (
+         |    SELECT cid, vec_id AS id_b,
+         |      row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS mrn
+         |    FROM cranked WHERE crn = 1)
+         |  WHERE mrn <= 128),
          |probes AS (SELECT cid, vec_id AS id_a FROM cranked WHERE crn <= 4),
          |cand AS (
          |  SELECT DISTINCT id_a, id_b
