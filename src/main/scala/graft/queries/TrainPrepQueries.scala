@@ -31,6 +31,37 @@ object TrainPrepQueries {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Per-doc repetition stats: (doc_id, n_tokens, dup_token_frac,
+    * top_bigram, top_bigram_n, top_bigram_frac, keep) — shared by
+    * q_repetition_filter and the composed curation pipeline. */
+  private def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(
+      col("doc_id"), toks.as("toks"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"))
+    val bigrams = base.select(
+      col("doc_id"), col("n_tokens"), col("n_distinct"),
+      explode(when(col("n_tokens") >= 2,
+        expr("transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .otherwise(expr("CAST(array() AS array<string>)"))).as("bigram"))
+    val counts = bigrams
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bigram"))
+      .agg(count(lit(1)).as("bn"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bn").desc, col("bigram"))
+    val dupFrac =
+      lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType)
+    val bgFrac = (col("bn") * 2).cast(DoubleType) / col("n_tokens").cast(DoubleType)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("n_tokens"),
+        dupFrac.as("dup_token_frac"),
+        col("bigram").as("top_bigram"),
+        col("bn").as("top_bigram_n"),
+        bgFrac.as("top_bigram_frac"),
+        (dupFrac <= 0.3 && bgFrac <= 0.2).as("keep"))
+  }
+
   val defs: Map[String, Q] = Map(
     // Repetition quality filter (Gopher-style): fraction of duplicate
     // tokens + share of tokens covered by the single most common bigram.
@@ -38,34 +69,8 @@ object TrainPrepQueries {
     // perfectly parallel; no skew beyond single-document size, so at
     // 100 TB the only requirement is that one document's bigrams fit an
     // executor (documents are bounded; crawl shards are split upstream).
-    "q_repetition_filter" -> ((s, d) => {
-      val base = Tables.documents(s, d).select(
-        col("doc_id"), toks.as("toks"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct"))
-      val bigrams = base.select(
-        col("doc_id"), col("n_tokens"), col("n_distinct"),
-        explode(when(col("n_tokens") >= 2,
-          expr("transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
-          .otherwise(expr("CAST(array() AS array<string>)"))).as("bigram"))
-      val counts = bigrams
-        .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bigram"))
-        .agg(count(lit(1)).as("bn"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("bn").desc, col("bigram"))
-      val dupFrac =
-        lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType)
-      val bgFrac = (col("bn") * 2).cast(DoubleType) / col("n_tokens").cast(DoubleType)
-      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(
-          col("doc_id"), col("n_tokens"),
-          dupFrac.as("dup_token_frac"),
-          col("bigram").as("top_bigram"),
-          col("bn").as("top_bigram_n"),
-          bgFrac.as("top_bigram_frac"),
-          (dupFrac <= 0.3 && bgFrac <= 0.2).as("keep"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_repetition_filter" -> ((s, d) =>
+      repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     // Duplicate-trigram coverage (the Gopher "dup n-gram chars" filter,
     // token-granular): share of token positions covered by any trigram
@@ -200,6 +205,39 @@ object TrainPrepQueries {
         size(regexp_extract_all(regexp_replace(aug, emailRe, ""), lit(ipRe), lit(0)))
           .as("n_ips"),
         scrubbed.as("scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The composed curation pipeline — the full training-data flow as
+    // ONE lazy plan: repetition-quality gate → exact-dedup survivors
+    // (min-id per content hash) → deterministic train split → sequence
+    // packing of what remains. Proves the operators compose (a user
+    // chains library stages, not hand-written queries) and that the
+    // composition still has the scale shape of its parts: two doc-keyed
+    // shuffles (bigrams, content hash), one broadcast-size semi-join
+    // chain, one per-shard packing window.
+    "q_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = repetitionStats(docs).filter(col("keep")).select(col("doc_id"))
+      val survivors = docs
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val train = docs
+        .filter(phash(col("doc_id").cast(StringType), 7) % 100L < 80)
+        .select(col("doc_id"))
+      val sel = docs.select(col("doc_id"), col("source"), size(toks).as("n_tokens"))
+        .join(keepers, Seq("doc_id"))
+        .join(survivors, Seq("doc_id"))
+        .join(train, Seq("doc_id"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sel
+        .withColumn("cum_excl",
+          coalesce(sum(col("n_tokens").cast(LongType)).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("cum_excl div 512").as("bin_start"),
+          (col("cum_excl") % 512).cast(IntegerType).as("bin_offset"))
         .orderBy(col("doc_id"))
     }),
 
@@ -344,6 +382,50 @@ object TrainPrepQueries {
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS scrubbed
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_curation_pipeline" -> {
+      val b = s"${sqlPhash("CAST(doc_id AS VARCHAR)", 7)} % 100"
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, n_tokens, n_distinct,
+         |    unnest(list_transform(generate_series(1, n_tokens - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM t),
+         |c AS (
+         |  SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS bn
+         |  FROM bg GROUP BY doc_id, n_tokens, n_distinct, bigram),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bn DESC, bigram) AS rn
+         |  FROM c),
+         |keepers AS (
+         |  SELECT doc_id FROM r WHERE rn = 1
+         |    AND (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.3
+         |    AND CAST(bn * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2),
+         |survivors AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |train AS (SELECT doc_id FROM documents WHERE $b < 80),
+         |sel AS (
+         |  SELECT t.doc_id, t.source, t.n_tokens
+         |  FROM t
+         |  JOIN keepers ON keepers.doc_id = t.doc_id
+         |  JOIN survivors ON survivors.doc_id = t.doc_id
+         |  JOIN train ON train.doc_id = t.doc_id),
+         |packed AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_excl
+         |  FROM sel)
+         |SELECT doc_id, source, n_tokens,
+         |  cum_excl // 512 AS bin_start,
+         |  CAST(cum_excl % 512 AS INTEGER) AS bin_offset
+         |FROM packed ORDER BY doc_id""".stripMargin
+    },
 
     "q_url_strip" ->
       """WITH a AS (

@@ -112,6 +112,38 @@ class QueryLibrarySpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
   }
 
+  test("explain: no gated query plans an unblocked cartesian/nested-loop product") {
+    // The scale contract of SCALE.md: fuzzy matching, simhash-near and
+    // every similarity query generate candidates through equi-join
+    // blocking — a CartesianProduct or BroadcastNestedLoopJoin anywhere
+    // means a blocking key fell out of the plan.
+    for (name <- Seq("q_fuzzy_match", "q_simhash_near", "q_cosine_pairs",
+        "q_embed_dedup", "q_lsh_ann", "q_ivf_ann", "q_minhash_lsh_pairs")) {
+      val plan = SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") ||
+        name == "q_ivf_ann", // centroid broadcast (16 rows) is a deliberate BNL
+        s"$name plans a nested loop:\n$plan")
+    }
+  }
+
+  test("approx_percentile stays within rank-error bound of the exact percentile") {
+    // No oracle twin by nature (sketch internals differ per engine) —
+    // the accuracy contract is asserted here instead: with accuracy A,
+    // the rank error is bounded by n/A.
+    val exact = Tables.lineitem(spark, sf())
+      .agg(percentile($"l_quantity", lit(0.5)).as("p"))
+      .head.getDouble(0)
+    val approx = Tables.lineitem(spark, sf())
+      .agg(percentile_approx($"l_quantity", lit(0.5), lit(100)).as("p"))
+      .head.getDouble(0)
+    val spread = Tables.lineitem(spark, sf())
+      .agg((max($"l_quantity") - min($"l_quantity")).as("r")).head.getDouble(0)
+    assert(math.abs(approx - exact) <= spread * 0.05,
+      s"approx median $approx too far from exact $exact (range $spread)")
+  }
+
   test("sentinel decode helper maps clinical sentinels to NULL, keeps values") {
     val df = Seq("N", ".N", ".M", ".F", "1", "Benign").toDF("v")
       .select(graft.pipeline.ClinicalCsv.decodeSentinels($"v").as("d"))

@@ -67,6 +67,40 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join: enrichment agg == batch twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = realEvents.map(_.event_type).distinct.sorted.zipWithIndex
+      .map { case (t, i) => (t, s"cat${i % 2}") }
+      .toDF("event_type", "category")
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.enrichedCounts(stream.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = realEvents.splitAt(150)
+      stream.addData(c1)
+      q.processAllAvailable()
+      stream.addData(c2)
+      q.processAllAvailable()
+      stream.addData(Seq(flushSentinel(realEvents)))
+      q.processAllAvailable()
+
+      val got = spark.table("enriched_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+
+      val want = realEvents.toDF().join(broadcast(dim), Seq("event_type"))
+        .groupBy(window(col("ts"), "15 minutes").as("w"), col("category"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .select(col("w.start"), col("category"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+
+      assert(got === want)
+    } finally q.stop()
+  }
+
   test("session windows: streaming append == batch sessionization") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Ev]
