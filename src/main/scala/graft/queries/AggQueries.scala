@@ -139,6 +139,20 @@ object AggQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // listagg (SQL:2023, Spark 4): ordered within-group string
+    // concatenation — deterministic because WITHIN GROUP fixes the order.
+    "q_listagg" -> ((s, d) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          expr("listagg(c_mktsegment, '|') WITHIN GROUP (ORDER BY c_mktsegment, c_custkey)")
+            .as("segments"),
+          count(lit(1)).as("n"))
+        .select(col("c_nationkey"), substring(col("segments"), 1, 100).as("seg_prefix"),
+          length(col("segments")).as("seg_len"), col("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Statistical outlier detection: per-group mean/std from EXACT
     // decimal sums (a built-in stddev is a partial-aggregation-order-
     // dependent double fold — not reproducible), then z-scores per row
@@ -257,6 +271,16 @@ object AggQueries {
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_r,
         |  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_listagg" ->
+      """WITH t AS (
+        |  SELECT c_nationkey,
+        |    string_agg(c_mktsegment, '|' ORDER BY c_mktsegment, c_custkey) AS segments,
+        |    COUNT(*) AS n
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, substring(segments, 1, 100) AS seg_prefix,
+        |  CAST(length(segments) AS INTEGER) AS seg_len, n
+        |FROM t ORDER BY c_nationkey""".stripMargin,
 
     "q_zscore_outliers" ->
       """WITH o AS (

@@ -151,6 +151,35 @@ object FunctionQueries {
         .orderBy(col("l_orderkey"))
     }),
 
+    // VariantType (Spark 4): parse once into the binary variant encoding,
+    // extract typed fields by path — the semi-structured column pattern
+    // that replaces repeated get_json_object string re-parses. Outputs
+    // are extracted to plain types (variant itself has no cross-engine
+    // parquet contract to compare).
+    "q_variant_funcs" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      val doc = parse_json(concat(
+        lit("{\"a\":[10,20,30],\"m\":{\"x\":\""), col("event_type"), lit("\"}}")))
+      Tables.events(s, d).select(
+        col("event_id"),
+        variant_get(v, "$.k", "int").as("k"),
+        variant_get(doc, "$.a[1]", "int").as("a1"),
+        variant_get(doc, "$.m.x", "string").as("mx"))
+        .orderBy(col("event_id"))
+    }),
+
+    // try_* error-safe family: NULL instead of failure for bad casts,
+    // zero division, out-of-range access — the ANSI-mode-safe surface.
+    "q_try_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        try_divide(lit(100.0), (col("p_size") - 10).cast(DoubleType)).as("inv_size"),
+        expr("TRY_CAST(p_brand AS INT)").as("brand_num"),
+        expr("TRY_CAST(CAST(p_partkey AS STRING) AS INT)").as("key_roundtrip"),
+        try_element_at(split(col("p_type"), " "), lit(5)).as("type_5th"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // JSON family over events.props (get_json_object / from_json).
     "q_json_funcs" -> ((s, d) => {
       Tables.events(s, d).select(
@@ -253,6 +282,24 @@ object FunctionQueries {
         |  MAX(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) = 1 AS has_mismatch,
         |  MAX(CASE WHEN rd = 1 AND l_returnflag = 'R' THEN l_linestatus END) AS final_status
         |FROM r GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_variant_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract_string(
+        |    '{"a":[10,20,30],"m":{"x":"' || event_type || '"}}', '$.a[1]') AS INTEGER) AS a1,
+        |  json_extract_string(
+        |    '{"a":[10,20,30],"m":{"x":"' || event_type || '"}}', '$.m.x') AS mx
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_try_funcs" ->
+      """SELECT p_partkey,
+        |  CASE WHEN p_size - 10 = 0 THEN NULL
+        |       ELSE 100.0 / CAST(p_size - 10 AS DOUBLE) END AS inv_size,
+        |  TRY_CAST(p_brand AS INTEGER) AS brand_num,
+        |  TRY_CAST(CAST(p_partkey AS VARCHAR) AS INTEGER) AS key_roundtrip,
+        |  string_split(p_type, ' ')[5] AS type_5th
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_json_funcs" ->
       """WITH t AS (

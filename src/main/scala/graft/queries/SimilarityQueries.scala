@@ -293,9 +293,13 @@ object SimilarityQueries {
       .select(col("cid"), col("id_b"))
     val probes = scored.filter(col("crn") <= nProbe)
       .select(col("cid"), col("vec_id").as("id_a"))
+    // No distinct: each vector is a member of exactly ONE posting list
+    // (crn=1), so a pair (a,b) arises at most once (iff cid(b) is among
+    // a's probes) — a dedup here would be a wasted full shuffle of the
+    // candidate set (~n·nprobe·CAP rows at scale).
     val cand = probes.join(members, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
     rerankTopK(s, d, cand)
   }
 
@@ -425,7 +429,7 @@ object SimilarityQueries {
          |  WHERE mrn <= 128),
          |probes AS (SELECT cid, vec_id AS id_a FROM cranked WHERE crn <= 4),
          |cand AS (
-         |  SELECT DISTINCT id_a, id_b
+         |  SELECT id_a, id_b
          |  FROM probes JOIN members USING (cid)
          |  WHERE id_a <> id_b),
          |$sqlRerank
