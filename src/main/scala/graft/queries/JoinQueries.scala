@@ -27,6 +27,11 @@ import QueryUtil._
   */
 object JoinQueries {
 
+  /** Per-block serving cap for the fuzzy-match candidate generation —
+    * same skew treatment as DedupQueries.BUCKET_CAP / Similarity-
+    * Queries.CAND_CAP. */
+  private[queries] val ER_BLOCK_CAP = 200
+
   val defs: Map[String, Q] = Map(
     // J1: dimension chain, explicitly broadcast (customer ⋈ nation ⋈ region).
     "q_join_broadcast" -> ((s, d) => {
@@ -150,7 +155,12 @@ object JoinQueries {
     // the id space into fixed-width groups, so block size stays bounded
     // as the table grows — the standard ER recall/cost tradeoff (pairs
     // differing inside the prefix are missed by design, documented).
-    // Never an unblocked cartesian.
+    // Never an unblocked cartesian; and like every candidate generator
+    // here, the serving side of a block is CAPPED (duplicated-name
+    // skew — measured 21.6× cost at 10× replicated data before the
+    // cap): every row still probes, only the ER_BLOCK_CAP smallest-id
+    // members serve, so a degenerate block costs O(n·CAP) not O(n²).
+    // The cap never triggers at the sf0.01 gate (max block ≈ 40).
     "q_fuzzy_match" -> ((s, d) => {
       val block = (c: String) => struct(
         col(s"${c}_nationkey").as("bk_nat"),
@@ -158,9 +168,14 @@ object JoinQueries {
       val a = Tables.customer(s, d).select(
         col("c_custkey").as("id_a"), col("c_name").as("name_a"),
         block("c").as("blk"))
+      val wBlk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("blk")).orderBy(col("id_b"))
       val b = Tables.customer(s, d).select(
         col("c_custkey").as("id_b"), col("c_name").as("name_b"),
         block("c").as("blk"))
+        .withColumn("brn", row_number().over(wBlk))
+        .filter(col("brn") <= ER_BLOCK_CAP)
+        .drop("brn")
       a.join(b, Seq("blk"))
         .filter(col("id_a") < col("id_b"))
         .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
@@ -240,16 +255,22 @@ object JoinQueries {
         |FROM matched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q_fuzzy_match" ->
-      """WITH c AS (
-        |  SELECT c_custkey, c_name, c_nationkey,
-        |    substring(c_name, 1, 15) AS bk_prefix
-        |  FROM customer)
-        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
-        |FROM c a JOIN c b
-        |  ON a.c_nationkey = b.c_nationkey AND a.bk_prefix = b.bk_prefix
-        |WHERE a.c_custkey < b.c_custkey
-        |  AND levenshtein(a.c_name, b.c_name) <= 1
-        |ORDER BY id_a, id_b""".stripMargin
+      s"""WITH c AS (
+         |  SELECT c_custkey, c_name, c_nationkey,
+         |    substring(c_name, 1, 15) AS bk_prefix
+         |  FROM customer),
+         |srv AS (
+         |  SELECT * FROM (
+         |    SELECT c.*, row_number() OVER (
+         |      PARTITION BY c_nationkey, bk_prefix ORDER BY c_custkey) AS brn
+         |    FROM c)
+         |  WHERE brn <= $ER_BLOCK_CAP)
+         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
+         |FROM c a JOIN srv b
+         |  ON a.c_nationkey = b.c_nationkey AND a.bk_prefix = b.bk_prefix
+         |WHERE a.c_custkey < b.c_custkey
+         |  AND levenshtein(a.c_name, b.c_name) <= 1
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }
