@@ -149,38 +149,50 @@ object JoinQueries {
         .orderBy(col("o_orderkey"))
     }),
 
-    // Blocked fuzzy self-join (entity resolution): candidate pairs come
-    // from an equi-join on a blocking key (nation + name prefix), the
-    // edit-distance predicate runs only within blocks. The prefix cuts
-    // the id space into fixed-width groups, so block size stays bounded
-    // as the table grows — the standard ER recall/cost tradeoff (pairs
-    // differing inside the prefix are missed by design, documented).
-    // Never an unblocked cartesian; and like every candidate generator
-    // here, the serving side of a block is CAPPED (duplicated-name
-    // skew — measured 21.6× cost at 10× replicated data before the
-    // cap): every row still probes, only the ER_BLOCK_CAP smallest-id
-    // members serve, so a degenerate block costs O(n·CAP) not O(n²).
-    // The cap never triggers at the sf0.01 gate (max block ≈ 40).
+    // Blocked fuzzy self-join (entity resolution), scale-shaped end to
+    // end (same staging as q_simhash_near):
+    // 1. collapse EXACT duplicates first — (name, nation) classes with a
+    //    min-id representative and a count; replicated boilerplate rows
+    //    become one node each (a serve-side cap alone measured 27× cost
+    //    at 10× replicated data: with half the block duplicated, capping
+    //    barely binds — collapsing makes the blocked join's input the
+    //    distinct-entity count, which doesn't grow with replication);
+    // 2. equi-join distinct entities on the (nation, name-prefix)
+    //    blocking key — fixed-width prefix ⇒ bounded blocks; the
+    //    ER_BLOCK_CAP serve-side cap stays as the degenerate-block
+    //    backstop (probe side unrestricted, pairs normalized
+    //    least/greatest + distinct, so capped-out entities still link to
+    //    a low-id representative);
+    // 3. levenshtein only within blocks; duplicate counts ride along as
+    //    pair weights. Pairs differing inside the prefix are missed by
+    //    design (the standard ER recall/cost tradeoff, documented).
     "q_fuzzy_match" -> ((s, d) => {
-      val block = (c: String) => struct(
-        col(s"${c}_nationkey").as("bk_nat"),
-        substring(col(s"${c}_name"), 1, 15).as("bk_prefix"))
-      val a = Tables.customer(s, d).select(
-        col("c_custkey").as("id_a"), col("c_name").as("name_a"),
-        block("c").as("blk"))
+      val ents = Tables.customer(s, d)
+        .groupBy(col("c_name"), col("c_nationkey"))
+        .agg(min(col("c_custkey")).as("rep_id"), count(lit(1)).as("n_dups"))
+      val block = struct(col("c_nationkey").as("bk_nat"),
+        substring(col("c_name"), 1, 15).as("bk_prefix"))
+      val a = ents.select(col("rep_id").as("id_a"), col("c_name").as("name_a"),
+        col("n_dups").as("cnt_a"), block.as("blk"))
       val wBlk = org.apache.spark.sql.expressions.Window
         .partitionBy(col("blk")).orderBy(col("id_b"))
-      val b = Tables.customer(s, d).select(
-        col("c_custkey").as("id_b"), col("c_name").as("name_b"),
-        block("c").as("blk"))
+      val b = ents.select(col("rep_id").as("id_b"), col("c_name").as("name_b"),
+        col("n_dups").as("cnt_b"), block.as("blk"))
         .withColumn("brn", row_number().over(wBlk))
         .filter(col("brn") <= ER_BLOCK_CAP)
         .drop("brn")
       a.join(b, Seq("blk"))
-        .filter(col("id_a") < col("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
         .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
         .filter(col("lev") <= 1)
-        .select(col("id_a"), col("id_b"), col("lev"))
+        .select(
+          least(col("id_a"), col("id_b")).as("id_lo"),
+          greatest(col("id_a"), col("id_b")).as("id_hi"),
+          col("lev"),
+          when(col("id_a") < col("id_b"), col("cnt_a")).otherwise(col("cnt_b")).as("n_lo"),
+          when(col("id_a") < col("id_b"), col("cnt_b")).otherwise(col("cnt_a")).as("n_hi"))
+        .distinct()
+        .toDF("id_a", "id_b", "lev", "n_a", "n_b")
         .orderBy(col("id_a"), col("id_b"))
     })
   )
@@ -255,21 +267,28 @@ object JoinQueries {
         |FROM matched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q_fuzzy_match" ->
-      s"""WITH c AS (
-         |  SELECT c_custkey, c_name, c_nationkey,
+      s"""WITH ents AS (
+         |  SELECT c_name, c_nationkey, MIN(c_custkey) AS rep_id, COUNT(*) AS n_dups
+         |  FROM customer GROUP BY c_name, c_nationkey),
+         |e AS (
+         |  SELECT rep_id, c_name, c_nationkey, n_dups,
          |    substring(c_name, 1, 15) AS bk_prefix
-         |  FROM customer),
+         |  FROM ents),
          |srv AS (
          |  SELECT * FROM (
-         |    SELECT c.*, row_number() OVER (
-         |      PARTITION BY c_nationkey, bk_prefix ORDER BY c_custkey) AS brn
-         |    FROM c)
+         |    SELECT e.*, row_number() OVER (
+         |      PARTITION BY c_nationkey, bk_prefix ORDER BY rep_id) AS brn
+         |    FROM e)
          |  WHERE brn <= $ER_BLOCK_CAP)
-         |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
-         |FROM c a JOIN srv b
+         |SELECT DISTINCT
+         |  least(a.rep_id, b.rep_id) AS id_a,
+         |  greatest(a.rep_id, b.rep_id) AS id_b,
+         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev,
+         |  CASE WHEN a.rep_id < b.rep_id THEN a.n_dups ELSE b.n_dups END AS n_a,
+         |  CASE WHEN a.rep_id < b.rep_id THEN b.n_dups ELSE a.n_dups END AS n_b
+         |FROM e a JOIN srv b
          |  ON a.c_nationkey = b.c_nationkey AND a.bk_prefix = b.bk_prefix
-         |WHERE a.c_custkey < b.c_custkey
+         |WHERE a.rep_id <> b.rep_id
          |  AND levenshtein(a.c_name, b.c_name) <= 1
          |ORDER BY id_a, id_b""".stripMargin
   )

@@ -80,6 +80,24 @@ class TrainPrepSpec extends SparkTestBase {
     }
   }
 
+  test("fuzzy-match collapses exact-dup names before the blocked join") {
+    // 300 identical names + 2 copies of a 1-edit neighbor: the quadratic
+    // step sees TWO entities, not 302 rows — one pair out, with the
+    // duplicate counts as weights. (Uncollapsed all-pairs would be
+    // 302*301/2 = 45,451 lev evaluations.)
+    val df = ((0L until 300L).map(i => (i, "Customer#000000777", 7)) ++
+      Seq((1000L, "Customer#000000778", 7), (1001L, "Customer#000000778", 7)))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_fuzzy_skew"
+    df.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val pairs = JoinQueries.defs("q_fuzzy_match")(spark, dir).collect()
+    assert(pairs.length == 1, s"got ${pairs.length}")
+    val p = pairs.head
+    assert(p.getLong(0) == 0L && p.getLong(1) == 1000L)
+    assert(p.getInt(2) == 1)       // one edit apart
+    assert(p.getLong(3) == 300L && p.getLong(4) == 2L) // class sizes ride along
+  }
+
   test("PII scrub removes handcrafted emails/phones/IPs and nothing else") {
     val in = Seq(
       (1L, "reach me at jane.doe@corp.example.net thanks"),
