@@ -6,6 +6,9 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
+  * `SPARK_GRAFT_ONLY=q_a,q_b` restricts the run to named queries (for
+  * single-query scale spot-checks); unset = full run (the driver mode).
+  *
   * Each query is fully materialized through the `noop` sink (computes
   * every output column; a bare `.count()` would let Catalyst prune the
   * whole projection and under-report).
@@ -26,9 +29,13 @@ object Bench {
     // units and JITs the hot paths, so the timed pass measures the
     // engine rather than first-call classloading. Costs seconds; the
     // smoke data is ~1% of the bench data.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (k, _) => only.forall(_.contains(k)) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -36,7 +43,7 @@ object Bench {
     // The first timed query otherwise absorbs the warm-up garbage (one
     // major GC) plus target-SF file-listing costs: run it once untimed
     // and collect before the measured pass.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = selected.sortBy(_._1)
     ordered.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
