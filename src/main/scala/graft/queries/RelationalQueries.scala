@@ -83,6 +83,27 @@ object RelationalQueries {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Z-order layout key: bit-interleave two bucketed dimensions into a
+    // space-filling-curve key — the multi-dimensional clustering write
+    // pattern (`repartitionByRange(zkey).sortWithinPartitions(zkey)
+    // .write`) that makes parquet min/max row-group skipping effective
+    // for BOTH dimensions at 100 TB. The key itself is pure integer bit
+    // arithmetic (codegen, identical in DuckDB); verified here on the
+    // first 100 curve positions.
+    "q_zorder_key" -> ((s, d) => {
+      val qx = least(floor(col("l_quantity")), lit(255)).cast(IntegerType)
+      val py = pmod(col("l_partkey"), lit(256)).cast(IntegerType)
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(qx, i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(py, i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          qx.as("qx"), py.as("py"), z.as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
     // Columnar-sink variety: ORC write + read round-trip (same data
     // contract as the parquet path — the oracle reads the original
     // parquet, so the check proves ORC loses nothing).
@@ -161,6 +182,20 @@ object RelationalQueries {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
 
     "q_orc_roundtrip" ->
-      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey"
+      "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
+
+    "q_zorder_key" -> {
+      val zTerms = (0 until 8).map(i =>
+        s"(((qx >> $i) & 1) << ${2 * i}) + (((py >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(least(floor(l_quantity), 255) AS INTEGER) AS qx,
+         |    CAST(l_partkey % 256 AS INTEGER) AS py
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, qx, py,
+         |  CAST($zTerms AS INTEGER) AS zkey
+         |FROM t ORDER BY zkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    }
   )
 }

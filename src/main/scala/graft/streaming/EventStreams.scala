@@ -105,6 +105,45 @@ object EventStreams {
 
   case class UserCount(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Spark 4 `transformWithState`: the arbitrary-state API that
+    * supersedes flatMapGroupsWithState — typed named state slots
+    * (Value/List/Map), TTL support, timers. Requires the RocksDB state
+    * store provider. Cumulative per-user (count, value-cents) — cents
+    * keep the running sum exactly associative, so the stream result is
+    * comparable bit-for-bit with a batch aggregate regardless of batch
+    * boundaries. */
+  class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Long)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { r => n += 1; cents += math.round(r._2 * 100) }
+      st.update((n, cents))
+      Iterator((user, n, cents))
+    }
+  }
+
+  /** (user_id, n_events, total_cents) running per-user stats via
+    * transformWithState — the Spark-4 twin of [[runningUserCounts]]. */
+  def userStatsTws(events: Dataset[(Long, Double)]): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: cumulative per-user
     * counters emitted on every update (the mapGroupsWithState surface of
     * SURVEY.md §2.2). */

@@ -222,4 +222,34 @@ class EventStreamsSpec extends SparkTestBase {
       assert(last === Map(1L -> (3L, 6.0), 2L -> (1L, 5.0)))
     } finally q.stop()
   }
+
+  test("transformWithState: typed ValueState counters across batches (RocksDB)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = MemoryStream[(Long, Double)]
+    val q = EventStreams.userStatsTws(stream.toDS())
+      .toDF("user_id", "n_events", "total_cents")
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    try {
+      stream.addData(Seq((1L, 1.25), (1L, 2.50), (2L, 5.00)))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, 3.25), (3L, 0.75)))
+      q.processAllAvailable()
+      val last = spark.table("tws_out")
+        .groupBy("user_id").agg(max(struct(col("n_events"), col("total_cents"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.total_cents"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(last === Map(1L -> (3L, 700L), 2L -> (1L, 500L), 3L -> (1L, 75L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
