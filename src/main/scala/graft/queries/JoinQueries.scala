@@ -68,6 +68,16 @@ object JoinQueries {
         .orderBy(col("n_nationkey"))
     }),
 
+    // Right outer (the mirrored preserve-side; completes the family).
+    "q_join_right" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "right")
+        .groupBy(col("n_nationkey"), col("n_name"))
+        .agg(count(col("c_custkey")).as("n_cust"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Full outer: customer-count vs supplier-count per nation key.
     "q_join_full" -> ((s, d) => {
       val c = Tables.customer(s, d).groupBy(col("c_nationkey"))
@@ -215,6 +225,11 @@ object JoinQueries {
     "q_join_left" ->
       """SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_cust
         |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+
+    "q_join_right" ->
+      """SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_cust
+        |FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
 
     "q_join_full" ->

@@ -115,6 +115,21 @@ object RelationalQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // XML sink + scan round-trip (native XML source, Spark 4): rowTag
+    // framing on write, explicit schema on read — the third text-format
+    // scan family next to CSV and JSON.
+    "q_xml_roundtrip" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_xml_nation_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Tables.nation(s, d).coalesce(1)
+        .write.mode("overwrite").option("rowTag", "nation").xml(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.option("rowTag", "nation").schema(schema).xml(tmp)
+        .orderBy(col("n_nationkey"))
+    }),
+
     // S6/S8: JSON sink + scan round-trip with explicit schema.
     "q_json_roundtrip" -> ((s, d) => {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
@@ -183,6 +198,9 @@ object RelationalQueries {
 
     "q_orc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey",
+
+    "q_xml_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
 
     "q_zorder_key" -> {
       val zTerms = (0 until 8).map(i =>
