@@ -178,6 +178,63 @@ object TrainPrepQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Eval-contamination check (GPT-3-style n-gram decontamination):
+    // 5-gram hashes of every TEST document probed against the distinct
+    // 5-gram set of the TRAIN split (same deterministic hash split as
+    // q_hash_split). Work ∝ total grams: the join key is the gram hash,
+    // the train side is deduplicated before the join, and only matching
+    // grams materialize. A test doc with >10% of its grams in train is
+    // flagged dirty.
+    "q_decontaminate" -> ((s, d) => {
+      val bucket = phash(col("doc_id").cast(StringType), 7) % 100L
+      val grams = expr(
+        "transform(sequence(0, size(toks) - 5), " +
+          "i -> concat_ws(' ', slice(toks, i + 1, 5)))")
+      def gramsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(grams).as("g"))
+        .withColumn("gh", phash(col("g"), 5))
+      val docs = Tables.documents(s, d)
+      val trainGrams = gramsOf(docs.filter(bucket < 80))
+        .select(col("gh")).distinct()
+      val testGrams = gramsOf(docs.filter(bucket >= 90))
+      val counts = testGrams
+        .join(trainGrams.withColumn("hit", lit(1)), Seq("gh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("hit")).as("n_contaminated"))
+      counts.select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        (col("n_contaminated").cast(DoubleType) / col("n_grams").cast(DoubleType))
+          .as("contamination"),
+        (col("n_contaminated").cast(DoubleType) / col("n_grams").cast(DoubleType) > 0.1)
+          .as("dirty"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source-mixing weights (DoReMi-lite): per-source token counts vs a
+    // uniform target distribution → per-source resampling weight
+    // (target share / actual share). One tiny aggregate + a broadcast
+    // of the totals; the weights would drive a downstream weighted
+    // sampler. Exact integer token sums; ratios in IEEE doubles.
+    "q_mix_weights" -> ((s, d) => {
+      val perSource = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast(LongType)).as("n_tokens"))
+      val totals = perSource.agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).cast(DoubleType).as("n_sources"))
+      perSource.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType))
+            .as("actual_share"),
+          ((lit(1.0) / col("n_sources")) /
+            (col("n_tokens").cast(DoubleType) / col("total_tokens").cast(DoubleType)))
+            .as("weight"))
+        .orderBy(col("source"))
+    }),
+
     // PII scrubbing: emails, phone numbers, IPv4 addresses replaced with
     // typed placeholders. The corpus is synthetic and PII-free, so the
     // query injects deterministic fake PII (doc_id-derived, documentation
@@ -360,6 +417,43 @@ object TrainPrepQueries {
         |  CAST((cum_excl + greatest(n_tokens, 1) - 1) // 512
         |       - cum_excl // 512 + 1 AS INTEGER) AS bins_spanned
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" -> {
+      val b = s"${sqlPhash("CAST(doc_id AS VARCHAR)", 7)} % 100"
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, $b AS bucket
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, bucket,
+         |    unnest(list_transform(generate_series(1, len(toks) - 4),
+         |      i -> array_to_string(toks[i:i+4], ' '))) AS g
+         |  FROM d WHERE len(toks) >= 5),
+         |gh AS (SELECT doc_id, bucket, ${sqlPhash("g", 5)} AS gh FROM g),
+         |train AS (SELECT DISTINCT gh FROM gh WHERE bucket < 80),
+         |test AS (SELECT doc_id, gh FROM gh WHERE bucket >= 90),
+         |counts AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(train.gh) AS n_contaminated
+         |  FROM test t LEFT JOIN train ON train.gh = t.gh
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, n_grams, n_contaminated,
+         |  CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination,
+         |  CAST(n_contaminated AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.1 AS dirty
+         |FROM counts ORDER BY doc_id""".stripMargin
+    },
+
+    "q_mix_weights" ->
+      """WITH ps AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_sources
+        |  FROM ps)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS actual_share,
+        |  (1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS weight
+        |FROM ps CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "q_pii_scrub" ->
       """WITH a AS (
