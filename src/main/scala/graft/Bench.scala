@@ -31,6 +31,13 @@ object Bench {
     // smoke data is ~1% of the bench data.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name must fail loudly, not run zero queries and print a
+    // healthy-looking ~0s total.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.toSeq
       .filter { case (k, _) => only.forall(_.contains(k)) }
     val warmDir = "/root/testdata/sf0.001"

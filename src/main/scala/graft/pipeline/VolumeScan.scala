@@ -21,28 +21,33 @@ object VolumeScan {
 
   def scan(spark: SparkSession, imageRoot: String,
       withContent: Boolean = true): DataFrame = {
+    // ONE unfiltered recursive listing serves both the volume rows and
+    // the min-study aggregate — on a big tree the driver-side file
+    // listing dominates, so it must not be paid twice. The .dcm suffix
+    // filter is applied relationally below (same rows the glob would
+    // keep; content-column pruning still applies until referenced).
     val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.dcm")
       .option("recursiveFileLookup", "true")
       .load(imageRoot)
     val parts = split(col("path"), "/")
-    val base = files.select(
-      (Seq(col("path"), col("length")) ++
-        (if (withContent) Seq(col("content")) else Nil)): _*)
+    val listed = files
       .withColumn("patient", element_at(parts, -3))
       .withColumn("study_date", element_at(parts, -2))
+    val base = listed
+      .filter(col("path").endsWith(".dcm"))
+      .select(
+        (Seq(col("path"), col("length")) ++
+          (if (withContent) Seq(col("content")) else Nil) ++
+          Seq(col("patient"), col("study_date"))): _*)
     // The reference takes min over the patient's study DIRECTORIES and
     // then lists only that one (`generate_mapping.py:20-24`) — a patient
     // whose earliest study dir holds no .dcm files yields ZERO volumes,
-    // not the next study's. So min_study derives from an unfiltered
-    // listing of the tree, not from the glob-matched files. Residual
-    // divergence: a study dir with no files at all is invisible to any
-    // file listing (documented; HDFS-style listings see files only).
-    val minStudy = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(imageRoot)
-      .select(element_at(split(col("path"), "/"), -3).as("patient"),
-        element_at(split(col("path"), "/"), -2).as("study_date"))
+    // not the next study's. So min_study derives from the UNFILTERED
+    // listing, not from the suffix-matched files. Residual divergence: a
+    // study dir with no files at all is invisible to any file listing
+    // (documented; HDFS-style listings see files only).
+    val minStudy = listed
+      .select(col("patient"), col("study_date"))
       .groupBy(col("patient"))
       .agg(min(col("study_date")).as("min_study"))
     // No broadcast hint: the per-patient min table scales with the data

@@ -33,26 +33,34 @@ object TrainPrepQueries {
 
   /** Per-doc repetition stats: (doc_id, n_tokens, dup_token_frac,
     * top_bigram, top_bigram_n, top_bigram_frac, keep) — shared by
-    * q_repetition_filter and the composed curation pipeline. */
+    * q_repetition_filter and the composed curation pipeline. Documents
+    * with fewer than 2 tokens have no bigrams: the per-bigram stats are
+    * LEFT-joined back to the full document list so they still get a row
+    * (trivially non-repetitive: frac 0, keep=true) instead of silently
+    * vanishing from the filter's verdict. */
   private def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val base = docs.select(
       col("doc_id"), toks.as("toks"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_distinct"))
     val bigrams = base.select(
-      col("doc_id"), col("n_tokens"), col("n_distinct"),
+      col("doc_id"),
       explode(when(col("n_tokens") >= 2,
         expr("transform(sequence(0, n_tokens - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
         .otherwise(expr("CAST(array() AS array<string>)"))).as("bigram"))
     val counts = bigrams
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bn"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("bn").desc, col("bigram"))
+    val top = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("bigram"), col("bn"))
     val dupFrac =
       lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType)
-    val bgFrac = (col("bn") * 2).cast(DoubleType) / col("n_tokens").cast(DoubleType)
-    counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val bgFrac = coalesce(
+      (col("bn") * 2).cast(DoubleType) / col("n_tokens").cast(DoubleType), lit(0.0))
+    base.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .join(top, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_tokens"),
         dupFrac.as("dup_token_frac"),
@@ -323,23 +331,27 @@ object TrainPrepQueries {
         |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
         |  FROM documents),
         |bg AS (
-        |  SELECT doc_id, n_tokens, n_distinct,
+        |  SELECT doc_id,
         |    unnest(list_transform(generate_series(1, n_tokens - 1),
         |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
         |  FROM t),
         |c AS (
-        |  SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS bn
-        |  FROM bg GROUP BY doc_id, n_tokens, n_distinct, bigram),
+        |  SELECT doc_id, bigram, COUNT(*) AS bn
+        |  FROM bg GROUP BY doc_id, bigram),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bn DESC, bigram) AS rn
-        |  FROM c)
-        |SELECT doc_id, n_tokens,
-        |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_token_frac,
-        |  bigram AS top_bigram, bn AS top_bigram_n,
-        |  CAST(bn * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_bigram_frac,
-        |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.3
-        |    AND CAST(bn * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2 AS keep
-        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |  FROM c),
+        |top AS (SELECT doc_id, bigram, bn FROM r WHERE rn = 1)
+        |SELECT t.doc_id, t.n_tokens,
+        |  1.0 - CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS dup_token_frac,
+        |  top.bigram AS top_bigram, top.bn AS top_bigram_n,
+        |  COALESCE(CAST(top.bn * 2 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 0.0)
+        |    AS top_bigram_frac,
+        |  (1.0 - CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) <= 0.3
+        |    AND COALESCE(CAST(top.bn * 2 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 0.0) <= 0.2
+        |    AS keep
+        |FROM t LEFT JOIN top ON top.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_dup_ngram_cover" ->
       """WITH t AS (
@@ -485,20 +497,21 @@ object TrainPrepQueries {
          |    CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct
          |  FROM documents),
          |bg AS (
-         |  SELECT doc_id, n_tokens, n_distinct,
+         |  SELECT doc_id,
          |    unnest(list_transform(generate_series(1, n_tokens - 1),
          |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
          |  FROM t),
          |c AS (
-         |  SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS bn
-         |  FROM bg GROUP BY doc_id, n_tokens, n_distinct, bigram),
+         |  SELECT doc_id, bigram, COUNT(*) AS bn
+         |  FROM bg GROUP BY doc_id, bigram),
          |r AS (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bn DESC, bigram) AS rn
          |  FROM c),
+         |top AS (SELECT doc_id, bn FROM r WHERE rn = 1),
          |keepers AS (
-         |  SELECT doc_id FROM r WHERE rn = 1
-         |    AND (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE)) <= 0.3
-         |    AND CAST(bn * 2 AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2),
+         |  SELECT t.doc_id FROM t LEFT JOIN top ON top.doc_id = t.doc_id
+         |  WHERE (1.0 - CAST(t.n_distinct AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) <= 0.3
+         |    AND COALESCE(CAST(top.bn * 2 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 0.0) <= 0.2),
          |survivors AS (
          |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
          |train AS (SELECT doc_id FROM documents WHERE $b < 80),

@@ -78,6 +78,16 @@ object DicomLikeSource {
   val payloadBytesRead = new AtomicLong(0L)
 
   private[sources] val defaultMaxPartitionBytes = 128L * 1024 * 1024
+
+  /** Rebuild a Hadoop Configuration from the serialized session entries
+    * (loadDefaults=false: the map already carries the driver's resolved
+    * defaults, credentials, and fs.* settings — a bare `new
+    * Configuration()` on an executor would silently drop them). */
+  private[sources] def confFrom(entries: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 }
 
 private[sources] class DicomLikeTable(properties: Map[String, String])
@@ -99,7 +109,17 @@ private[sources] class DicomLikeScanBuilder(options: CaseInsensitiveStringMap)
     val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("dicomlike: path required"))
     val suffix = Option(options.get("suffix")).getOrElse(".dcm")
-    new DicomLikeScan(path, suffix, required)
+    // Capture the SESSION's Hadoop configuration (spark.hadoop.*,
+    // filesystem credentials, kerberos) at plan time and ship it to the
+    // executors as plain entries.
+    val hadoopConf = {
+      val c = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      val b = Map.newBuilder[String, String]
+      val it = c.iterator()
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new DicomLikeScan(path, suffix, required, hadoopConf)
   }
 }
 
@@ -108,7 +128,8 @@ private[sources] case class DicomLikeInputPartition(
     files: Seq[(String, Long)]) extends InputPartition
 
 private[sources] class DicomLikeScan(
-    root: String, suffix: String, requiredSchema: StructType)
+    root: String, suffix: String, requiredSchema: StructType,
+    hadoopConf: Map[String, String])
     extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
@@ -117,7 +138,7 @@ private[sources] class DicomLikeScan(
     s"DicomLikeScan(root=$root, schema=${requiredSchema.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = DicomLikeSource.confFrom(hadoopConf)
     val p = new HPath(root)
     val fs = p.getFileSystem(conf)
     val out = Seq.newBuilder[FileStatus]
@@ -147,27 +168,28 @@ private[sources] class DicomLikeScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DicomLikeReaderFactory(requiredSchema)
+    new DicomLikeReaderFactory(requiredSchema, hadoopConf)
 }
 
-private[sources] class DicomLikeReaderFactory(requiredSchema: StructType)
+private[sources] class DicomLikeReaderFactory(
+    requiredSchema: StructType, hadoopConf: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DicomLikeReader(
-      partition.asInstanceOf[DicomLikeInputPartition].files, requiredSchema)
+      partition.asInstanceOf[DicomLikeInputPartition].files, requiredSchema,
+      hadoopConf)
 }
 
 /** Streams the partition's files; per file reads the header always, the
   * payload only when the projection needs it. */
 private[sources] class DicomLikeReader(
-    files: Seq[(String, Long)], requiredSchema: StructType)
+    files: Seq[(String, Long)], requiredSchema: StructType,
+    hadoopConf: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val needContent = requiredSchema.fieldNames.contains("content")
-  private val needChecksum = requiredSchema.fieldNames.contains("pixel_checksum")
-  private val needPayload = needContent || needChecksum
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val conf = DicomLikeSource.confFrom(hadoopConf)
   private val it = files.iterator
   private var row: InternalRow = _
 
@@ -203,14 +225,43 @@ private[sources] class DicomLikeReader(
 
       val pixelStart = if (metaOk) headerLen.toLong + metaLen else len
       val pixelBytes = len - pixelStart
+      // Arrays are bounded by Int.MaxValue: a >=2 GiB file cannot be
+      // materialized as `content` (NULL, like malformed rows); the
+      // checksum path streams and has no size limit.
+      val fitsArray = len < Int.MaxValue.toLong - 8
 
-      // Payload is read ONLY under a content/checksum projection.
-      lazy val payload: Array[Byte] = {
-        val b = new Array[Byte](pixelBytes.toInt)
-        in.readFully(pixelStart, b)
-        DicomLikeSource.payloadBytesRead.addAndGet(b.length.toLong)
+      // Whole-file bytes for the `content` projection — read (and its
+      // payload portion counted) at most ONCE per file, shared with the
+      // checksum so a content+checksum projection does not re-read.
+      lazy val full: Array[Byte] = {
+        val b = new Array[Byte](len.toInt)
+        in.readFully(0, b)
+        DicomLikeSource.payloadBytesRead.addAndGet(pixelBytes)
         b
       }
+      // Payload checksum: reuses `full` when the content projection
+      // materializes the file anyway; otherwise streams the payload
+      // region in bounded chunks (never a whole-payload array).
+      lazy val payloadSum: Long =
+        if (needContent && fitsArray) {
+          var sum = 0L
+          var i = pixelStart.toInt
+          while (i < full.length) { sum = sum * 31 + (full(i) & 0xff); i += 1 }
+          sum
+        } else {
+          val buf = new Array[Byte](1 << 20)
+          var pos = pixelStart
+          var sum = 0L
+          while (pos < len) {
+            val n = math.min(buf.length.toLong, len - pos).toInt
+            in.readFully(pos, buf, 0, n)
+            DicomLikeSource.payloadBytesRead.addAndGet(n.toLong)
+            var i = 0
+            while (i < n) { sum = sum * 31 + (buf(i) & 0xff); i += 1 }
+            pos += n
+          }
+          sum
+        }
 
       val metaValid = metaOk && kv.contains("SOPInstanceUID") && kv.contains("PatientID")
       val values = requiredSchema.fields.map { f =>
@@ -218,17 +269,10 @@ private[sources] class DicomLikeReader(
           case "path" => UTF8String.fromString(path)
           case "length" => len
           case "content" =>
-            val full = new Array[Byte](len.toInt)
-            in.readFully(0, full)
-            DicomLikeSource.payloadBytesRead.addAndGet(pixelBytes)
-            full
+            if (fitsArray) full else null
           case "pixel_checksum" =>
             if (!metaValid) null
-            else {
-              var sum = 0L
-              payload.foreach(b => sum = sum * 31 + (b & 0xff))
-              java.lang.Long.valueOf(sum)
-            }
+            else java.lang.Long.valueOf(payloadSum)
           case "meta" =>
             if (!metaValid) null
             else {

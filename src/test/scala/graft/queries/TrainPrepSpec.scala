@@ -123,16 +123,19 @@ class TrainPrepSpec extends SparkTestBase {
     // gated query uses, via a temp documents view at a tiny scale.
     val reps = ("spam ham " * 20).trim
     val uniq = (1 to 40).map(i => s"w$i").mkString(" ")
-    val df = Seq((0L, reps), (1L, uniq)).toDF("doc_id", "text")
+    val df = Seq((0L, reps), (1L, uniq), (2L, "single")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("srcX"))
       .withColumn("n_chars", length(col("text")))
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_repdocs"
     df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = TrainPrepQueries.defs("q_repetition_filter")(spark, dir)
       .orderBy("doc_id").collect()
+    assert(out.length == 3, "every doc gets a verdict, including bigram-less ones")
     assert(!out(0).getBoolean(6), "pathological repeat must be dropped")
     assert(out(0).getDouble(2) > 0.9) // dup_token_frac: 2 distinct / 40
     assert(out(1).getBoolean(6), "all-distinct doc must be kept")
     assert(out(1).getDouble(2) == 0.0)
+    assert(out(2).getBoolean(6), "1-token doc is trivially non-repetitive")
+    assert(out(2).isNullAt(3) && out(2).getDouble(5) == 0.0)
   }
 }
