@@ -65,6 +65,61 @@ object EventQueries {
           fmt(min(col("ts"))).as("first_ts"),
           count(lit(1)).as("n_total"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Ordered funnel (view → click-after-view → purchase-after-click):
+    // three chained per-user aggregates — each step's anchor is the
+    // previous step's first qualifying timestamp, so the steps must
+    // happen IN ORDER, not merely all occur. Output is the per-stage
+    // user count plus the mean view→purchase latency of completers (in
+    // exact integer microseconds summed, divided once). Shape: three
+    // hash aggregates keyed by user — same shuffle key, so Catalyst
+    // reuses the partitioning; no windows over the full event stream.
+    "q_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
+      val c = e.join(v, Seq("user_id"))
+        .groupBy(col("user_id"), col("v_ts"))
+        .agg(min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
+          col("ts"))).as("c_ts"))
+      val p = e.join(c, Seq("user_id"))
+        .groupBy(col("user_id"), col("v_ts"), col("c_ts"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+          col("ts"))).as("p_ts"))
+      val staged = p.select(
+        when(col("p_ts").isNotNull, 3)
+          .when(col("c_ts").isNotNull, 2)
+          .when(col("v_ts").isNotNull, 1)
+          .otherwise(0).as("stage"),
+        // NTZ→timestamp is identity wall-clock in this UTC session, so
+        // unix_micros matches DuckDB's epoch_us on the naive values.
+        when(col("p_ts").isNotNull,
+          unix_micros(col("p_ts").cast("timestamp"))
+            - unix_micros(col("v_ts").cast("timestamp"))).as("lat_us"))
+      staged.groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_users"),
+          (sum(col("lat_us")).cast(DoubleType) / count(col("lat_us")))
+            .as("avg_view_to_purchase_us"))
+        .orderBy(col("stage"))
+    }),
+
+    // Cohort retention: users grouped by first-seen week; a cell counts
+    // the cohort's users active k weeks later. Two aggregates (first
+    // seen per user, distinct user-week activity) and one join — epoch-
+    // day integer arithmetic only, no timestamp outputs.
+    "q_retention" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("datediff(CAST(ts AS DATE), CAST('2024-01-01' AS DATE)) div 7")
+            .cast(IntegerType).as("week"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val active = e.select(col("user_id"), col("week")).distinct()
+      active.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
     })
   )
 
@@ -115,6 +170,43 @@ object EventQueries {
         |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
         |  COUNT(*) AS n_total
         |FROM r GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, v.v_ts,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.v_ts THEN e.ts END) AS c_ts
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  GROUP BY e.user_id, v.v_ts),
+        |p AS (
+        |  SELECT e.user_id, c.v_ts, c.c_ts,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c_ts THEN e.ts END) AS p_ts
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  GROUP BY e.user_id, c.v_ts, c.c_ts),
+        |staged AS (
+        |  SELECT
+        |    CASE WHEN p_ts IS NOT NULL THEN 3
+        |         WHEN c_ts IS NOT NULL THEN 2
+        |         WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |    CASE WHEN p_ts IS NOT NULL THEN epoch_us(p_ts) - epoch_us(v_ts) END AS lat_us
+        |  FROM p)
+        |SELECT stage, COUNT(*) AS n_users,
+        |  CAST(SUM(lat_us) AS DOUBLE) / COUNT(lat_us) AS avg_view_to_purchase_us
+        |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INTEGER) AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS weeks_since, COUNT(*) AS n_users
+        |FROM active a JOIN cohort c ON c.user_id = a.user_id
+        |GROUP BY c.cohort_week, weeks_since
+        |ORDER BY cohort_week, weeks_since""".stripMargin
   )
 }
