@@ -18,6 +18,15 @@ class QueryLibrarySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("only the two by-nature rows-only queries lack an oracle twin") {
+    // The driver's gate is hash-verification; a query without an oracle
+    // gets only a weak rows-check. Pin the exception set so a forgotten
+    // twin fails here instead of silently weakening the gate.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q_approx_count_distinct", "q_binary_scan"),
+      s"queries without oracle twin: $noOracle")
+  }
+
   test("approx_count_distinct within declared 2% rsd (observed < 10%)") {
     val approx = SparkEntry.queries("q_approx_count_distinct")(spark, sf())
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
