@@ -79,6 +79,52 @@ object SetOpQueries {
           min_by(col("o_orderkey"), col("o_orderkey")).as("first_orderkey"),
           min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // Last-writer-wins upsert on immutable storage: current ∪ updates,
+    // highest version per key survives (the MERGE-INTO-free form — at
+    // 100 TB this is the compaction job that rewrites only affected
+    // partitions). Updates are derived deterministically: every 10th
+    // customer gets a new balance at version 1.
+    "q_merge_upsert" -> ((s, d) => {
+      val cur = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_name"),
+        dec(col("c_acctbal")).cast("double").as("acctbal"), lit(0).as("version"))
+      val upd = Tables.customer(s, d)
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          (dec(col("c_acctbal")) + 100).cast("double").as("acctbal"),
+          lit(1).as("version"))
+      cur.unionByName(upd)
+        .groupBy(col("c_custkey"))
+        .agg(
+          max_by(col("c_name"), col("version")).as("c_name"),
+          max_by(col("acctbal"), col("version")).as("acctbal"),
+          max(col("version")).as("version"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // SCD Type 2 merge: the same updates applied history-preserving —
+    // changed keys get their current row CLOSED (valid_to stamped) plus
+    // a new OPEN row; unchanged keys pass through. One shuffle on the
+    // key; at scale the join is the standard dim-maintenance batch.
+    "q_scd2_merge" -> ((s, d) => {
+      val cur = Tables.customer(s, d).select(
+        col("c_custkey"), dec(col("c_acctbal")).cast("double").as("acctbal"))
+      val upd = Tables.customer(s, d)
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          (dec(col("c_acctbal")) + 100).cast("double").as("new_acctbal"))
+      val joined = cur.join(upd, Seq("c_custkey"), "left")
+      val closedOrCurrent = joined.select(
+        col("c_custkey"), col("acctbal"),
+        lit(0).as("valid_from"),
+        when(col("new_acctbal").isNotNull, 1).as("valid_to"))
+      val opened = joined.filter(col("new_acctbal").isNotNull).select(
+        col("c_custkey"), col("new_acctbal").as("acctbal"),
+        lit(1).as("valid_from"), lit(null).cast("int").as("valid_to"))
+      closedOrCurrent.unionByName(opened)
+        .orderBy(col("c_custkey"), col("valid_from"))
     })
   )
 
@@ -127,6 +173,45 @@ object SetOpQueries {
       """SELECT o_custkey,
         |  MIN(o_orderkey) AS first_orderkey,
         |  arg_min(o_orderstatus, o_orderkey) AS first_status
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal,
+        |    0 AS version
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) + 100 AS DOUBLE) AS acctbal,
+        |    1 AS version
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |u AS (SELECT * FROM cur UNION ALL SELECT * FROM upd)
+        |SELECT c_custkey,
+        |  arg_max(c_name, version) AS c_name,
+        |  arg_max(acctbal, version) AS acctbal,
+        |  CAST(MAX(version) AS INTEGER) AS version
+        |FROM u GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_scd2_merge" ->
+      """WITH cur AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) + 100 AS DOUBLE) AS new_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |j AS (SELECT cur.c_custkey, cur.acctbal, upd.new_acctbal
+        |      FROM cur LEFT JOIN upd ON upd.c_custkey = cur.c_custkey),
+        |rows AS (
+        |  SELECT c_custkey, acctbal, 0 AS valid_from,
+        |    CASE WHEN new_acctbal IS NOT NULL THEN 1 END AS valid_to
+        |  FROM j
+        |  UNION ALL
+        |  SELECT c_custkey, new_acctbal AS acctbal, 1 AS valid_from,
+        |    CAST(NULL AS INTEGER) AS valid_to
+        |  FROM j WHERE new_acctbal IS NOT NULL)
+        |SELECT * FROM rows ORDER BY c_custkey, valid_from""".stripMargin
   )
 }
