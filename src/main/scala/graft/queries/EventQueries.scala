@@ -67,26 +67,31 @@ object EventQueries {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
-    // Ordered funnel (view → click-after-view → purchase-after-click):
+    // Ordered funnel (view → click-after-view → purchase-after-click,
+    // each step within a 24 h conversion window of the previous one):
     // three chained per-user aggregates — each step's anchor is the
     // previous step's first qualifying timestamp, so the steps must
-    // happen IN ORDER, not merely all occur. Output is the per-stage
-    // user count plus the mean view→purchase latency of completers (in
-    // exact integer microseconds summed, divided once). Shape: three
-    // hash aggregates keyed by user — same shuffle key, so Catalyst
-    // reuses the partitioning; no windows over the full event stream.
+    // happen IN ORDER and in time, not merely all occur. The window is
+    // what makes the gate meaningful: without it, every generated user
+    // eventually completes and the stage classification collapses to a
+    // single row. Output is the per-stage user count plus the mean
+    // view→purchase latency of completers (exact integer microseconds
+    // summed, divided once). Shape: three hash aggregates keyed by
+    // user — same shuffle key, so Catalyst reuses the partitioning; no
+    // windows over the full event stream.
     "q_funnel" -> ((s, d) => {
+      val conv = expr("INTERVAL 24 HOURS")
       val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
       val v = e.groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
       val c = e.join(v, Seq("user_id"))
         .groupBy(col("user_id"), col("v_ts"))
-        .agg(min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
-          col("ts"))).as("c_ts"))
+        .agg(min(when(col("event_type") === "click" && col("ts") > col("v_ts")
+          && col("ts") <= col("v_ts") + conv, col("ts"))).as("c_ts"))
       val p = e.join(c, Seq("user_id"))
         .groupBy(col("user_id"), col("v_ts"), col("c_ts"))
-        .agg(min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
-          col("ts"))).as("p_ts"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts") > col("c_ts")
+          && col("ts") <= col("c_ts") + conv, col("ts"))).as("p_ts"))
       val staged = p.select(
         when(col("p_ts").isNotNull, 3)
           .when(col("c_ts").isNotNull, 2)
@@ -178,12 +183,14 @@ object EventQueries {
         |  FROM events GROUP BY user_id),
         |c AS (
         |  SELECT e.user_id, v.v_ts,
-        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.v_ts THEN e.ts END) AS c_ts
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.ts > v.v_ts
+        |             AND e.ts <= v.v_ts + INTERVAL '24 hours' THEN e.ts END) AS c_ts
         |  FROM events e JOIN v ON v.user_id = e.user_id
         |  GROUP BY e.user_id, v.v_ts),
         |p AS (
         |  SELECT e.user_id, c.v_ts, c.c_ts,
-        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c_ts THEN e.ts END) AS p_ts
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c_ts
+        |             AND e.ts <= c.c_ts + INTERVAL '24 hours' THEN e.ts END) AS p_ts
         |  FROM events e JOIN c ON c.user_id = e.user_id
         |  GROUP BY e.user_id, c.v_ts, c.c_ts),
         |staged AS (

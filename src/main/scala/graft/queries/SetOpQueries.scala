@@ -95,12 +95,18 @@ object SetOpQueries {
         .select(col("c_custkey"), col("c_name"),
           (dec(col("c_acctbal")) + 100).cast("double").as("acctbal"),
           lit(1).as("version"))
+      // Winner by row_number over version, NOT max_by/arg_max: DuckDB's
+      // arg_max skips NULL payloads while Spark's max_by returns them,
+      // so the aggregate form silently diverges the moment an update
+      // nulls a column — the row-wise form has identical semantics in
+      // both engines by construction (and keeps the whole winning row
+      // together, which is what an upsert means).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_custkey")).orderBy(col("version").desc)
       cur.unionByName(upd)
-        .groupBy(col("c_custkey"))
-        .agg(
-          max_by(col("c_name"), col("version")).as("c_name"),
-          max_by(col("acctbal"), col("version")).as("acctbal"),
-          max(col("version")).as("version"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("c_name"), col("acctbal"), col("version"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -186,12 +192,12 @@ object SetOpQueries {
         |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) + 100 AS DOUBLE) AS acctbal,
         |    1 AS version
         |  FROM customer WHERE c_custkey % 10 = 0),
-        |u AS (SELECT * FROM cur UNION ALL SELECT * FROM upd)
-        |SELECT c_custkey,
-        |  arg_max(c_name, version) AS c_name,
-        |  arg_max(acctbal, version) AS acctbal,
-        |  CAST(MAX(version) AS INTEGER) AS version
-        |FROM u GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+        |u AS (SELECT * FROM cur UNION ALL SELECT * FROM upd),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+        |  FROM u)
+        |SELECT c_custkey, c_name, acctbal, CAST(version AS INTEGER) AS version
+        |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
 
     "q_scd2_merge" ->
       """WITH cur AS (
