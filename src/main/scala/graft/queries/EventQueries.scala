@@ -109,6 +109,36 @@ object EventQueries {
         .orderBy(col("stage"))
     }),
 
+    // Time-series gap-fill + forward-fill: a dense per-user 4-hour
+    // bucket grid from first to last activity (explode(sequence)), left
+    // join the sparse hourly aggregates, carry the last observed value
+    // across gaps with last(_, ignoreNulls) over an ordered frame — the
+    // resampling step every metrics pipeline needs. Grid size is
+    // bounded (span/bucket per user); the fill is one window over the
+    // (user) shuffle.
+    "q_gap_fill" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val agg = e.groupBy(col("user_id"), window(col("ts"), "4 hours").as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+        .select(col("user_id"), col("w.start").as("bucket"), col("n"), col("sv"))
+      val bounds = e.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+        .select(col("user_id"),
+          expr("CAST(timestamp_seconds((unix_seconds(CAST(mn AS TIMESTAMP)) div 14400) * 14400) AS TIMESTAMP_NTZ)").as("t0"),
+          expr("CAST(timestamp_seconds((unix_seconds(CAST(mx AS TIMESTAMP)) div 14400) * 14400) AS TIMESTAMP_NTZ)").as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(expr("sequence(t0, t1, INTERVAL 4 HOURS)")).as("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(agg, Seq("user_id", "bucket"), "left")
+        .withColumn("sv_filled", last(col("sv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), fmt(col("bucket")).as("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"), col("sv_filled"),
+          col("n").isNull.as("was_gap"))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     // Cohort retention: users grouped by first-seen week; a cell counts
     // the cohort's users active k weeks later. Two aggregates (first
     // seen per user, distinct user-week activity) and one join — epoch-
@@ -203,6 +233,32 @@ object EventQueries {
         |SELECT stage, COUNT(*) AS n_users,
         |  CAST(SUM(lat_us) AS DOUBLE) / COUNT(lat_us) AS avg_view_to_purchase_us
         |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
+
+    "q_gap_fill" ->
+      s"""WITH agg AS (
+         |  SELECT user_id, CAST(time_bucket(INTERVAL '4 hours', ts) AS TIMESTAMP) AS bucket,
+         |    COUNT(*) AS n, ${sqlDsum("value")} AS sv
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT user_id,
+         |    CAST(time_bucket(INTERVAL '4 hours', MIN(ts)) AS TIMESTAMP) AS t0,
+         |    CAST(time_bucket(INTERVAL '4 hours', MAX(ts)) AS TIMESTAMP) AS t1
+         |  FROM events GROUP BY user_id),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '4 hours')) AS bucket
+         |  FROM bounds),
+         |j AS (
+         |  SELECT g.user_id, g.bucket, agg.n, agg.sv
+         |  FROM grid g LEFT JOIN agg ON agg.user_id = g.user_id AND agg.bucket = g.bucket),
+         |f AS (
+         |  SELECT user_id, bucket, n,
+         |    last_value(sv IGNORE NULLS) OVER (
+         |      PARTITION BY user_id ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_filled
+         |  FROM j)
+         |SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  COALESCE(n, 0) AS n, sv_filled, n IS NULL AS was_gap
+         |FROM f ORDER BY user_id, bucket""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (
