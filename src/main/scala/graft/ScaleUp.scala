@@ -78,7 +78,15 @@ object ScaleUp {
       Map("l_orderkey" -> ord, "l_partkey" -> prt, "l_suppkey" -> supp)))
     // user_id is NOT shifted: scale grows per-user history depth (the
     // skew-relevant axis for sessionization), not the user population.
-    write("events", replicate(t("events"), Map("event_id" -> evt)))
+    // ts (read as raw int64 nanos, see the session conf) is written back
+    // as a real micros timestamp so the replica satisfies the same
+    // oracle-side contract as the driver file (DuckDB sees TIMESTAMP,
+    // not BIGINT); Tables.events handles either physical type.
+    write("events", replicate(t("events"), Map("event_id" -> evt))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast("timestamp_ntz")))
     write("documents", replicate(t("documents"), Map("doc_id" -> doc)))
     write("embeddings", replicate(t("embeddings"), Map("vec_id" -> vec)))
     spark.stop()

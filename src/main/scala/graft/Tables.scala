@@ -27,17 +27,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as raw nanos and floor-convert to a
-    * microsecond timestamp_ntz (identical to DuckDB's own nanos->micros
-    * truncation, so oracle comparisons agree). */
+  /** The driver's `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read it as raw nanos and floor-convert
+    * to a microsecond timestamp_ntz (identical to DuckDB's own
+    * nanos->micros truncation, so oracle comparisons agree). A ScaleUp
+    * replica already stores micros timestamp_ntz — pass it through. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))
-          .cast("timestamp_ntz"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast("timestamp_ntz"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -176,7 +176,7 @@ object EventQueries {
 
     "q_window_session" ->
       s"""WITH marked AS (
-         |  SELECT user_id, ts, value,
+         |  SELECT user_id, ts, event_id, value,
          |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          |              >= INTERVAL '5 minutes' OR
          |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -184,7 +184,7 @@ object EventQueries {
          |  FROM events),
          |sess AS (
          |  SELECT user_id, ts, value,
-         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
          |  FROM marked)
          |SELECT user_id,

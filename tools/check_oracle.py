@@ -40,9 +40,13 @@ def cell_eq(a, b):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # Driver test data is one file per table; ScaleUp output is a
+        # directory of part files — glob in that case.
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
