@@ -95,8 +95,14 @@ object GraftFunctions {
     GraftShim.toColumn(CosineSimilarity(
       GraftShim.toExpression(a), GraftShim.toExpression(b)))
 
-  /** Register `cosine_sim` for SQL use on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def portable_hash60(s: Column): Column =
+    GraftShim.toColumn(PortableHash60(GraftShim.toExpression(s)))
+
+  /** Register the custom expressions for SQL use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "portable_hash60", exprs => PortableHash60(exprs.head), "scala_udf")
+  }
 }

@@ -12,9 +12,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Deliberately small: SURVEY.md §4 records that no custom
   * Rule/SparkStrategy is REQUIRED — every reference operator composes
-  * from built-ins — so the extension surface carries only the one native
-  * expression that earns its place on performance (see
-  * `CosineSimilarity`).
+  * from built-ins — so the extension surface carries only the two native
+  * expressions that earn their place on performance
+  * (`CosineSimilarity`, `PortableHash60`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("portable_hash60"),
+      new ExpressionInfo(classOf[PortableHash60].getName, "portable_hash60"),
+      (exprs: Seq[Expression]) => PortableHash60(exprs.head)))
   }
 }

@@ -23,10 +23,14 @@ import QueryUtil._
 object TextQueries {
 
   /** Portable 60-bit string hash: identical in DuckDB via
-    * `CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`. */
+    * `CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`. Computed by the
+    * native codegen expression [[graft.functions.PortableHash60]] (one
+    * digest, no hex-string round-trip) — bit-identical to the composed
+    * `conv(substring(md5(..), 1, 15), 16, 10)` form, which
+    * CustomFunctionsSpec locks in as a property test. */
   private[queries] def phash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat_ws(":", lit(seed.toString), c)), 1, 15), 16, 10)
-      .cast(LongType)
+    graft.functions.GraftFunctions.portable_hash60(
+      concat_ws(":", lit(seed.toString), c))
 
   private[queries] def sqlPhash(x: String, seed: Int): String =
     s"CAST('0x' || substring(md5('$seed' || ':' || $x), 1, 15) AS BIGINT)"
