@@ -272,8 +272,8 @@ object SimilarityQueries {
     val nProbe = 4
     val emb = Tables.embeddings(s, d)
     val cents = emb
-      .withColumn("h", conv(substring(md5(concat(lit("seed:"),
-        col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType))
+      .withColumn("h", graft.functions.GraftFunctions.portable_hash60(
+        concat(lit("seed:"), col("vec_id").cast(StringType))))
       .orderBy(col("h"), col("vec_id")).limit(nCent)
       .select(col("vec_id").as("seed_id"), col("embedding").as("cent"))
       .withColumn("cid", row_number().over(
