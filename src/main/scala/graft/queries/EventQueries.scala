@@ -139,6 +139,31 @@ object EventQueries {
         .orderBy(col("user_id"), col("bucket"))
     }),
 
+    // Gaps-and-islands: longest consecutive-day activity streak per
+    // user. Island id = epoch_day - dense_rank (constant within a
+    // consecutive run, distinct across gaps); one window + one aggregate
+    // on the (user) shuffle. Integer day arithmetic only.
+    "q_streaks" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("datediff(CAST(ts AS DATE), CAST('2024-01-01' AS DATE))")
+            .cast(IntegerType).as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("island", col("day") - dense_rank().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("streak_len"), min(col("day")).as("start_day"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("streak_len")).as("longest_streak"),
+          max_by(col("start_day"), struct(col("streak_len"), -col("start_day")))
+            .as("longest_start_day"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    }),
+
     // Cohort retention: users grouped by first-seen week; a cell counts
     // the cohort's users active k weeks later. Two aggregates (first
     // seen per user, distinct user-week activity) and one join — epoch-
@@ -259,6 +284,28 @@ object EventQueries {
          |SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
          |  COALESCE(n, 0) AS n, sv_filled, n IS NULL AS was_gap
          |FROM f ORDER BY user_id, bucket""".stripMargin,
+
+    "q_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, island, COUNT(*) AS streak_len, MIN(day) AS start_day
+        |  FROM isl GROUP BY user_id, island),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY streak_len DESC, start_day) AS rn
+        |  FROM streaks)
+        |SELECT user_id,
+        |  MAX(streak_len) AS longest_streak,
+        |  MAX(CASE WHEN rn = 1 THEN start_day END) AS longest_start_day,
+        |  COUNT(*) AS n_streaks
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (
