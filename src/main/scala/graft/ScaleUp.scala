@@ -78,15 +78,18 @@ object ScaleUp {
       Map("l_orderkey" -> ord, "l_partkey" -> prt, "l_suppkey" -> supp)))
     // user_id is NOT shifted: scale grows per-user history depth (the
     // skew-relevant axis for sessionization), not the user population.
-    // ts (read as raw int64 nanos, see the session conf) is written back
-    // as a real micros timestamp so the replica satisfies the same
-    // oracle-side contract as the driver file (DuckDB sees TIMESTAMP,
-    // not BIGINT); Tables.events handles either physical type.
-    write("events", replicate(t("events"), Map("event_id" -> evt))
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))
-          .cast("timestamp_ntz")))
+    // ts is written as a real micros timestamp so the replica satisfies
+    // the same oracle-side contract as the driver file (DuckDB sees
+    // TIMESTAMP, not BIGINT). Type dispatch makes replica-of-replica
+    // runs work: the driver file reads as int64 nanos (session conf),
+    // a replica already reads as timestamp_ntz.
+    val ev = t("events")
+    val evTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", Tables.nanosToNtz("ts"))
+      case _ => ev
+    }
+    write("events", replicate(evTs, Map("event_id" -> evt)))
     write("documents", replicate(t("documents"), Map("doc_id" -> doc)))
     write("embeddings", replicate(t("embeddings"), Map("vec_id" -> vec)))
     spark.stop()

@@ -27,6 +27,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** int64-nanos column → micros timestamp_ntz, by INTEGRAL division
+    * (a double-routed /1000 would lose micros at nano magnitudes).
+    * Shared by the read path and ScaleUp so replicas can never diverge
+    * from the driver-file conversion. */
+  private[graft] def nanosToNtz(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"CAST(timestamp_micros($colName div 1000) AS TIMESTAMP_NTZ)")
+
   /** The driver's `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects; read it as raw nanos and floor-convert
     * to a microsecond timestamp_ntz (identical to DuckDB's own
@@ -37,10 +45,7 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000"))
-            .cast("timestamp_ntz"))
+        raw.withColumn("ts", nanosToNtz("ts"))
       case _ => raw
     }
   }

@@ -121,11 +121,13 @@ object EventQueries {
       val agg = e.groupBy(col("user_id"), window(col("ts"), "4 hours").as("w"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
         .select(col("user_id"), col("w.start").as("bucket"), col("n"), col("sv"))
-      val bounds = e.groupBy(col("user_id"))
-        .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
-        .select(col("user_id"),
-          expr("CAST(timestamp_seconds((unix_seconds(CAST(mn AS TIMESTAMP)) div 14400) * 14400) AS TIMESTAMP_NTZ)").as("t0"),
-          expr("CAST(timestamp_seconds((unix_seconds(CAST(mx AS TIMESTAMP)) div 14400) * 14400) AS TIMESTAMP_NTZ)").as("t1"))
+      // Bounds come FROM the aggregated buckets (min/max window start),
+      // not from a second raw scan: one source pass instead of two, and
+      // the grid endpoints use window()'s own flooring by construction
+      // (a hand-rolled `div`-based floor truncates toward zero and
+      // diverges from the bucketing for pre-epoch timestamps).
+      val bounds = agg.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("t0"), max(col("bucket")).as("t1"))
       val grid = bounds.select(col("user_id"),
         explode(expr("sequence(t0, t1, INTERVAL 4 HOURS)")).as("bucket"))
       val w = org.apache.spark.sql.expressions.Window
@@ -265,10 +267,8 @@ object EventQueries {
          |    COUNT(*) AS n, ${sqlDsum("value")} AS sv
          |  FROM events GROUP BY 1, 2),
          |bounds AS (
-         |  SELECT user_id,
-         |    CAST(time_bucket(INTERVAL '4 hours', MIN(ts)) AS TIMESTAMP) AS t0,
-         |    CAST(time_bucket(INTERVAL '4 hours', MAX(ts)) AS TIMESTAMP) AS t1
-         |  FROM events GROUP BY user_id),
+         |  SELECT user_id, MIN(bucket) AS t0, MAX(bucket) AS t1
+         |  FROM agg GROUP BY user_id),
          |grid AS (
          |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '4 hours')) AS bucket
          |  FROM bounds),
