@@ -63,12 +63,20 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // HLL++ sketch — no exact SQL twin (estimate), driver rows-only check;
-    // the ScalaTest spec asserts relative error vs the exact count.
+    // HLL++ sketch, made oracle-checkable without faking sketch internals:
+    // emit the EXACT count plus a boolean asserting the approximate count
+    // is within the configured relative-error bound. The DuckDB twin
+    // computes the same exact counts and a literal TRUE, so the hash gate
+    // verifies the error bound itself (rsd=0.02 → assert within 5%).
     "q_approx_count_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders")).cast(DoubleType)
+            / col("exact_orders").cast(DoubleType) <= 0.05).as("within_bound"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -176,15 +184,25 @@ object AggQueries {
         sum(col("c").cast(DecimalType(38, 0))).cast(DoubleType).as("s1"),
         sum((col("c") * col("c")).cast(DecimalType(38, 0))).cast(DoubleType).as("s2"))
         .withColumn("mean_c", col("s1") / col("n").cast(DoubleType))
+        // Degenerate-group guards (single-row → 0/0, zero-variance → x/0):
+        // Spark returns NULL on double 0/0 but DuckDB's IEEE default gives
+        // nan/inf, so NULL the std explicitly here and with NULLIF-style
+        // CASEs in the twin — identical on any data, not just TPC-H shapes.
         .withColumn("std_c",
-          sqrt((col("s2") - col("s1") * col("s1") / col("n").cast(DoubleType))
-            / (col("n") - 1).cast(DoubleType)))
+          when(col("n") > 1,
+            sqrt((col("s2") - col("s1") * col("s1") / col("n").cast(DoubleType))
+              / (col("n") - 1).cast(DoubleType))))
       val z = o.join(broadcast(stats), Seq("o_orderpriority"))
-        .withColumn("z", (col("c") - col("mean_c")) / col("std_c"))
+        .withColumn("z",
+          when(col("std_c").isNotNull && col("std_c") =!= 0.0,
+            (col("c") - col("mean_c")) / col("std_c")))
       z.groupBy(col("o_orderpriority"), col("n"), col("mean_c"), col("std_c"))
         .agg(
           count(when(abs(col("z")) > 1.5, lit(1))).as("n_beyond_1_5"),
-          max_by(col("o_orderkey"), struct(abs(col("z")), -col("o_orderkey")))
+          // NULL ordering key for NULL z → max_by skips the row, so a fully
+          // degenerate group yields NULL (mirrored by the twin's rn filter).
+          max_by(col("o_orderkey"),
+            when(col("z").isNotNull, struct(abs(col("z")), -col("o_orderkey"))))
             .as("extreme_orderkey"),
           max(abs(col("z"))).as("max_abs_z"))
         .select(col("o_orderpriority"), col("n"),
@@ -221,6 +239,12 @@ object AggQueries {
         |  COUNT(DISTINCT l_orderkey) AS n_orders,
         |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
         |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_collect_list" ->
@@ -292,11 +316,14 @@ object AggQueries {
         |  FROM o GROUP BY o_orderpriority),
         |m AS (
         |  SELECT o_orderpriority, n, s1 / CAST(n AS DOUBLE) AS mean_c,
-        |    sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS std_c
+        |    CASE WHEN n > 1 THEN
+        |      sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+        |    END AS std_c
         |  FROM stats),
         |z AS (
         |  SELECT o.o_orderpriority, m.n, m.mean_c, m.std_c, o.o_orderkey,
-        |    (o.c - m.mean_c) / m.std_c AS z
+        |    CASE WHEN m.std_c IS NOT NULL AND m.std_c <> 0
+        |      THEN (o.c - m.mean_c) / m.std_c END AS z
         |  FROM o JOIN m ON o.o_orderpriority = m.o_orderpriority),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
@@ -305,7 +332,7 @@ object AggQueries {
         |SELECT o_orderpriority, n, mean_c / 100.0 AS mean_price,
         |  std_c / 100.0 AS std_price,
         |  COUNT(CASE WHEN abs(z) > 1.5 THEN 1 END) AS n_beyond_1_5,
-        |  MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS extreme_orderkey,
+        |  MAX(CASE WHEN rn = 1 AND z IS NOT NULL THEN o_orderkey END) AS extreme_orderkey,
         |  MAX(abs(z)) AS max_abs_z
         |FROM r GROUP BY o_orderpriority, n, mean_c, std_c
         |ORDER BY o_orderpriority""".stripMargin

@@ -140,17 +140,35 @@ object RelationalQueries {
       s.read.schema(schema).json(tmp).orderBy(col("r_regionkey"))
     }),
 
-    // S1/S4/S7: binary scan of the data directory itself (glob-filtered,
-    // recursive). No SQL twin — driver records rows>0. The multimodal
-    // pipeline (graft.operators.Multimodal) builds on this source.
-    "q_binary_scan" -> ((s, d) => {
-      s.read.format("binaryFile")
-        .option("pathGlobFilter", "*.parquet")
-        .option("recursiveFileLookup", "true")
-        .load(d)
+    // S1/S4/S7: binary/multimodal scan through the DataSource V2
+    // container reader, over the CANONICAL deterministic fixture tree
+    // (graft.sources.DicomFixtures — independent of the sf dir, so the
+    // result is identical at every scale). The oracle twin is a golden
+    // parquet computed by tools/gen_binary_golden.py, a plain-Python
+    // reimplementation of the container math that shares no code with
+    // the source under test — so the hash gate checks header parse,
+    // metadata extraction, the REAL frame decode (uint8 tensor), pixel
+    // stats, and the payload checksum, end to end.
+    "q_binary_scan" -> ((s, _) => {
+      val root = graft.sources.DicomFixtures.ensure()
+      s.read.format(classOf[graft.sources.DicomLikeSource].getName)
+        .load(root.toString)
         .select(
           element_at(split(col("path"), "/"), -1).as("file_name"),
-          col("length"))
+          col("length"),
+          col("meta.SOPInstanceUID").as("uid"),
+          col("meta.PatientID").as("patient"),
+          col("meta.Modality").as("modality"),
+          when(col("meta").isNotNull,
+            array_join(transform(col("meta.ImageShape"), _.cast(StringType)), "x"))
+            .as("shape"),
+          col("meta.pixelBytes").as("pixel_bytes"),
+          col("pixel_checksum"),
+          when(col("frames").isNotNull, size(col("frames"))).as("n_frames"),
+          array_min(flatten(col("frames"))).as("px_min"),
+          array_max(flatten(col("frames"))).as("px_max"),
+          (aggregate(flatten(col("frames")), lit(0L), (acc, x) => acc + x)
+            .cast(DoubleType) / col("meta.pixelBytes").cast(DoubleType)).as("px_mean"))
         .orderBy(col("file_name"))
     })
   )
@@ -201,6 +219,15 @@ object RelationalQueries {
 
     "q_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    // Golden twin: tools/gen_binary_golden.py recomputes the expected
+    // extraction (container byte math reimplemented in Python, no shared
+    // code) and commits it as parquet; DuckDB just replays it.
+    "q_binary_scan" ->
+      """SELECT file_name, length, uid, patient, modality, shape,
+        |  pixel_bytes, pixel_checksum, n_frames, px_min, px_max, px_mean
+        |FROM read_parquet('/root/repo/tools/golden/binary_scan_golden.parquet')
+        |ORDER BY file_name""".stripMargin,
 
     "q_zorder_key" -> {
       val zTerms = (0 until 8).map(i =>

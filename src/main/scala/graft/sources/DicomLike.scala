@@ -21,10 +21,16 @@ import org.apache.spark.sql.types._
   * DICOM tag walker changes only [[parseMeta]]'s body.
   *
   * The extraction is a Scala UDF (the reference's only non-relational
-  * kernel, SURVEY.md §2.2 "UDF surface"); pixel data stays an opaque
-  * binary payload whose shape metadata rides in the struct — the
-  * "decode" of pixels to tensors is deliberately STUBBED as
-  * shape+checksum (no imaging libs in this environment).
+  * kernel, SURVEY.md §2.2 "UDF surface"). The pixel payload has a REAL
+  * decode: the container commits to a row-major uint8 tensor whose
+  * byte length equals product(ImageShape), decoded by [[decodeFrames]]
+  * into one `Array[Int]` of rows×cols values per leading-axis slice
+  * (the reference reads `ds.pixel_array` and branches on `ndim == 3`,
+  * `generate_mapping.py:116-117,125` — here the decoded frame count and
+  * values are first-class columns). A shape/payload mismatch yields
+  * NULL frames while the metadata stays valid, mirroring the
+  * try/except-to-None posture. `pixelChecksum` remains as a cheap
+  * whole-payload integrity digest alongside the decode.
   */
 object DicomLike {
 
@@ -110,40 +116,82 @@ object DicomLike {
       .filter(col("meta").isNotNull)
       .select(col("path").as("ImagePath"), col("meta.*"))
 
-  /** One sampled frame: slice index + its byte range + a per-frame
-    * digest standing in for decoded pixels. */
-  case class Frame(slice: Int, offset: Long, nBytes: Long, digest: Long)
-
-  /** Frame sampling over the opaque pixel payload: pick `k` evenly
-    * spaced slices using the shape metadata, slice the corresponding
-    * byte ranges, and emit a per-frame record. The byte geometry
-    * (payload split into shape[0] equal slices) is real; the per-frame
-    * "decode" is the deterministic digest stub — swapping in an image
-    * lib changes only [[frameDigest]]. */
-  private def frameDigest(bytes: Array[Byte], from: Int, until: Int): Long = {
-    var h = 1125899906842597L
-    var i = from
-    while (i < until && i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
-    h
+  /** Byte offset where the pixel payload starts, or None if the header
+    * is malformed. */
+  private[sources] def payloadStart(bytes: Array[Byte]): Option[Int] = {
+    if (bytes == null || bytes.length < Magic.length + 4) return None
+    if (!bytes.take(Magic.length).sameElements(Magic)) return None
+    val metaLen = ByteBuffer.wrap(bytes, Magic.length, 4).getInt
+    val start = Magic.length + 4 + metaLen
+    if (metaLen < 0 || start > bytes.length) None else Some(start)
   }
 
+  /** REAL pixel decode. Contract: the payload is a row-major uint8
+    * tensor of exactly product(shape) bytes; the leading axis is the
+    * slice/frame axis. Returns one Array[Int] (values 0–255) per frame;
+    * None when the header is malformed or payload length ≠
+    * product(shape) — a mismatched file is undecodable, not truncated. */
+  def decodeFrames(bytes: Array[Byte], shape: Seq[Int]): Option[Seq[Array[Int]]] = {
+    val start = payloadStart(bytes).getOrElse(return None)
+    if (shape.isEmpty || shape.exists(_ <= 0)) return None
+    val prod = shape.foldLeft(1L)(_ * _)
+    if (prod != (bytes.length - start).toLong) return None
+    val nSlices = shape.head
+    val per = (prod / nSlices).toInt
+    Some((0 until nSlices).map { s =>
+      val a = new Array[Int](per)
+      var i = 0
+      val base = start + s * per
+      while (i < per) { a(i) = bytes(base + i) & 0xff; i += 1 }
+      a
+    })
+  }
+
+  private val decodeUdf = udf((bytes: Array[Byte], shape: Seq[Int]) =>
+    if (bytes == null || shape == null) None else decodeFrames(bytes, shape))
+
+  /** Decorate a scan with the decoded `frames` column (NULL when
+    * undecodable) — the v1 twin of the V2 source's `frames` column. */
+  def withFrames(scanned: DataFrame): DataFrame =
+    withMeta(scanned)
+      .withColumn("frames", decodeUdf(col("content"), col("meta.ImageShape")))
+
+  /** One sampled frame: slice index + its byte range + decoded-pixel
+    * statistics for that slice. */
+  case class Frame(slice: Int, offset: Long, nBytes: Long,
+      pxMin: Int, pxMax: Int, pxMean: Double)
+
+  /** Frame sampling over the pixel payload: pick `k` evenly spaced
+    * slices using the shape metadata, slice the corresponding byte
+    * ranges, and emit per-slice DECODED pixel stats (uint8 min/max/mean
+    * — the mean is an exact integer sum over the slice divided once, so
+    * it is partition-order independent). Tolerates payloads whose length
+    * is not an exact multiple of the slice count by flooring the
+    * per-slice byte width, like a trailing-padding container would. */
   private def sampleFramesImpl(bytes: Array[Byte], shape: Seq[Int], k: Int): Seq[Frame] = {
     if (bytes == null || shape.isEmpty || shape.head <= 0) return Seq.empty
-    val metaEnd = {
-      if (bytes.length < Magic.length + 4) return Seq.empty
-      Magic.length + 4 + ByteBuffer.wrap(bytes, Magic.length, 4).getInt
-    }
-    if (metaEnd < 0 || metaEnd > bytes.length) return Seq.empty
+    val metaEnd = payloadStart(bytes).getOrElse(return Seq.empty)
     val nSlices = shape.head
     val payload = bytes.length - metaEnd
     val perSlice = math.max(1L, payload.toLong / nSlices)
     val picks = if (k >= nSlices) 0 until nSlices
       else (0 until k).map(i => (i.toLong * nSlices / k).toInt)
     picks.map { s =>
-      val from = metaEnd + s * perSlice
-      val until = math.min(bytes.length.toLong, from + perSlice)
-      Frame(s, from - metaEnd, until - from,
-        frameDigest(bytes, from.toInt, until.toInt))
+      val from = (metaEnd + s * perSlice).toInt
+      val until = math.min(bytes.length.toLong, from + perSlice).toInt
+      var mn = 255; var mx = 0; var sum = 0L
+      var i = from
+      while (i < until) {
+        val v = bytes(i) & 0xff
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        sum += v
+        i += 1
+      }
+      val n = until - from
+      Frame(s, from.toLong - metaEnd, n.toLong,
+        if (n == 0) 0 else mn, if (n == 0) 0 else mx,
+        if (n == 0) 0.0 else sum.toDouble / n)
     }
   }
 
@@ -159,17 +207,28 @@ object DicomLike {
         explode(framesUdf(col("content"), col("meta.ImageShape"), lit(k))).as("frame"))
       .select(col("uid"), col("shape"), col("frame.*"))
 
-  /** Feature-extraction stub: fixed-length deterministic feature vector
-    * per volume (payload digests at stratified offsets) — the schema,
-    * batching and partitioning of a real embedding UDF without the
-    * model. */
-  private val featureUdf = udf((bytes: Array[Byte], dim: Int) =>
-    if (bytes == null) null
-    else Array.tabulate(dim) { i =>
-      val from = (i.toLong * bytes.length / dim).toInt
-      val until = ((i + 1).toLong * bytes.length / dim).toInt
-      (frameDigest(bytes, from, math.max(until, from + 1)) % 1000L).toFloat / 1000f
-    })
+  /** Feature extraction from DECODED pixel values: the payload's uint8
+    * values are split into `dim` stratified buckets and each feature is
+    * that bucket's mean intensity scaled to [0,1] — a deterministic,
+    * partition-order-independent stand-in for a learned embedding with
+    * the same schema, batching and partitioning. */
+  private val featureUdf = udf((bytes: Array[Byte], dim: Int) => {
+    val start = if (bytes == null) None else payloadStart(bytes)
+    start.map { s =>
+      val n = bytes.length - s
+      Array.tabulate(dim) { i =>
+        val from = s + (i.toLong * n / dim).toInt
+        val until = s + ((i + 1).toLong * n / dim).toInt
+        if (until <= from) 0f
+        else {
+          var sum = 0L
+          var j = from
+          while (j < until) { sum += bytes(j) & 0xff; j += 1 }
+          (sum.toDouble / (until - from) / 255.0).toFloat
+        }
+      }
+    }.orNull
+  })
 
   def extractFeatures(scanned: DataFrame, dim: Int = 16): DataFrame =
     withMeta(scanned)

@@ -27,12 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Pruning contract (exercised by DicomLikeV2Spec):
   *   - `meta` (all tag fields + pixelBytes) needs only the header;
   *     pixelBytes derives from file length minus header length.
-  *   - `pixel_checksum` — the stub stand-in for pixel DECODE — is
-  *     deliberately a TOP-LEVEL column, so Spark's guaranteed top-level
+  *   - `frames` — the REAL pixel decode (row-major uint8 tensor →
+  *     array<array<int>>, one inner array per leading-axis slice; NULL
+  *     when payload length ≠ product(ImageShape)) — and
+  *     `pixel_checksum` (whole-payload integrity digest) are
+  *     deliberately TOP-LEVEL columns, so Spark's guaranteed top-level
   *     column pruning (SupportsPushDownRequiredColumns) makes the
   *     payload read provably skippable; DicomLikeV2Spec asserts zero
   *     payload bytes read for metadata-only queries via
-  *     [[DicomLikeSource.payloadBytesRead]].
+  *     [[DicomLikeSource.payloadBytesRead]], and that any combination
+  *     of frames/checksum/content reads the payload exactly ONCE.
   *   - `content` returns the whole file (v1-compatible escape hatch).
   *
   * Scale shape: the driver lists the tree once and greedy-packs files
@@ -70,6 +74,7 @@ object DicomLikeSource {
     StructField("path", StringType, nullable = false),
     StructField("length", LongType, nullable = false),
     StructField("meta", metaSchema),
+    StructField("frames", ArrayType(ArrayType(IntegerType, containsNull = false))),
     StructField("pixel_checksum", LongType),
     StructField("content", BinaryType)))
 
@@ -185,9 +190,10 @@ private[sources] class DicomLikeReaderFactory(
 private[sources] class DicomLikeReader(
     files: Seq[(String, Long)], requiredSchema: StructType,
     hadoopConf: Map[String, String])
-    extends PartitionReader[InternalRow] {
+    extends PartitionReader[InternalRow] with org.apache.spark.internal.Logging {
 
   private val needContent = requiredSchema.fieldNames.contains("content")
+  private val needFrames = requiredSchema.fieldNames.contains("frames")
 
   private val conf = DicomLikeSource.confFrom(hadoopConf)
   private val it = files.iterator
@@ -226,27 +232,50 @@ private[sources] class DicomLikeReader(
       val pixelStart = if (metaOk) headerLen.toLong + metaLen else len
       val pixelBytes = len - pixelStart
       // Arrays are bounded by Int.MaxValue: a >=2 GiB file cannot be
-      // materialized as `content` (NULL, like malformed rows); the
-      // checksum path streams and has no size limit.
+      // materialized as `content` (NULL, like malformed rows — warned
+      // below so size-truncation stays distinguishable from corruption);
+      // the checksum path streams and has no size limit.
       val fitsArray = len < Int.MaxValue.toLong - 8
+      if (!fitsArray && needContent)
+        logWarning(s"dicomlike: $path is ${len}B >= 2 GiB; content column " +
+          "is NULL (array limit) — metadata/checksum remain available")
+
+      val shape: Seq[Int] = kv.get("ImageShape")
+        .map(_.split("x").toSeq.flatMap(_.toIntOption)).getOrElse(Seq.empty)
+      val shapeProd: Long =
+        if (shape.isEmpty || shape.exists(_ <= 0)) -1L else shape.foldLeft(1L)(_ * _)
+      val decodable = metaOk && shapeProd == pixelBytes && fitsArray
 
       // Whole-file bytes for the `content` projection — read (and its
       // payload portion counted) at most ONCE per file, shared with the
-      // checksum so a content+checksum projection does not re-read.
+      // frames decode and checksum so no projection combination re-reads.
       lazy val full: Array[Byte] = {
         val b = new Array[Byte](len.toInt)
         in.readFully(0, b)
         DicomLikeSource.payloadBytesRead.addAndGet(pixelBytes)
         b
       }
-      // Payload checksum: reuses `full` when the content projection
-      // materializes the file anyway; otherwise streams the payload
-      // region in bounded chunks (never a whole-payload array).
+      // Payload region as one array: view into `full` when content is
+      // materialized anyway, else a single counted payload read.
+      lazy val payloadArr: Array[Byte] =
+        if (needContent && fitsArray)
+          java.util.Arrays.copyOfRange(full, pixelStart.toInt, len.toInt)
+        else {
+          val b = new Array[Byte](pixelBytes.toInt)
+          in.readFully(pixelStart, b)
+          DicomLikeSource.payloadBytesRead.addAndGet(pixelBytes)
+          b
+        }
+      // Payload checksum: reuses the already-materialized bytes when the
+      // content/frames projection pays for them; otherwise streams the
+      // payload region in bounded chunks (never a whole-payload array).
       lazy val payloadSum: Long =
-        if (needContent && fitsArray) {
+        if (fitsArray && (needContent || (needFrames && decodable))) {
+          val p = if (needContent) full else payloadArr
+          val from = if (needContent) pixelStart.toInt else 0
           var sum = 0L
-          var i = pixelStart.toInt
-          while (i < full.length) { sum = sum * 31 + (full(i) & 0xff); i += 1 }
+          var i = from
+          while (i < p.length) { sum = sum * 31 + (p(i) & 0xff); i += 1 }
           sum
         } else {
           val buf = new Array[Byte](1 << 20)
@@ -270,6 +299,22 @@ private[sources] class DicomLikeReader(
           case "length" => len
           case "content" =>
             if (fitsArray) full else null
+          case "frames" =>
+            // Real decode: row-major uint8 tensor, one inner array per
+            // leading-axis slice. NULL when payload ≠ product(shape).
+            if (!metaValid || !decodable) null
+            else {
+              val p = payloadArr // payload-only bytes, read/counted once
+              val nSlices = shape.head
+              val per = (shapeProd / nSlices).toInt
+              new GenericArrayData(Array.tabulate[Any](nSlices) { s =>
+                val a = new Array[Int](per)
+                var i = 0
+                val base = s * per
+                while (i < per) { a(i) = p(base + i) & 0xff; i += 1 }
+                new GenericArrayData(a)
+              })
+            }
           case "pixel_checksum" =>
             if (!metaValid) null
             else java.lang.Long.valueOf(payloadSum)

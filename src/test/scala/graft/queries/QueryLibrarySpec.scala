@@ -18,32 +18,45 @@ class QueryLibrarySpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("only the two by-nature rows-only queries lack an oracle twin") {
-    // The driver's gate is hash-verification; a query without an oracle
-    // gets only a weak rows-check. Pin the exception set so a forgotten
-    // twin fails here instead of silently weakening the gate.
+  test("EVERY gated query has an oracle twin — the hash gate is total") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_approx_count_distinct", "q_binary_scan"),
-      s"queries without oracle twin: $noOracle")
+    assert(noOracle.isEmpty, s"queries without oracle twin: $noOracle")
   }
 
-  test("approx_count_distinct within declared 2% rsd (observed < 10%)") {
-    val approx = SparkEntry.queries("q_approx_count_distinct")(spark, sf())
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("approx_count_distinct: exact counts right, error bound hash-gated") {
+    val rows = SparkEntry.queries("q_approx_count_distinct")(spark, sf())
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     val exact = Tables.lineitem(spark, sf())
       .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === exact.keySet)
     exact.foreach { case (k, n) =>
-      val err = math.abs(approx(k) - n).toDouble / n
-      assert(err < 0.10, s"flag $k: approx=${approx(k)} exact=$n err=$err")
+      assert(rows(k)._1 === n, s"flag $k exact count")
+      assert(rows(k)._2, s"flag $k: HLL estimate outside the 5% bound")
     }
   }
 
-  test("binary scan sees every table file with correct sizes") {
+  test("binary scan matches the independently generated Python golden") {
+    // The oracle twin replays tools/golden/binary_scan_golden.parquet
+    // (written by tools/gen_binary_golden.py — container byte math
+    // reimplemented with no shared code). Compare cell-for-cell here so
+    // the parity holds in-repo, not only at driver gate time.
     val got = SparkEntry.queries("q_binary_scan")(spark, sf())
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got.keySet === Tables.names.map(_ + ".parquet").toSet)
-    got.values.foreach(len => assert(len > 0))
+      .collect()
+    val want = spark.read.parquet("/root/repo/tools/golden/binary_scan_golden.parquet")
+      .orderBy(col("file_name")).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) === w.getString(0)) // file_name
+      assert(g.getLong(1) === w.getLong(1), s"length of ${g.getString(0)}")
+      assert(Option(g.get(2)).map(_.toString) === Option(w.get(2)).map(_.toString), "uid")
+      assert(Option(g.get(7)).map(_.toString) === Option(w.get(7)).map(_.toString),
+        s"pixel_checksum of ${g.getString(0)}")
+      assert(Option(g.get(8)).map(_.toString) === Option(w.get(8)).map(_.toString),
+        s"n_frames of ${g.getString(0)}")
+      assert(Option(g.get(11)).map(_.toString) === Option(w.get(11)).map(_.toString),
+        s"px_mean of ${g.getString(0)}")
+    }
   }
 
   test("LSH ANN recall vs brute-force top-k (same bucket ⇒ found)") {

@@ -65,7 +65,7 @@ class DicomLikeSpec extends SparkTestBase {
     assert(row.getAs[String]("ViewModifier") === null)
   }
 
-  test("frame sampling slices the payload by shape; features are fixed-length") {
+  test("frame sampling decodes per-slice pixel stats; features are bucket means") {
     val root = Files.createTempDirectory("dicom_frames")
     writeVolume(root, "EA1141-4001", "19400604", "u1",
       Map("FrameLaterality" -> "R"), shape = Seq(8, 10, 10)) // 8 slices, 64 payload bytes
@@ -75,18 +75,43 @@ class DicomLikeSpec extends SparkTestBase {
     assert(frames.length === 4)
     assert(frames.map(_.getAs[Int]("slice")).toSeq === Seq(0, 2, 4, 6))
     assert(frames.forall(_.getAs[Long]("nBytes") === 8L)) // 64 bytes / 8 slices
-    // deterministic digests, distinct per frame for this payload
-    assert(frames.map(_.getAs[Long]("digest")).distinct.length === 4)
+    // real per-slice uint8 stats: independently recompute from the known
+    // pixel formula pixels(i) = (i*7 + "u1".hashCode) & 0xff
+    val pix = Array.tabulate(64)(i => (i * 7 + "u1".hashCode) & 0xff)
+    frames.foreach { f =>
+      val s = f.getAs[Int]("slice")
+      val sl = pix.slice(s * 8, s * 8 + 8)
+      assert(f.getAs[Int]("pxMin") === sl.min)
+      assert(f.getAs[Int]("pxMax") === sl.max)
+      assert(f.getAs[Double]("pxMean") === sl.sum.toDouble / 8)
+    }
 
     val feats = DicomLike.extractFeatures(scanned, dim = 16).collect()
     assert(feats.length === 1)
     val v = feats.head.getAs[scala.collection.Seq[Float]]("features")
     assert(v.length === 16)
-    assert(v.forall(x => x >= -1f && x <= 1f))
+    // bucket means of uint8 intensities scaled into [0,1]
+    assert(v.forall(x => x >= 0f && x <= 1f))
+    val expected0 = (pix.slice(0, 4).sum.toDouble / 4 / 255.0).toFloat
+    assert(v.head === expected0)
     // determinism: same bytes -> same features
     val again = DicomLike.extractFeatures(scanned, dim = 16).collect()
       .head.getAs[scala.collection.Seq[Float]]("features")
     assert(v === again)
+  }
+
+  test("decodeFrames: exact uint8 tensor on match, None on shape mismatch") {
+    val pix = Array.tabulate[Byte](24)(i => ((i * 5 + 3) & 0xff).toByte)
+    val bytes = DicomLike.encode(
+      Map("SOPInstanceUID" -> "d1", "PatientID" -> "p1"), Seq(2, 3, 4), pix)
+    val frames = DicomLike.decodeFrames(bytes, Seq(2, 3, 4))
+    assert(frames.isDefined)
+    assert(frames.get.length === 2)
+    assert(frames.get.head.toSeq === pix.take(12).map(_ & 0xff).toSeq)
+    assert(frames.get(1).toSeq === pix.drop(12).map(_ & 0xff).toSeq)
+    // payload length ≠ product(shape) -> undecodable, not truncated
+    assert(DicomLike.decodeFrames(bytes, Seq(2, 3, 5)).isEmpty)
+    assert(DicomLike.decodeFrames("junk".getBytes, Seq(2, 3, 4)).isEmpty)
   }
 
   test("end-to-end: tree scan -> extraction -> mapping with truth labels") {
