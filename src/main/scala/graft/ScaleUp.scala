@@ -39,7 +39,12 @@ object ScaleUp {
     // Shift stride per keyspace: one power of ten above the max key so
     // replica key ranges never collide and stay human-readable.
     def stride(df: DataFrame, key: String): Long = {
-      val mx = df.agg(max(col(key))).head.getLong(0)
+      // Defensive: cast to long so INT32-keyed parquet from a foreign
+      // generator doesn't ClassCastException, and require a non-null max
+      // (empty table) instead of an opaque NPE.
+      val row = df.agg(max(col(key)).cast("long")).head
+      require(!row.isNullAt(0), s"stride: table has no rows for key $key")
+      val mx = row.getLong(0)
       var s = 10L
       while (s <= mx) s *= 10
       s

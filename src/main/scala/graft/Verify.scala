@@ -15,6 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Fixture setup (one-time driver-side source acquisition) happens
+    // here, not inside any query builder.
+    queries.ClinicalQueries.fixturePath
+    sources.DicomFixtures.ensure()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -21,20 +21,27 @@ object VolumeScan {
 
   def scan(spark: SparkSession, imageRoot: String,
       withContent: Boolean = true): DataFrame = {
-    // ONE unfiltered recursive listing serves both the volume rows and
-    // the min-study aggregate — on a big tree the driver-side file
-    // listing dominates, so it must not be paid twice. The .dcm suffix
-    // filter is applied relationally below (same rows the glob would
-    // keep; content-column pruning still applies until referenced).
-    val files = spark.read.format("binaryFile")
+    val parts = split(col("path"), "/")
+    // UNFILTERED recursive listing for the min-study aggregate only —
+    // its content column is never referenced, so binaryFile prunes it
+    // and this scan is pure listing metadata (no file IO, no 2 GB cap).
+    val listed = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(imageRoot)
-    val parts = split(col("path"), "/")
-    val listed = files
       .withColumn("patient", element_at(parts, -3))
       .withColumn("study_date", element_at(parts, -2))
-    val base = listed
-      .filter(col("path").endsWith(".dcm"))
+    // Volume rows read through a SECOND, glob-filtered load: binaryFile
+    // pushes only length/modificationTime filters, so a relational
+    // path-suffix filter would still materialize content for (and fail
+    // on >2 GiB) non-.dcm files when withContent=true. The glob excludes
+    // them at listing time; the extra driver-side listing of the tree is
+    // the price of never touching non-volume bytes.
+    val base = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.dcm")
+      .option("recursiveFileLookup", "true")
+      .load(imageRoot)
+      .withColumn("patient", element_at(parts, -3))
+      .withColumn("study_date", element_at(parts, -2))
       .select(
         (Seq(col("path"), col("length")) ++
           (if (withContent) Seq(col("content")) else Nil) ++

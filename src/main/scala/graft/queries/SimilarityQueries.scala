@@ -155,25 +155,34 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("rn"))
   }
 
+  /** Exact cosine top-k for an arbitrary PROBE TABLE (vec_id,
+    * embedding): broadcast(probes) × one linear corpus scan; the window
+    * top-k partial-limits map-side (WindowGroupLimit). The probe set is
+    * a real parameter — any small DataFrame of query vectors works, not
+    * just a dense id prefix (non-dense probes tested in
+    * QueryLibrarySpec). */
+  private[graft] def cosineTopK(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val q = probes.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    b.join(broadcast(q), col("id_a") =!= col("id_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("rn"))
+  }
+
   val defs: Map[String, Q] = Map(
-    // Exact cosine top-k (k=5) for a BOUNDED probe set (the first
-    // N_QUERIES ids — in production the probe set is its own small query
-    // table): broadcast(queries) × one linear corpus scan; the window
-    // top-k partial-limits map-side (WindowGroupLimit).
+    // Exact cosine top-k (k=5) for a BOUNDED probe set. The gated
+    // default uses the first N_QUERIES ids as the probe table so the
+    // DuckDB twin can name the same set; production callers pass their
+    // own query table to [[cosineTopK]].
     "q_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < N_QUERIES)
-        .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id_a"))
-        .orderBy(col("cos").desc, col("id_b"))
-      b.join(broadcast(q), col("id_a") =!= col("id_b"))
-        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
-        .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
-        .orderBy(col("id_a"), col("rn"))
+      cosineTopK(e, e.filter(col("vec_id") < N_QUERIES))
     }),
 
     // Pairwise cosine above a threshold through the capped LSH index
@@ -297,6 +306,82 @@ object SimilarityQueries {
     // (crn=1), so a pair (a,b) arises at most once (iff cid(b) is among
     // a's probes) — a dedup here would be a wasted full shuffle of the
     // candidate set (~n·nprobe·CAP rows at scale).
+    val cand = probes.join(members, Seq("cid"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    rerankTopK(s, d, cand)
+  }
+
+  /** IVF with a k-means-REFINED quantizer: the hash-seeded centroids
+    * above, improved by `iters` fixed Lloyd iterations (assign every
+    * vector to its nearest centroid — ties broken by cid — then replace
+    * each centroid with the element-wise mean of its members). The
+    * iteration count is fixed and the seed set is deterministic, so runs
+    * are reproducible up to double-summation order in the means.
+    *
+    * Scale shape per iteration: one broadcast join against O(nCent)
+    * centroids + one (cid, dim)-keyed mean with map-side partial
+    * aggregation — the standard broadcast-k-means pattern; the k×dim
+    * centroid matrix (16×64 here) collects to the driver between
+    * iterations, which is what every Lloyd-on-Spark implementation does.
+    *
+    * NOT driver-gated: double mean summation order is
+    * partitioning-dependent, so a DuckDB twin would be fragile at the
+    * hash grain. The gated `q_ivf_ann` keeps the seeded quantizer the
+    * oracle can replay; QueryLibrarySpec measures this variant's
+    * recall@5 uplift over it against bruteForceTopK. */
+  private[graft] def ivfAnnLloyd(s: SparkSession, d: String, iters: Int = 2): DataFrame = {
+    val nCent = 16
+    val nProbe = 4
+    val emb = Tables.embeddings(s, d)
+    val seeded = emb
+      .withColumn("h", graft.functions.GraftFunctions.portable_hash60(
+        concat(lit("seed:"), col("vec_id").cast(StringType))))
+      .orderBy(col("h"), col("vec_id")).limit(nCent)
+      .select(col("vec_id").as("seed_id"), col("embedding"))
+      .withColumn("cid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("seed_id"))))
+      .select(col("cid"), col("embedding"))
+    var cents: Seq[(Int, Seq[Float])] = seeded.collect()
+      .map(r => r.getInt(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toSeq
+    for (_ <- 0 until iters) {
+      import s.implicits._
+      val cdf = broadcast(cents.toDF("cid", "cent"))
+      val wNear = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val assigned = emb.join(cdf)
+        .withColumn("ccos", cosine(col("embedding"), col("cent")))
+        .withColumn("crn", row_number().over(wNear))
+        .filter(col("crn") === 1)
+        .select(col("cid"), col("embedding"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col").cast(DoubleType)).as("v"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val updated = means.groupBy(_._1).map { case (cid, xs) =>
+        cid -> xs.sortBy(_._2).map(_._3.toFloat).toSeq
+      }
+      // empty clusters keep their previous centroid
+      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    import s.implicits._
+    val finalCents = broadcast(cents.toDF("cid", "cent"))
+    val wNear = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val scored = emb.join(finalCents)
+      .withColumn("ccos", cosine(col("embedding"), col("cent")))
+      .withColumn("crn", row_number().over(wNear))
+    val wMember = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("id_b"))
+    val members = scored.filter(col("crn") === 1)
+      .select(col("cid"), col("vec_id").as("id_b"))
+      .withColumn("mrn", row_number().over(wMember))
+      .filter(col("mrn") <= IVF_CAP)
+      .select(col("cid"), col("id_b"))
+    val probes = scored.filter(col("crn") <= nProbe)
+      .select(col("cid"), col("vec_id").as("id_a"))
     val cand = probes.join(members, Seq("cid"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -87,6 +87,36 @@ class QueryLibrarySpec extends SparkTestBase {
     info(f"IVF recall@5 = $recall%.3f (16 centroids, nprobe=4)")
   }
 
+  test("Lloyd-refined IVF quantizer improves recall over the seeded one") {
+    val exact = SimilarityQueries.bruteForceTopK(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val base = SparkEntry.queries("q_ivf_ann")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lloyd = SimilarityQueries.ivfAnnLloyd(spark, sf(), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rBase = (exact & base).size.toDouble / exact.size
+    val rLloyd = (exact & lloyd).size.toDouble / exact.size
+    info(f"IVF recall@5: seeded = $rBase%.3f, 2-iter Lloyd = $rLloyd%.3f")
+    // 2 Lloyd iterations must not LOSE recall, and on this corpus they
+    // measurably gain it (centroids move from arbitrary seed vectors to
+    // actual density centers).
+    assert(rLloyd >= rBase, f"Lloyd refinement lost recall: $rLloyd%.3f < $rBase%.3f")
+  }
+
+  test("cosineTopK accepts a non-dense probe table, matches exact top-k") {
+    val e = Tables.embeddings(spark, sf())
+    val probes = e.filter(col("vec_id") % 41 === 3) // sparse, non-prefix ids
+    val probeIds = probes.select("vec_id").as[Long].collect().toSet
+    assert(probeIds.nonEmpty && !probeIds.contains(0L))
+    val got = SimilarityQueries.cosineTopK(e, probes).collect()
+    assert(got.map(_.getLong(0)).toSet === probeIds)
+    // exact per-probe agreement with the unbounded brute-force reference
+    val want = SimilarityQueries.bruteForceTopK(spark, sf())
+      .filter(col("id_a").isin(probeIds.toSeq: _*)).collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ===
+      want.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
   test("minhash LSH candidates contain every truly-similar pair (jaccard ≥ 0.5)") {
     // Ground truth: brute-force jaccard over all pairs.
     val docs = Tables.documents(spark, sf())
