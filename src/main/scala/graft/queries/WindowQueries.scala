@@ -97,6 +97,35 @@ object WindowQueries {
           col("l_quantity"), col("peers_in_band"), col("band_qty"))
     }),
 
+    // Scale-path re-shape of q_window_range_frame (the heaviest 10×
+    // scaler in SCALE.md): the RANGE frame partitions by l_returnflag
+    // (3 values), so its per-partition work grows with the data and a
+    // 100 TB run has 3 endless tasks. But the band key l_quantity has a
+    // SMALL VALUE DOMAIN (integers 1..50), and rows with equal quantity
+    // are frame peers — so the per-row band count/sum equals a window
+    // over the per-(flag, quantity) PRE-AGGREGATE, joined back by
+    // broadcast. Window input shrinks from O(rows) to O(|domain|) per
+    // flag; everything else is map-side. Identical output, same oracle.
+    "q_window_range_agg" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n_q"), sum(dec(col("l_quantity"))).as("s_q"))
+      val wq = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rangeBetween(-5, 0)
+      val banded = per.select(col("l_returnflag"), col("l_quantity"),
+        sum(col("n_q")).over(wq).as("peers_in_band"),
+        sum(col("s_q")).over(wq).cast(DoubleType).as("band_qty"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        .join(broadcast(banded), Seq("l_returnflag", "l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("peers_in_band"), col("band_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"), col("peers_in_band"), col("band_qty"))
+    }),
+
     // Top-k per group (k=3 orders per customer by price; unique tiebreak).
     "q_topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -173,6 +202,17 @@ object WindowQueries {
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q_window_range_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |  COUNT(*) OVER w AS peers_in_band,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS band_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+        |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, peers_in_band, band_qty""".stripMargin,
+
+    // Same result as the RANGE-frame original by construction, so the
+    // twin is the same SQL — the re-shape must be output-invisible.
+    "q_window_range_agg" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |  COUNT(*) OVER w AS peers_in_band,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS band_qty
