@@ -31,6 +31,7 @@ object SparkEntry {
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       ClinicalQueries.defs ++
+      GraphQueries.defs ++
       SqlQueries.defs
 
   /** DuckDB twin for each SQL-expressible query (same parquet tables).
@@ -49,5 +50,6 @@ object SparkEntry {
       DedupQueries.oracle ++
       SimilarityQueries.oracle ++
       ClinicalQueries.oracle ++
+      GraphQueries.oracle ++
       SqlQueries.oracle
 }

@@ -80,6 +80,34 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Approximate percentile sketch, oracle-gated by the same
+    // error-bound pattern as q_approx_count_distinct: emit the EXACT
+    // median plus a boolean asserting the sketch value's RANK lies
+    // within the declared error (accuracy=100 → rank ε=1/100; asserted
+    // at a 0.05 margin). The rank of the approx value is its
+    // (cnt_lt, cnt_le] interval — computed by a second pass over the
+    // broadcast per-group sketch values, so the check is distributed
+    // and the sketch's merge-order nondeterminism cannot leak into the
+    // hashed output.
+    "q_approx_quantile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("c", round(col("o_totalprice") * 100))
+      val stats = o.groupBy(col("o_orderpriority"))
+        .agg(expr("approx_percentile(c, 0.5, 100)").as("am"))
+      o.join(broadcast(stats), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          (percentile(col("c"), lit(0.5)) / 100.0).as("exact_median"),
+          sum(when(col("c") <= col("am"), 1).otherwise(0)).as("cnt_le"),
+          sum(when(col("c") < col("am"), 1).otherwise(0)).as("cnt_lt"))
+        .select(col("o_orderpriority"), col("n"), col("exact_median"),
+          (col("cnt_le").cast(DoubleType) >= lit(0.45) * col("n").cast(DoubleType) &&
+            col("cnt_lt").cast(DoubleType) <= lit(0.55) * col("n").cast(DoubleType))
+            .as("within_bound"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // G1: group + ordered collect (serialized to string for a stable
     // oracle hash; DuckDB twin is string_agg ... ORDER BY).
     "q_collect_list" -> ((s, d) => {
@@ -246,6 +274,12 @@ object AggQueries {
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  true AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  quantile_cont(round(o_totalprice * 100), 0.5) / 100.0 AS exact_median,
+        |  true AS within_bound
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_collect_list" ->
       """SELECT c_nationkey,

@@ -170,6 +170,28 @@ object RelationalQueries {
           (aggregate(flatten(col("frames")), lit(0L), (acc, x) => acc + x)
             .cast(DoubleType) / col("meta.pixelBytes").cast(DoubleType)).as("px_mean"))
         .orderBy(col("file_name"))
+    }),
+
+    // Per-frame pixel statistics: the decoded `frames` column exploded
+    // into one row per slice, stats computed RELATIONALLY (array_min /
+    // array_max / aggregate — all codegen'd) over the decoded values.
+    // This gates the decode → explode → analyze composition a real
+    // imaging pipeline runs; the twin is the independently computed
+    // frame_stats_golden.parquet (same tools/gen_binary_golden.py).
+    "q_frame_stats" -> ((s, _) => {
+      val root = graft.sources.DicomFixtures.ensure()
+      s.read.format(classOf[graft.sources.DicomLikeSource].getName)
+        .load(root.toString)
+        .filter(col("frames").isNotNull)
+        .select(col("meta.SOPInstanceUID").as("uid"),
+          posexplode(col("frames")).as(Seq("slice", "px")))
+        .select(col("uid"), col("slice"),
+          size(col("px")).as("n_px"),
+          array_min(col("px")).as("px_min"),
+          array_max(col("px")).as("px_max"),
+          (aggregate(col("px"), lit(0L), (acc, x) => acc + x).cast(DoubleType)
+            / size(col("px")).cast(DoubleType)).as("px_mean"))
+        .orderBy(col("uid"), col("slice"))
     })
   )
 
@@ -228,6 +250,11 @@ object RelationalQueries {
         |  pixel_bytes, pixel_checksum, n_frames, px_min, px_max, px_mean
         |FROM read_parquet('/root/repo/tools/golden/binary_scan_golden.parquet')
         |ORDER BY file_name""".stripMargin,
+
+    "q_frame_stats" ->
+      """SELECT uid, slice, n_px, px_min, px_max, px_mean
+        |FROM read_parquet('/root/repo/tools/golden/frame_stats_golden.parquet')
+        |ORDER BY uid, slice""".stripMargin,
 
     "q_zorder_key" -> {
       val zTerms = (0 until 8).map(i =>

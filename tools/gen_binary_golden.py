@@ -100,6 +100,30 @@ def main():
     })
     # dtype=object keeps 64-bit checksums as exact Python ints — a float64
     # pass-through would round them (observed: ...644612 -> ...644800).
+    # Second golden: per-slice stats of every DECODABLE volume (the
+    # q_frame_stats twin) — one row per leading-axis slice.
+    frame_rows = []
+    for patient, study, uid, fields, shape, seed, n_pay in VOLUMES:
+        prod = 1
+        for d in shape:
+            prod *= d
+        if prod != n_pay:
+            continue
+        pay = payload(seed, n_pay)
+        per = prod // shape[0]
+        for s in range(shape[0]):
+            sl = pay[s * per:(s + 1) * per]
+            frame_rows.append({
+                "uid": uid, "slice": s, "n_px": per,
+                "px_min": min(sl), "px_max": max(sl),
+                "px_mean": sum(sl) / float(per),
+            })
+    fdf = pd.DataFrame(frame_rows, dtype=object).sort_values(
+        ["uid", "slice"]).reset_index(drop=True)
+    for c in ("slice", "n_px", "px_min", "px_max"):
+        fdf[c] = pd.array([int(v) for v in fdf[c]], dtype="Int64")
+    fdf["px_mean"] = pd.array([float(v) for v in fdf["px_mean"]], dtype="float64")
+
     df = pd.DataFrame(rows, dtype=object).sort_values("file_name").reset_index(drop=True)
     for c in ("length", "pixel_bytes", "pixel_checksum", "n_frames",
               "px_min", "px_max"):
@@ -115,6 +139,12 @@ def main():
     con.execute(f"COPY (SELECT * FROM t) TO '{out}' (FORMAT PARQUET)")
     print(df.to_string())
     print(f"wrote {out}")
+    fout = os.path.join(os.path.dirname(__file__), "golden",
+                        "frame_stats_golden.parquet")
+    con.register("ft", fdf)
+    con.execute(f"COPY (SELECT * FROM ft) TO '{fout}' (FORMAT PARQUET)")
+    print(fdf.to_string())
+    print(f"wrote {fout}")
 
 
 if __name__ == "__main__":
