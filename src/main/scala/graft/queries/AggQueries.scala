@@ -80,6 +80,28 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Distributed SKETCH MERGE (Spark 4 DataSketches HLL): per-group
+    // binary sketches unioned into one estimate — the two-level rollup
+    // a 100 TB pipeline ships instead of raw values (sketches are a few
+    // KB regardless of cardinality, and union is associative so partial
+    // aggregation applies). Gated by the error-bound pattern: the exact
+    // overall distinct comes from a separate exact aggregation (group
+    // exacts cannot be summed — sets overlap); the twin computes the
+    // same exacts plus literal true.
+    "q_hll_union" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perFlag = li.groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_orderkey, 12)").as("sk"))
+      val merged = perFlag.agg(
+        count(lit(1)).as("n_groups"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val overall = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      merged.crossJoin(overall)
+        .select(col("n_groups"), col("exact_orders"),
+          (abs(col("est") - col("exact_orders")).cast(DoubleType)
+            / col("exact_orders").cast(DoubleType) <= 0.05).as("within_bound"))
+    }),
+
     // Approximate percentile sketch, oracle-gated by the same
     // error-bound pattern as q_approx_count_distinct: emit the EXACT
     // median plus a boolean asserting the sketch value's RANK lies
@@ -274,6 +296,12 @@ object AggQueries {
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  true AS within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_hll_union" ->
+      """SELECT (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS n_groups,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS within_bound
+        |FROM lineitem""".stripMargin,
 
     "q_approx_quantile" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

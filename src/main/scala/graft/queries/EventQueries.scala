@@ -145,6 +145,51 @@ object EventQueries {
     // user. Island id = epoch_day - dense_rank (constant within a
     // consecutive run, distinct across gaps); one window + one aggregate
     // on the (user) shuffle. Integer day arithmetic only.
+    // Time-series LINEAR INTERPOLATION across gaps (the companion to
+    // q_gap_fill's LOCF): same dense per-user grid, but a gap bucket
+    // takes prev + (next-prev)·k/span between its neighboring observed
+    // values (leading gaps stay NULL, trailing gaps hold the last
+    // value). Window plumbing: one forward last(_, ignoreNulls) and one
+    // backward first(_, ignoreNulls) over the same (user) shuffle —
+    // still a single exchange. The k/span positions are integers from
+    // row_number, so the only float math is the final per-row formula,
+    // identical in both engines.
+    "q_interpolate" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val agg = e.groupBy(col("user_id"), window(col("ts"), "4 hours").as("w"))
+        .agg(dsum(col("value")).as("sv"))
+        .select(col("user_id"), col("w.start").as("bucket"), col("sv"))
+      val bounds = agg.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("t0"), max(col("bucket")).as("t1"))
+      val grid = bounds.select(col("user_id"),
+        explode(expr("sequence(t0, t1, INTERVAL 4 HOURS)")).as("bucket"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("bucket"))
+      val back = ord.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val fwd = ord.rowsBetween(
+        0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      grid.join(agg, Seq("user_id", "bucket"), "left")
+        .withColumn("idx", row_number().over(ord))
+        .withColumn("prev_v", last(col("sv"), ignoreNulls = true).over(back))
+        .withColumn("prev_i",
+          last(when(col("sv").isNotNull, col("idx")), ignoreNulls = true).over(back))
+        .withColumn("next_v", first(col("sv"), ignoreNulls = true).over(fwd))
+        .withColumn("next_i",
+          first(when(col("sv").isNotNull, col("idx")), ignoreNulls = true).over(fwd))
+        .select(col("user_id"), fmt(col("bucket")).as("bucket"),
+          col("sv").isNull.as("was_gap"),
+          when(col("sv").isNotNull, col("sv"))
+            .when(col("prev_v").isNull, lit(null))
+            .when(col("next_v").isNull, col("prev_v"))
+            .otherwise(col("prev_v") +
+              (col("next_v") - col("prev_v"))
+                * (col("idx") - col("prev_i")).cast(DoubleType)
+                / (col("next_i") - col("prev_i")).cast(DoubleType))
+            .as("sv_interp"))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     "q_streaks" -> ((s, d) => {
       val days = Tables.events(s, d)
         .select(col("user_id"),
@@ -284,6 +329,43 @@ object EventQueries {
          |SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
          |  COALESCE(n, 0) AS n, sv_filled, n IS NULL AS was_gap
          |FROM f ORDER BY user_id, bucket""".stripMargin,
+
+    "q_interpolate" ->
+      s"""WITH agg AS (
+         |  SELECT user_id, CAST(time_bucket(INTERVAL '4 hours', ts) AS TIMESTAMP) AS bucket,
+         |    ${sqlDsum("value")} AS sv
+         |  FROM events GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT user_id, MIN(bucket) AS t0, MAX(bucket) AS t1
+         |  FROM agg GROUP BY user_id),
+         |grid AS (
+         |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '4 hours')) AS bucket
+         |  FROM bounds),
+         |j AS (
+         |  SELECT g.user_id, g.bucket, agg.sv
+         |  FROM grid g LEFT JOIN agg ON agg.user_id = g.user_id AND agg.bucket = g.bucket),
+         |w0 AS (
+         |  SELECT user_id, bucket, sv,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS idx
+         |  FROM j),
+         |w AS (
+         |  SELECT user_id, bucket, sv, idx,
+         |    last_value(sv IGNORE NULLS) OVER ob AS prev_v,
+         |    last_value(CASE WHEN sv IS NOT NULL THEN idx END IGNORE NULLS) OVER ob AS prev_i,
+         |    first_value(sv IGNORE NULLS) OVER of AS next_v,
+         |    first_value(CASE WHEN sv IS NOT NULL THEN idx END IGNORE NULLS) OVER of AS next_i
+         |  FROM w0
+         |  WINDOW ob AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         of AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  sv IS NULL AS was_gap,
+         |  CASE WHEN sv IS NOT NULL THEN sv
+         |       WHEN prev_v IS NULL THEN NULL
+         |       WHEN next_v IS NULL THEN prev_v
+         |       ELSE prev_v + (next_v - prev_v)
+         |              * CAST(idx - prev_i AS DOUBLE) / CAST(next_i - prev_i AS DOUBLE)
+         |  END AS sv_interp
+         |FROM w ORDER BY user_id, bucket""".stripMargin,
 
     "q_streaks" ->
       """WITH days AS (

@@ -49,7 +49,11 @@ object GraphQueries {
   }
 
   private[graft] def pagerank(s: SparkSession, d: String): DataFrame = {
-    val e = edges(s, d)
+    // Materialize the edge list once (localCheckpoint truncates the
+    // lineage, same as operators.DedupClusters): without it every
+    // iteration's plan re-derives join+distinct from the base tables,
+    // tripling the dominant cost.
+    val e = edges(s, d).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("r", lit(Unit))
