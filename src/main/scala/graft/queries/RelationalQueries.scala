@@ -140,6 +140,24 @@ object RelationalQueries {
       s.read.schema(schema).json(tmp).orderBy(col("r_regionkey"))
     }),
 
+    // Hive-style partitioned parquet write + partition-PRUNED read: the
+    // layout every 100 TB table uses. The filter on the partition column
+    // prunes at LISTING time (PartitionFilters in the scan, asserted in
+    // PartitionPruningSpec) — only the 1995 directory is ever opened;
+    // the oracle recomputes from the raw table, so the hash also proves
+    // the partitioned round-trip lost nothing.
+    "q_partitioned_scan" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("o_year") === 1995)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S1/S4/S7: binary/multimodal scan through the DataSource V2
     // container reader, over the CANONICAL deterministic fixture tree
     // (graft.sources.DicomFixtures — independent of the sf dir, so the
@@ -241,6 +259,12 @@ object RelationalQueries {
 
     "q_xml_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_partitioned_scan" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE year(CAST(o_orderdate AS DATE)) = 1995
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Golden twin: tools/gen_binary_golden.py recomputes the expected
     // extraction (container byte math reimplemented in Python, no shared

@@ -103,6 +103,32 @@ class QueryLibrarySpec extends SparkTestBase {
     assert(rLloyd >= rBase, f"Lloyd refinement lost recall: $rLloyd%.3f < $rBase%.3f")
   }
 
+  test("PQ/ADC ranking recalls exact-L2 neighbors (same metric)") {
+    val e = Tables.embeddings(spark, sf())
+    // exact squared-L2 top-5 for the same probe set, same tie order
+    val a = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val d2 = aggregate(
+      zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("d2"), col("id_b"))
+    val exact = b.join(broadcast(a), col("id_a") =!= col("id_b"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val pq = SparkEntry.queries("q_pq_ann")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ/ADC recall@5 vs exact L2 = $recall%.3f (8 subspaces × 16 codes)")
+    // 8×16 random-projection codebook over 64 dims: coarse, but ADC must
+    // rank far better than chance (random top-5 of n≈500 ⇒ recall ≈ 0.01).
+    assert(recall > 0.1, s"PQ recall collapsed: $recall")
+  }
+
   test("cosineTopK accepts a non-dense probe table, matches exact top-k") {
     val e = Tables.embeddings(spark, sf())
     val probes = e.filter(col("vec_id") % 41 === 3) // sparse, non-prefix ids
