@@ -68,11 +68,18 @@ object AggQueries {
     // is within the configured relative-error bound. The DuckDB twin
     // computes the same exact counts and a literal TRUE, so the hash gate
     // verifies the error bound itself (rsd=0.02 → assert within 5%).
+    // Two-level distinct: map-side partial dedup on (flag, key) first,
+    // then exact = count(*) and the HLL estimate over the already-
+    // distinct keys (HLL of a set == HLL of its multiset). Mixing
+    // count(DISTINCT) with a non-distinct aggregate would force
+    // Catalyst's Expand (every row duplicated per aggregate family) —
+    // measured 4.4 s vs 1.3 s at sf0.1 for this shape.
     "q_approx_count_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_orderkey")).agg(count(lit(1)).as("_n"))
         .groupBy(col("l_returnflag"))
         .agg(
-          countDistinct(col("l_orderkey")).as("exact_orders"),
+          count(lit(1)).as("exact_orders"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("approx") - col("exact_orders")).cast(DoubleType)

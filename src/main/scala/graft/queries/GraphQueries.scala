@@ -49,18 +49,21 @@ object GraphQueries {
   }
 
   private[graft] def pagerank(s: SparkSession, d: String): DataFrame = {
-    // Materialize the edge list once (localCheckpoint truncates the
-    // lineage, same as operators.DedupClusters): without it every
-    // iteration's plan re-derives join+distinct from the base tables,
-    // tripling the dominant cost.
-    val e = edges(s, d).localCheckpoint()
+    // Materialize (src, dst, outdeg) ONCE (localCheckpoint truncates
+    // the lineage, same as operators.DedupClusters): without it every
+    // iteration's plan re-derives the join+distinct edge derivation
+    // from the base tables. Per iteration the ranks side is O(nodes) —
+    // ~1% of edges — so AQE converts the join to broadcast at runtime
+    // (no hint: at extreme node counts the shuffle join on src is the
+    // correct Pregel shape, and AQE makes that call per scale).
+    val e = edges(s, d)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("node")).distinct()
+    val ew = e.join(deg, Seq("src")).localCheckpoint()
+    val nodes = ew.select(col("src").as("node")).distinct().localCheckpoint()
     var ranks = nodes.withColumn("r", lit(Unit))
     for (_ <- 0 until Iters) {
-      val contrib = e
+      val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))
         .groupBy(col("node"))
         .agg(sum(col("share")).as("inflow"))
