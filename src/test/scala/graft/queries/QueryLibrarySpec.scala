@@ -206,6 +206,20 @@ class QueryLibrarySpec extends SparkTestBase {
     }
   }
 
+  test("explain: partitioned scan prunes partitions; range-agg re-shape broadcasts") {
+    val part = SparkEntry.queries("q_partitioned_scan")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the o_year=1995 predicate must land in PartitionFilters (listing-
+    // time pruning), not as a post-scan Filter over all years
+    assert(part.contains("PartitionFilters") && part.contains("o_year"),
+      s"plan:\n$part")
+    val agg = SparkEntry.queries("q_window_range_agg")(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the per-(flag, quantity) band stats join back by broadcast — the
+    // fact side must not shuffle for the join
+    assert(agg.contains("BroadcastHashJoin"), s"plan:\n$agg")
+  }
+
   test("approx_percentile stays within rank-error bound of the exact percentile") {
     // No oracle twin by nature (sketch internals differ per engine) —
     // the accuracy contract is asserted here instead: with accuracy A,
