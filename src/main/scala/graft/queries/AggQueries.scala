@@ -33,8 +33,7 @@ object AggQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
-            .cast(DoubleType).as("sum_disc_price"),
+          dsumRev(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
@@ -218,6 +217,52 @@ object AggQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Pearson correlation + least-squares regression (qty vs price) per
+    // group. Built-in corr()/regr_slope() are order-dependent double
+    // folds — irreproducible across partitionings — so the moments
+    // (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT sums, and the closed forms
+    // run in IEEE double with identical op order in the twin. Numeric
+    // contract (same as q_zscore_outliers): INTEGER CENTS with scale-0
+    // decimal sums — fractional-scale decimals would hit the
+    // decimal→double multiply-by-inverse 1-ulp divergence once sums
+    // exceed 2^53 ulps. corr/slope are scale-invariant; intercept is
+    // rescaled at the end. One map-side-combined shuffle, O(groups).
+    "q_correlation" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("cq", round(col("l_quantity") * 100))
+        .withColumn("cp", round(col("l_extendedprice") * 100))
+      val m = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("cq").cast(DecimalType(38, 0))).cast(DoubleType).as("sx"),
+        sum(col("cp").cast(DecimalType(38, 0))).cast(DoubleType).as("sy"),
+        sum((col("cq") * col("cp")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxy"),
+        sum((col("cq") * col("cq")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxx"),
+        sum((col("cp") * col("cp")).cast(DecimalType(38, 0))).cast(DoubleType).as("syy"))
+      m.withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("var_x", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("var_y", col("n") * col("syy") - col("sy") * col("sy"))
+        .select(col("l_returnflag"), col("n").cast(LongType).as("n_rows"),
+          (col("cov_n") / sqrt(col("var_x") * col("var_y"))).as("corr_qty_price"),
+          (col("cov_n") / col("var_x")).as("slope"),
+          // intercept back to dollars: moments are in cents
+          ((col("sy") - col("cov_n") / col("var_x") * col("sx")) / col("n") / 100.0)
+            .as("intercept"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Fixed-width histogram of order value: width_bucket over exact
+    // integer cents (bucket edges exact in double, so the floor cannot
+    // ride a rounding error). DuckDB has no width_bucket — the twin
+    // emulates the same div-by-width floor on the same integers.
+    "q_histogram" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(width_bucket(round(col("o_totalprice") * 100), lit(0),
+          lit(60000000), lit(12)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("bucket"))
+    }),
+
     // Statistical outlier detection: per-group mean/std from EXACT
     // decimal sums (a built-in stddev is a partial-aggregation-order-
     // dependent double fold — not reproducible), then z-scores per row
@@ -275,7 +320,7 @@ object AggQueries {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,
          |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         |  ${sqlDsumRev("l_extendedprice", "l_discount")} AS sum_disc_price,
          |  ${sqlDavg("l_quantity")} AS avg_qty,
          |  ${sqlDavg("l_extendedprice")} AS avg_price,
          |  COUNT(*) AS count_order
@@ -374,6 +419,39 @@ object AggQueries {
         |SELECT c_nationkey, substring(segments, 1, 100) AS seg_prefix,
         |  CAST(length(segments) AS INTEGER) AS seg_len, n
         |FROM t ORDER BY c_nationkey""".stripMargin,
+
+    "q_correlation" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    round(l_quantity * 100) AS cq, round(l_extendedprice * 100) AS cp
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(cq AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(cp AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(cq * cp AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(cq * cq AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(cp * cp AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        |  FROM c GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    n * sxy - sx * sy AS cov_n,
+        |    n * sxx - sx * sx AS var_x,
+        |    n * syy - sy * sy AS var_y
+        |  FROM m)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  cov_n / sqrt(var_x * var_y) AS corr_qty_price,
+        |  cov_n / var_x AS slope,
+        |  (sy - cov_n / var_x * sx) / n / 100.0 AS intercept
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(round(o_totalprice * 100) / 5000000) + 1 AS BIGINT) AS bucket
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n_orders
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_zscore_outliers" ->
       """WITH o AS (

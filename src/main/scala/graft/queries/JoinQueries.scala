@@ -52,8 +52,7 @@ object JoinQueries {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
-            .cast(DoubleType).as("revenue"),
+          dsumRev(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -216,8 +215,8 @@ object JoinQueries {
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
     "q_join_sortmerge" ->
-      """SELECT o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      s"""SELECT o_orderpriority,
+         |  ${sqlDsumRev("l_extendedprice", "l_discount")} AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
