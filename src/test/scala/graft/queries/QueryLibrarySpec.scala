@@ -236,6 +236,22 @@ class QueryLibrarySpec extends SparkTestBase {
       s"approx median $approx too far from exact $exact (range $spread)")
   }
 
+  test("dsum is exact and partitioning-independent for 2-decimal money (property)") {
+    // The oracle contract now routes money sums through scale-0 integer
+    // cents (QueryUtil.dsum). Property: for random 2-decimal values the
+    // Spark sum equals the BigDecimal ground truth bit-for-bit, at every
+    // partitioning — a plain sum(double) fails this.
+    val rnd = new scala.util.Random(42)
+    val cents = Seq.fill(5000)(rnd.between(-10000000L, 10000000L))
+    val truth = (BigDecimal(cents.sum) / 100).toDouble
+    for (parts <- Seq(1, 7, 32)) {
+      val df = cents.map(_.toDouble / 100).toDF("v").repartition(parts)
+      val got = df.agg(graft.queries.QueryUtil.dsum(col("v")).as("s"))
+        .head.getDouble(0)
+      assert(got === truth, s"parts=$parts")
+    }
+  }
+
   test("sentinel decode helper maps clinical sentinels to NULL, keeps values") {
     val df = Seq("N", ".N", ".M", ".F", "1", "Benign").toDF("v")
       .select(graft.pipeline.ClinicalCsv.decodeSentinels($"v").as("d"))
