@@ -19,7 +19,18 @@ object Verify {
     // here, not inside any query builder.
     queries.ClinicalQueries.fixturePath
     sources.DicomFixtures.ensure()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (single-query scale
+    // spot-checks, same contract as Bench); unset = full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
+    val selected = SparkEntry.queries
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -46,6 +57,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -114,6 +114,33 @@ class DicomLikeSpec extends SparkTestBase {
     assert(DicomLike.decodeFrames("junk".getBytes, Seq(2, 3, 4)).isEmpty)
   }
 
+  test("streaming ingest: a file-stream of volumes decodes incrementally") {
+    // 100 TB trees land incrementally; the same decode runs as a
+    // Structured Streaming source (binaryFile readStream), new files
+    // picked up per micro-batch, frames decoded in-flight.
+    val root = Files.createTempDirectory("dicom_stream")
+    writeVolume(root, "EA1141-5001", "19400101", "s1",
+      Map("FrameLaterality" -> "R"), shape = Seq(4, 4, 4)) // 64 B payload == product
+    val schema = spark.read.format("binaryFile").load(root.toString).schema
+    val stream = spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "*.dcm").option("recursiveFileLookup", "true")
+      .load(root.toString)
+    val decoded = DicomLike.withFrames(stream)
+      .filter(col("meta").isNotNull)
+      .select(col("meta.SOPInstanceUID").as("uid"), size(col("frames")).as("n_frames"))
+    val q = decoded.writeStream.format("memory")
+      .queryName("dicom_stream_t").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeVolume(root, "EA1141-5002", "19400101", "s2",
+        Map("FrameLaterality" -> "L"), shape = Seq(4, 4, 4))
+      q.processAllAvailable()
+      val rows = spark.table("dicom_stream_t").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(rows === Map("s1" -> 4, "s2" -> 4))
+    } finally q.stop()
+  }
+
   test("end-to-end: tree scan -> extraction -> mapping with truth labels") {
     val root = Files.createTempDirectory("dicom_e2e")
     writeVolume(root, "EA1141-3001", "19400604", "u1", Map("FrameLaterality" -> "R"))
