@@ -46,16 +46,11 @@ class QueryLibrarySpec extends SparkTestBase {
     val want = spark.read.parquet("/root/repo/tools/golden/binary_scan_golden.parquet")
       .orderBy(col("file_name")).collect()
     assert(got.length === want.length)
+    val cols = SparkEntry.queries("q_binary_scan")(spark, sf()).columns
     got.zip(want).foreach { case (g, w) =>
-      assert(g.getString(0) === w.getString(0)) // file_name
-      assert(g.getLong(1) === w.getLong(1), s"length of ${g.getString(0)}")
-      assert(Option(g.get(2)).map(_.toString) === Option(w.get(2)).map(_.toString), "uid")
-      assert(Option(g.get(7)).map(_.toString) === Option(w.get(7)).map(_.toString),
-        s"pixel_checksum of ${g.getString(0)}")
-      assert(Option(g.get(8)).map(_.toString) === Option(w.get(8)).map(_.toString),
-        s"n_frames of ${g.getString(0)}")
-      assert(Option(g.get(11)).map(_.toString) === Option(w.get(11)).map(_.toString),
-        s"px_mean of ${g.getString(0)}")
+      for (i <- cols.indices)
+        assert(Option(g.get(i)).map(_.toString) === Option(w.get(i)).map(_.toString),
+          s"${cols(i)} of ${g.getString(0)}")
     }
   }
 

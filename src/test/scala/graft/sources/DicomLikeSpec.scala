@@ -44,7 +44,7 @@ class DicomLikeSpec extends SparkTestBase {
     assert(!paths.exists(_.endsWith("notes.txt")))
   }
 
-  test("stub decode: null-safe nested extraction, shape + checksum") {
+  test("metadata decode: null-safe nested extraction, shape + checksum") {
     val root = Files.createTempDirectory("dicom_meta")
     writeVolume(root, "EA1141-2001", "19400604", "u1",
       Map("FrameLaterality" -> "R", "SliceThickness" -> "1"), shape = Seq(67, 2457, 1996))
