@@ -79,25 +79,20 @@ object SimilarityQueries {
   private def sqlPlaneComponent(j: Int, i: String): String =
     s"CAST(CAST('0x' || substring(md5('plane' || ':' || '$j' || ':' || CAST($i AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS DOUBLE) / 1000.0 - 0.5"
 
-  /** Sign bit of <embedding, plane_j>: sequential double accumulation
-    * against the literal plane vector (same op order as the SQL twin's
-    * list_sum over index order). */
-  private def planeBit(j: Int): Column = {
-    val plane = lit(planeVector(j))
-    val proj = aggregate(
-      zip_with(col("embedding"), plane, (x, p) => x.cast(DoubleType) * p),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj > 0, lit(1)).otherwise(lit(0))
-  }
+  /** All-plane bucket id for table `t` (LSH_BITS planes fused): the
+    * native codegen'd [[graft.functions.HyperplaneBits]] — one pass per
+    * row instead of LSH_BITS × 3 interpreted higher-order traversals;
+    * accumulation order identical to the SQL twin's list_sum. */
+  private def tableBucket(t: Int): Column =
+    graft.functions.HyperplaneBits.column(col("embedding"),
+      (0 until LSH_BITS).map(k => planeVector(t * LSH_BITS + k)))
 
   /** (vec_id, bk) — one row per vector per LSH table, bk = (table,
     * bucket) struct. The map-side stage shared by every LSH-driven
     * query. */
   private def lshBanded(e: DataFrame): DataFrame = {
     val buckets = (0 until LSH_TABLES).map { t =>
-      struct(lit(t).as("t"),
-        (0 until LSH_BITS).map(k => planeBit(t * LSH_BITS + k) * (1 << k))
-          .reduce(_ + _).cast(IntegerType).as("b"))
+      struct(lit(t).as("t"), tableBucket(t).as("b"))
     }
     e.select(col("vec_id"), explode(array(buckets: _*)).as("bk"))
   }
@@ -209,9 +204,10 @@ object SimilarityQueries {
     // LSH bucketing: 8 hyperplane sign bits per vector (map-side stage of
     // the approximate path; bucket histogram is the oracle check).
     "q_lsh_buckets" -> ((s, d) => {
-      val bits = (0 until N_PLANES).map(j => planeBit(j) * (1 << j)).reduce(_ + _)
+      val bits = graft.functions.HyperplaneBits.column(col("embedding"),
+        (0 until N_PLANES).map(planeVector))
       Tables.embeddings(s, d)
-        .withColumn("bucket", bits.cast(IntegerType))
+        .withColumn("bucket", bits)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
         .orderBy(col("bucket"))

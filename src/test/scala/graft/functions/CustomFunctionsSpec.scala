@@ -74,6 +74,33 @@ class CustomFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("HyperplaneBits == composed zip_with/aggregate form, bit-exact + codegen") {
+    // Planes deliberately include tiny components so projections can sit
+    // near 0 — the sign decision must come out of identical doubles.
+    val rnd = new scala.util.Random(7)
+    val planes = Seq.fill(8)(Array.fill(64)(rnd.nextDouble() - 0.5))
+    def composedBit(plane: Array[Double]): org.apache.spark.sql.Column = {
+      val proj = aggregate(
+        zip_with($"embedding", lit(plane), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1)).otherwise(lit(0))
+    }
+    val composed = planes.zipWithIndex
+      .map { case (p, k) => composedBit(p) * (1 << k) }
+      .reduce(_ + _).cast("int")
+    val df = Tables.embeddings(spark, sf())
+      .select(
+        HyperplaneBits.column($"embedding", planes).as("custom"),
+        composed.as("composed"))
+    assert(df.filter($"custom" =!= $"composed").count() === 0)
+    assert(df.filter($"custom".isNull).count() === 0)
+    val plan = Tables.embeddings(spark, sf())
+      .select(HyperplaneBits.column($"embedding", planes).as("b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [hyperplanebits"),
+      s"expected codegen'd project in plan:\n$plan")
+  }
+
   test("PortableHash60 == composed conv(substring(md5)) form on real + adversarial strings") {
     val docs = Tables.documents(spark, sf())
       .select(explode(split($"text", " ")).as("s"))

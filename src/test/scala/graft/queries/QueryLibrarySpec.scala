@@ -191,7 +191,9 @@ class QueryLibrarySpec extends SparkTestBase {
     // blocking — a CartesianProduct or BroadcastNestedLoopJoin anywhere
     // means a blocking key fell out of the plan.
     for (name <- Seq("q_fuzzy_match", "q_simhash_near", "q_cosine_pairs",
-        "q_embed_dedup", "q_lsh_ann", "q_ivf_ann", "q_minhash_lsh_pairs")) {
+        "q_embed_dedup", "q_lsh_ann", "q_ivf_ann", "q_minhash_lsh_pairs",
+        "q_pagerank", "q_correlation", "q_histogram", "q_interpolate",
+        "q_window_range_agg", "q_sql_recursive")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
