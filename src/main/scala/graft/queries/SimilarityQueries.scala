@@ -366,36 +366,20 @@ object SimilarityQueries {
   private def pqCodebook: Array[Array[Double]] =
     Array.tabulate(PQ_K)(c => Array.tabulate(DIM)(i => pqComponent(c + 1, i + 1)))
 
-  /** Squared L2 between subspace `m` (0-based Column) of `emb` and of
-    * codeword array `cw`: an 8-element sequential fold — both engines
-    * evaluate the identical op order, so the doubles are bit-equal. */
-  private def pqD2(emb: Column, cw: Column, m: Column): Column =
-    aggregate(
-      zip_with(
-        slice(emb, m * PQ_SUB + 1, lit(PQ_SUB)),
-        slice(cw, m * PQ_SUB + 1, lit(PQ_SUB)),
-        (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
-      lit(0.0), (acc, x) => acc + x)
+  /** PQ encode / asymmetric distance: the native codegen'd kernels
+    * (`graft.functions.{PqEncode, PqAdc}`) — same sequential fold
+    * structure as the composed higher-order form they replace (parity
+    * asserted in CustomFunctionsSpec), codebook shipped as a codegen
+    * reference object. Codes are 1-based; argmin ties take the first
+    * (smallest c), like array_position of array_min. */
+  private[graft] def pqCodes(emb: Column): Column =
+    graft.functions.PqExpressions.encode(emb, pqCodebook, PQ_M, PQ_SUB)
 
-  /** PQ encode: per vector an array of 8 codes (1..16), code m = argmin
-    * codeword by sub-distance (first-minimum = smallest c on ties, via
-    * array_position of the min). */
-  private def pqCodes(emb: Column): Column = {
-    val cb = typedLit(pqCodebook.map(_.toSeq).toSeq)
-    transform(sequence(lit(0), lit(PQ_M - 1)), m => {
-      val d2s = transform(sequence(lit(1), lit(PQ_K)),
-        c => pqD2(emb, element_at(cb, c), m))
-      array_position(d2s, array_min(d2s)).cast(IntegerType)
-    })
-  }
+  private[graft] def pqAdc(qEmb: Column, codes: Column): Column =
+    graft.functions.PqExpressions.adc(qEmb, codes, pqCodebook, PQ_M, PQ_SUB)
 
-  /** Asymmetric distance: sum over subspaces of d2(query sub,
-    * codeword[code_m]) — again a sequential fold over m. */
-  private def pqAdc(qEmb: Column, codes: Column): Column = {
-    val cb = typedLit(pqCodebook.map(_.toSeq).toSeq)
-    aggregate(sequence(lit(0), lit(PQ_M - 1)), lit(0.0),
-      (acc, m) => acc + pqD2(qEmb, element_at(cb, element_at(codes, m + 1)), m))
-  }
+  /** Plan-time codebook accessor for the parity spec. */
+  private[graft] def pqCodebookForTest: Seq[Array[Double]] = pqCodebook
 
   /** IVF with a k-means-REFINED quantizer: the hash-seeded centroids
     * above, improved by `iters` fixed Lloyd iterations (assign every

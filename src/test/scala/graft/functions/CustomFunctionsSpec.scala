@@ -101,6 +101,40 @@ class CustomFunctionsSpec extends SparkTestBase {
       s"expected codegen'd project in plan:\n$plan")
   }
 
+  test("PqEncode/PqAdc == composed higher-order forms, bit-exact + codegen") {
+    import graft.queries.SimilarityQueries
+    val cb = SimilarityQueries.pqCodebookForTest
+    val cbLit = typedLit(cb.map(_.toSeq))
+    val M = 8; val SUB = 8; val K = cb.length
+    def d2(emb: org.apache.spark.sql.Column, cw: org.apache.spark.sql.Column,
+        m: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(
+          slice(emb, m * SUB + 1, lit(SUB)), slice(cw, m * SUB + 1, lit(SUB)),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x)
+    val composedCodes = transform(sequence(lit(0), lit(M - 1)), m => {
+      val d2s = transform(sequence(lit(1), lit(K)), c => d2($"embedding", element_at(cbLit, c), m))
+      array_position(d2s, array_min(d2s)).cast("int")
+    })
+    val composedAdc = aggregate(sequence(lit(0), lit(M - 1)), lit(0.0),
+      (acc, m) => acc + d2($"embedding",
+        element_at(cbLit, element_at(composedCodes, m + 1)), m))
+    val df = Tables.embeddings(spark, sf())
+      .select(
+        SimilarityQueries.pqCodes($"embedding").as("nc"),
+        composedCodes.as("cc"),
+        SimilarityQueries.pqAdc($"embedding", composedCodes).as("na"),
+        composedAdc.as("ca"))
+    assert(df.filter($"nc" =!= $"cc").count() === 0)
+    assert(df.filter($"na" =!= $"ca").count() === 0)
+    val plan = Tables.embeddings(spark, sf())
+      .select(SimilarityQueries.pqCodes($"embedding").as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [pqencode"),
+      s"expected codegen'd project in plan:\n$plan")
+  }
+
   test("PortableHash60 == composed conv(substring(md5)) form on real + adversarial strings") {
     val docs = Tables.documents(spark, sf())
       .select(explode(split($"text", " ")).as("s"))
