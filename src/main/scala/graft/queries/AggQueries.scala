@@ -86,6 +86,24 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // EXACT distinct via bitmaps (Spark 4 bitmap_* aggregates): keys
+    // bucket into 32k-bit bitmaps, per-bucket OR-aggregation, counts
+    // summed — the high-performance exact-distinct pattern (the shuffle
+    // carries fixed-size bitmaps, not keys; bucket count scales with
+    // the KEY RANGE / 32k, not row count). Exact, so the twin is plain
+    // COUNT(DISTINCT).
+    "q_bitmap_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_orderkey)").as("bucket"),
+          expr("bitmap_bit_position(l_orderkey)").as("pos"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_orders"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Distributed SKETCH MERGE (Spark 4 DataSketches HLL): per-group
     // binary sketches unioned into one estimate — the two-level rollup
     // a 100 TB pipeline ships instead of raw values (sketches are a few
@@ -347,6 +365,10 @@ object AggQueries {
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  true AS within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_hll_union" ->

@@ -103,6 +103,24 @@ object FunctionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Higher-order-function family over token arrays: transform /
+    // filter / exists / forall / aggregate / slice, the lambda surface
+    // a schema-flexible pipeline leans on (all map-side; DuckDB twins
+    // are the list_* lambda equivalents).
+    "q_hof_funcs" -> ((s, d) => {
+      val toks = col("toks")
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(toks).as("n_toks"),
+          size(filter(toks, t => length(t) >= 6)).as("n_long"),
+          exists(toks, t => t.startsWith("a")).as("has_a"),
+          forall(toks, t => length(t) > 0).as("all_nonempty"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("char_sum"),
+          array_join(slice(transform(toks, t => upper(t)), 1, 3), " ").as("first3_upper"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Regex family: capture-group extraction + match counting (patterns
     // kept to the Java/RE2-common subset).
     "q_regexp_funcs" -> ((s, d) => {
@@ -253,6 +271,17 @@ object FunctionQueries {
         |  CAST(list_max(embedding) AS DOUBLE) AS vmax,
         |  CAST(list_min(embedding) AS DOUBLE) AS vmin
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_hof_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_toks,
+        |  CAST(len(list_filter(toks, t -> length(t) >= 6)) AS INTEGER) AS n_long,
+        |  list_bool_or(list_transform(toks, t -> t LIKE 'a%')) AS has_a,
+        |  list_bool_and(list_transform(toks, t -> length(t) > 0)) AS all_nonempty,
+        |  CAST(list_sum(list_transform(toks, t -> length(t))) AS INTEGER) AS char_sum,
+        |  array_to_string(list_transform(toks, t -> upper(t))[1:3], ' ') AS first3_upper
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_regexp_funcs" ->
       """SELECT c_custkey,
