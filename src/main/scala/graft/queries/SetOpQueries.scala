@@ -30,6 +30,22 @@ object SetOpQueries {
         .orderBy(col("nationkey"), col("src"))
     }),
 
+    // UNION BY NAME with schema drift: the sides name their columns in
+    // different orders and the supplier side lacks `bal` entirely —
+    // resolution is by NAME with NULL fill (allowMissingColumns), the
+    // schema-evolution union a long-lived lakehouse needs. DuckDB's
+    // `UNION ALL BY NAME` twin has the identical semantics.
+    "q_union_by_name" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"), lit("c").as("src"))
+      val sup = Tables.supplier(s, d)
+        .select(lit("s").as("src"), col("s_name").as("name"),
+          col("s_suppkey").as("id")) // different order, no bal
+      c.unionByName(sup, allowMissingColumns = true)
+        .orderBy(col("src"), col("id"))
+    }),
+
     // INTERSECT: nation keys present on both sides.
     "q_intersect" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -142,6 +158,13 @@ object SetOpQueries {
         |  SELECT s_nationkey AS nationkey, 'supplier' AS src FROM supplier)
         |SELECT nationkey, src, COUNT(*) AS n FROM u
         |GROUP BY nationkey, src ORDER BY nationkey, src""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT id, name, bal, src FROM (
+        |  SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal, 'c' AS src FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT 's' AS src, s_name AS name, s_suppkey AS id FROM supplier)
+        |ORDER BY src, id""".stripMargin,
 
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
