@@ -381,6 +381,72 @@ object SimilarityQueries {
   /** Plan-time codebook accessor for the parity spec. */
   private[graft] def pqCodebookForTest: Seq[Array[Double]] = pqCodebook
 
+  /** PQ with TRAINED per-subspace codebooks: `iters` Lloyd iterations
+    * over each subspace's subvectors, seeded from the md5 codebook —
+    * the production path (the scaled-random codebook is the
+    * oracle-replayable gate variant). Training is distributed: one
+    * explode to (vec, m, j, value) rows, one broadcast-join assignment
+    * per iteration, per-(m, c, j) means with map-side combine; the
+    * k×M×SUB codebook (16×8×8 doubles) collects to the driver between
+    * iterations like every broadcast-k-means. Not driver-gated (double
+    * means are summation-order dependent); QueryLibrarySpec measures
+    * recall@5 against the exact-L2 reference. */
+  private[graft] def pqAnnTrained(s: SparkSession, d: String, iters: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    var cb: Array[Array[Double]] = pqCodebook // [c][dim]
+    import s.implicits._
+    for (_ <- 0 until iters) {
+      // (vec_id, m, subvec) rows once per iteration
+      val cbRows = for {
+        c <- cb.indices
+        m <- 0 until PQ_M
+      } yield (m, c + 1, cb(c).slice(m * PQ_SUB, (m + 1) * PQ_SUB).toSeq)
+      val cbDf = broadcast(cbRows.toDF("m", "c", "cw"))
+      val subs = emb.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PQ_M - 1))).as("m"),
+        col("embedding"))
+        .select(col("vec_id"), col("m"),
+          slice(col("embedding"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sv"))
+      val d2 = aggregate(
+        zip_with(col("sv"), col("cw"), (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val assigned = subs.join(cbDf, Seq("m"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id"), col("m"))
+            .orderBy(col("d2"), col("c"))))
+        .filter(col("rn") === 1)
+        .select(col("m"), col("c"), col("sv"))
+      val means = assigned
+        .select(col("m"), col("c"), posexplode(col("sv")))
+        .groupBy(col("m"), col("c"), col("pos"))
+        .agg(avg(col("col").cast(DoubleType)).as("v"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+      cb = Array.tabulate(cb.length) { ci =>
+        Array.tabulate(DIM) { i =>
+          val m = i / PQ_SUB
+          means.getOrElse((m, ci + 1, i - m * PQ_SUB), cb(ci)(i)) // empty cell keeps old value
+        }
+      }
+    }
+    val trained: Seq[Array[Double]] = cb.toSeq
+    val e = Tables.embeddings(s, d)
+    val coded = e.select(col("vec_id").as("id_b"),
+      graft.functions.PqExpressions.encode(col("embedding"), trained, PQ_M, PQ_SUB).as("codes"))
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("adc"), col("id_b"))
+    coded.join(broadcast(q), col("id_a") =!= col("id_b"))
+      .withColumn("adc",
+        graft.functions.PqExpressions.adc(col("emb_a"), col("codes"), trained, PQ_M, PQ_SUB))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("id_a"), col("rn"), col("id_b"), col("adc"))
+      .orderBy(col("id_a"), col("rn"))
+  }
+
   /** IVF with a k-means-REFINED quantizer: the hash-seeded centroids
     * above, improved by `iters` fixed Lloyd iterations (assign every
     * vector to its nearest centroid — ties broken by cid — then replace

@@ -124,6 +124,31 @@ class QueryLibrarySpec extends SparkTestBase {
     assert(recall > 0.1, s"PQ recall collapsed: $recall")
   }
 
+  test("trained PQ codebooks improve recall over the md5-seeded gate variant") {
+    val e = Tables.embeddings(spark, sf())
+    val a = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val d2 = aggregate(
+      zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("d2"), col("id_b"))
+    val exact = b.join(broadcast(a), col("id_a") =!= col("id_b"))
+      .withColumn("d2", d2).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val base = SparkEntry.queries("q_pq_ann")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val trained = SimilarityQueries.pqAnnTrained(spark, sf(), iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rBase = (exact & base).size.toDouble / exact.size
+    val rTrained = (exact & trained).size.toDouble / exact.size
+    info(f"PQ recall@5: md5 codebook = $rBase%.3f, 2-iter Lloyd-trained = $rTrained%.3f")
+    assert(rTrained >= rBase, f"training lost recall: $rTrained%.3f < $rBase%.3f")
+  }
+
   test("cosineTopK accepts a non-dense probe table, matches exact top-k") {
     val e = Tables.embeddings(spark, sf())
     val probes = e.filter(col("vec_id") % 41 === 3) // sparse, non-prefix ids
