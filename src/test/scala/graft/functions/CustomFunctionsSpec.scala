@@ -135,6 +135,17 @@ class CustomFunctionsSpec extends SparkTestBase {
       s"expected codegen'd project in plan:\n$plan")
   }
 
+  test("HyperplaneBits / PqEncode / PqAdc are null-safe") {
+    val planes = Seq(Array.fill(64)(0.1))
+    val cb = graft.queries.SimilarityQueries.pqCodebookForTest
+    val df = Seq(Tuple1(Option.empty[Seq[Float]])).toDF("embedding")
+      .select(col("embedding").cast("array<float>").as("embedding"))
+    assert(df.select(HyperplaneBits.column($"embedding", planes)).head.isNullAt(0))
+    assert(df.select(PqExpressions.encode($"embedding", cb, 8, 8)).head.isNullAt(0))
+    assert(df.select(PqExpressions.adc($"embedding",
+      lit(null).cast("array<int>"), cb, 8, 8)).head.isNullAt(0))
+  }
+
   test("PortableHash60 == composed conv(substring(md5)) form on real + adversarial strings") {
     val docs = Tables.documents(spark, sf())
       .select(explode(split($"text", " ")).as("s"))

@@ -34,6 +34,38 @@ class EventStreamsSpec extends SparkTestBase {
     Ev(999999L, new Timestamp(maxTs + 3 * 3600 * 1000L), -1L, "flush", 0.0)
   }
 
+  test("streaming curation: quality gate + stateful exact-dedup == batch") {
+    // The training-data flow as a STREAM: documents arrive in
+    // micro-batches, a map-side quality gate filters, and the exact-dup
+    // stage is streaming dropDuplicates over the content digest (first
+    // arrival wins, dedup state carried across batches).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val curated = stream.toDF().toDF("doc_id", "text")
+      .filter(size(split(col("text"), " ")) >= 20)
+      .withColumn("digest", sha2(col("text"), 256))
+      .dropDuplicates("digest")
+      .select(col("doc_id"), col("digest"))
+    val q = curated.writeStream.format("memory").queryName("curation_out")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = docs.splitAt(docs.length / 2)
+      stream.addData(c1)
+      q.processAllAvailable()
+      stream.addData(c2) // duplicates of c1 content must NOT re-emit
+      q.processAllAvailable()
+      val got = spark.table("curation_out").collect()
+        .map(r => r.getString(1)).toSeq
+      val want = docs.toDF("doc_id", "text")
+        .filter(size(split(col("text"), " ")) >= 20)
+        .select(sha2(col("text"), 256)).distinct().as[String].collect().toSet
+      assert(got.toSet === want, "curated digest set must match batch")
+      assert(got.length === want.size, "each digest must emit exactly once")
+    } finally q.stop()
+  }
+
   test("tumbling windows: streaming append == batch on closed windows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Ev]
