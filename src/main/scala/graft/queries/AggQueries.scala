@@ -165,6 +165,22 @@ object AggQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Deterministic MODE: the built-in mode() returns an arbitrary
+    // value under ties, so the most-frequent element is derived from
+    // the count table with a total (count desc, value asc) order —
+    // reproducible on any partitioning, and the twin ranks identically.
+    "q_mode" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          min_by(col("o_orderpriority"),
+            struct((-col("n")).as("neg_n"), col("o_orderpriority"))).as("mode_priority"),
+          max(col("n")).as("mode_n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // J2/J4: ordered first/last per group via max_by/min_by with a
     // composite (value, tiebreak) ordering — deterministic under ties.
     "q_max_by" -> ((s, d) => {
@@ -388,6 +404,17 @@ object AggQueries {
         |  string_agg(c_name, '|' ORDER BY c_name) AS names,
         |  COUNT(*) AS n
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY n DESC, o_orderpriority) AS rn
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
 
     "q_max_by" ->
       s"""WITH ranked AS (

@@ -121,6 +121,16 @@ object FunctionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // explode_outer: lateral expansion that KEEPS rows whose array is
+    // empty (NULL element) — the outer-unnest semantics a left-join
+    // flatten needs; the twin unions the empty-list rows back with NULL.
+    "q_explode_outer" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode_outer(filter(split(col("text"), " "), t => length(t) > 10)).as("tok"))
+        .orderBy(col("doc_id"), asc_nulls_first("tok"))
+    }),
+
     // Regex family: capture-group extraction + match counting (patterns
     // kept to the Java/RE2-common subset).
     "q_regexp_funcs" -> ((s, d) => {
@@ -282,6 +292,17 @@ object FunctionQueries {
         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS INTEGER) AS char_sum,
         |  array_to_string(list_transform(toks, t -> upper(t))[1:3], ' ') AS first3_upper
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_explode_outer" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), s -> length(s) > 10) AS ls
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(ls) AS tok FROM t WHERE len(ls) > 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL AS tok FROM t WHERE len(ls) = 0)
+        |SELECT doc_id, tok FROM u ORDER BY doc_id, tok NULLS FIRST""".stripMargin,
 
     "q_regexp_funcs" ->
       """SELECT c_custkey,
