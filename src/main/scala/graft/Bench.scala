@@ -88,7 +88,7 @@ object Bench {
     // (r1 vs r2 comparison lost 40% of it) — always persist the full
     // line to a file as well. Override with SPARK_GRAFT_BENCH_OUT.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full_latest.json")
+      new java.io.File("bench_full_latest.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")

@@ -48,9 +48,15 @@ case class HyperplaneBits(child: Expression, planes: IndexedSeq[IndexedSeq[Doubl
       val p = planeArr(k)
       val n = math.min(x.numElements(), p.length)
       var proj = 0.0
+      var nul = false
       var i = 0
-      while (i < n) { proj += x.getFloat(i).toDouble * p(i); i += 1 }
-      if (proj > 0) bits |= 1 << k
+      while (i < n) {
+        if (x.isNullAt(i)) { nul = true; i = n }
+        else { proj += x.getFloat(i).toDouble * p(i); i += 1 }
+      }
+      // A null element null-propagates the projection in the composed
+      // zip_with/aggregate form, and NULL > 0 is not true — bit stays 0.
+      if (!nul && proj > 0) bits |= 1 << k
       k += 1
     }
     bits

@@ -40,6 +40,10 @@ case class PqEncode(child: Expression, codebook: IndexedSeq[IndexedSeq[Double]],
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // A null ELEMENT null-propagates the whole encoding (standard SQL),
+  // so the result is nullable even over a non-null input column.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == ArrayType(FloatType, false) ||
         child.dataType == ArrayType(FloatType, true))
@@ -51,6 +55,11 @@ case class PqEncode(child: Expression, codebook: IndexedSeq[IndexedSeq[Double]],
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -77,17 +86,27 @@ case class PqEncode(child: Expression, codebook: IndexedSeq[IndexedSeq[Double]],
       val d = ctx.freshName("d")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      val i = ctx.freshName("i")
+      val hasNul = ctx.freshName("hasNul")
       s"""
-         |int[] $codes = new int[$m];
-         |for (int $mi = 0; $mi < $m; $mi++) {
-         |  int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
-         |  for (int $c = 0; $c < $cbRef.length; $c++) {
-         |    double $d = graft.functions.PqKernel.subD2($a, $cbRef[$c], $mi, $sub);
-         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
-         |  }
-         |  $codes[$mi] = $best + 1;
+         |boolean $hasNul = false;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { $hasNul = true; break; }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |if ($hasNul) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$m];
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    int $best = 0; double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $c = 0; $c < $cbRef.length; $c++) {
+         |      double $d = graft.functions.PqKernel.subD2($a, $cbRef[$c], $mi, $sub);
+         |      if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |    }
+         |    $codes[$mi] = $best + 1;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
        """.stripMargin
     })
   }
@@ -115,6 +134,11 @@ case class PqAdc(left: Expression, right: Expression,
         s"right argument must be array<int>, got ${right.dataType.sql}")
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
+  // Null or out-of-range (outside 1..K) code elements null-propagate
+  // the distance rather than crashing the executor, so the result is
+  // nullable even when both input columns are not.
+  override def nullable: Boolean = true
+
   @transient private lazy val cb: Array[Array[Double]] = codebook.map(_.toArray).toArray
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -124,7 +148,10 @@ case class PqAdc(left: Expression, right: Expression,
     var mi = 0
     val n = math.min(m, codes.numElements())
     while (mi < n) {
-      acc += PqKernel.subD2(q, cb(codes.getInt(mi) - 1), mi, sub)
+      if (codes.isNullAt(mi)) return null
+      val code = codes.getInt(mi)
+      if (code < 1 || code > cb.length) return null
+      acc += PqKernel.subD2(q, cb(code - 1), mi, sub)
       mi += 1
     }
     acc
@@ -136,13 +163,19 @@ case class PqAdc(left: Expression, right: Expression,
       val acc = ctx.freshName("acc")
       val mi = ctx.freshName("mi")
       val n = ctx.freshName("n")
+      val code = ctx.freshName("code")
+      val bad = ctx.freshName("bad")
       s"""
          |double $acc = 0.0;
+         |boolean $bad = false;
          |int $n = java.lang.Math.min($m, $b.numElements());
          |for (int $mi = 0; $mi < $n; $mi++) {
-         |  $acc += graft.functions.PqKernel.subD2($a, $cbRef[$b.getInt($mi) - 1], $mi, $sub);
+         |  if ($b.isNullAt($mi)) { $bad = true; break; }
+         |  int $code = $b.getInt($mi);
+         |  if ($code < 1 || $code > $cbRef.length) { $bad = true; break; }
+         |  $acc += graft.functions.PqKernel.subD2($a, $cbRef[$code - 1], $mi, $sub);
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
   }

@@ -301,7 +301,9 @@ object FunctionQueries {
         |u AS (
         |  SELECT doc_id, unnest(ls) AS tok FROM t WHERE len(ls) > 0
         |  UNION ALL
-        |  SELECT doc_id, NULL AS tok FROM t WHERE len(ls) = 0)
+        |  -- explode_outer also keeps a NULL-tok row when ls itself is
+        |  -- NULL (len(NULL) predicates are NULL in both branches above)
+        |  SELECT doc_id, NULL AS tok FROM t WHERE len(ls) = 0 OR ls IS NULL)
         |SELECT doc_id, tok FROM u ORDER BY doc_id, tok NULLS FIRST""".stripMargin,
 
     "q_regexp_funcs" ->

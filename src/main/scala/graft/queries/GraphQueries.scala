@@ -86,14 +86,17 @@ object GraphQueries {
     * floor division on BIGINTs, matching Spark's `DIV`. */
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> {
+      // DuckDB's SUM over BIGINT widens to HUGEINT, which the pandas
+      // boundary renders as float64 — CAST back to BIGINT each
+      // iteration so rank_micro stays integral end to end.
       def iter(prev: String, cur: String): String =
         s"""$cur AS (
            |  SELECT n.node,
-           |    $Base + 85 * COALESCE((
+           |    CAST($Base + 85 * COALESCE((
            |      SELECT SUM($prev.r // deg.outdeg)
            |      FROM edges JOIN $prev ON $prev.node = edges.src
            |                 JOIN deg ON deg.src = edges.src
-           |      WHERE edges.dst = n.node), 0) // 100 AS r
+           |      WHERE edges.dst = n.node), 0) // 100 AS BIGINT) AS r
            |  FROM nodes n)""".stripMargin
       s"""WITH cs AS (
          |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp

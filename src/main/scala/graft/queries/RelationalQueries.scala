@@ -17,6 +17,24 @@ import QueryUtil._
   */
 object RelationalQueries {
 
+  /** Marker-gated side-write for the round-trip queries: the sink is
+    * written ONCE per (tag, sf dir) per tmpdir and a `._COMPLETE`
+    * marker makes every later plan construction (explain specs, warm
+    * bench loops, Verify) a pure read — no overwrite-vs-read race, no
+    * rewrite per `defs` evaluation (round-3 advice). Bump the tag if
+    * the written shape ever changes, since the marker outlives the JVM.
+    */
+  private def sideWrite(tag: String, d: String)(write: String => Unit): String =
+    synchronized {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+      val marker = new java.io.File(tmp + "._COMPLETE")
+      if (!marker.exists()) {
+        write(tmp)
+        marker.createNewFile()
+      }
+      tmp
+    }
+
   val defs: Map[String, Q] = Map(
     // Plain parquet scan, predicate + projection pushed into the reader.
     "q_parquet_scan" -> ((s, d) => {
@@ -72,9 +90,10 @@ object RelationalQueries {
     // S5: CSV scan — write a table out as CSV (header), read it back with
     // an explicit schema, prove value fidelity against the parquet oracle.
     "q_csv_roundtrip" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
-      Tables.nation(s, d).coalesce(1)
-        .write.mode("overwrite").option("header", true).csv(tmp)
+      val tmp = sideWrite("csv_nation", d) { p =>
+        Tables.nation(s, d).coalesce(1)
+          .write.mode("overwrite").option("header", true).csv(p)
+      }
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType),
@@ -108,8 +127,9 @@ object RelationalQueries {
     // contract as the parquet path — the oracle reads the original
     // parquet, so the check proves ORC loses nothing).
     "q_orc_roundtrip" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_supplier_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
-      Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+      val tmp = sideWrite("orc_supplier", d) { p =>
+        Tables.supplier(s, d).write.mode("overwrite").orc(p)
+      }
       s.read.orc(tmp)
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
         .orderBy(col("s_suppkey"))
@@ -119,9 +139,10 @@ object RelationalQueries {
     // framing on write, explicit schema on read — the third text-format
     // scan family next to CSV and JSON.
     "q_xml_roundtrip" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_xml_nation_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
-      Tables.nation(s, d).coalesce(1)
-        .write.mode("overwrite").option("rowTag", "nation").xml(tmp)
+      val tmp = sideWrite("xml_nation", d) { p =>
+        Tables.nation(s, d).coalesce(1)
+          .write.mode("overwrite").option("rowTag", "nation").xml(p)
+      }
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType),
@@ -132,8 +153,9 @@ object RelationalQueries {
 
     // S6/S8: JSON sink + scan round-trip with explicit schema.
     "q_json_roundtrip" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
-      Tables.region(s, d).coalesce(1).write.mode("overwrite").json(tmp)
+      val tmp = sideWrite("json_region", d) { p =>
+        Tables.region(s, d).coalesce(1).write.mode("overwrite").json(p)
+      }
       val schema = StructType(Seq(
         StructField("r_regionkey", IntegerType),
         StructField("r_name", StringType)))
@@ -147,10 +169,11 @@ object RelationalQueries {
     // the oracle recomputes from the raw table, so the hash also proves
     // the partitioned round-trip lost nothing.
     "q_partitioned_scan" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
-      Tables.orders(s, d)
-        .withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+      val tmp = sideWrite("part_orders", d) { p =>
+        Tables.orders(s, d)
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(p)
+      }
       s.read.parquet(tmp)
         .filter(col("o_year") === 1995)
         .groupBy(col("o_orderstatus"))

@@ -146,6 +146,28 @@ class CustomFunctionsSpec extends SparkTestBase {
       lit(null).cast("array<int>"), cb, 8, 8)).head.isNullAt(0))
   }
 
+  test("null elements and out-of-range codes null-propagate instead of reading 0.0 / crashing") {
+    val planes = Seq(Array.fill(64)(0.1), Array.fill(64)(-0.1))
+    val cb = graft.queries.SimilarityQueries.pqCodebookForTest
+    // array<float> with a null element (containsNull=true)
+    val withNullElem = Seq(Tuple1(Seq[Option[Float]](Some(1.0f), None, Some(2.0f))))
+      .toDF("embedding")
+      .select(col("embedding").cast("array<float>").as("embedding"))
+    // Both planes' projections null-propagate -> both bits 0.
+    assert(withNullElem.select(HyperplaneBits.column($"embedding", planes))
+      .head.getInt(0) === 0)
+    assert(withNullElem.select(PqExpressions.encode($"embedding", cb, 8, 8))
+      .head.isNullAt(0))
+    val q = Seq(Tuple1(Seq.fill(64)(0.5f))).toDF("q")
+      .select(col("q").cast("array<float>").as("q"))
+    // codes containing 0 (out of 1..K range) -> NULL, not AIOOBE
+    assert(q.select(PqExpressions.adc($"q",
+      array((0 until 8).map(_ => lit(0)): _*), cb, 8, 8)).head.isNullAt(0))
+    // codes containing a null element -> NULL
+    assert(q.select(PqExpressions.adc($"q",
+      array(lit(1), lit(null).cast("int")), cb, 8, 8)).head.isNullAt(0))
+  }
+
   test("PortableHash60 == composed conv(substring(md5)) form on real + adversarial strings") {
     val docs = Tables.documents(spark, sf())
       .select(explode(split($"text", " ")).as("s"))

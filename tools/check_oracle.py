@@ -74,6 +74,21 @@ def main():
             n_fail += 1
             continue
         want_c, got_c = canon(want), canon(got)
+        # The driver hashes rendered values, so an integral Spark column
+        # vs a float64 oracle column (e.g. DuckDB SUM(BIGINT)->HUGEINT
+        # ->float64 at the pandas boundary) hash-mismatches even when
+        # the values compare equal. Mirror that strictness here.
+        kind_bad = None
+        for c in want_c.columns:
+            wk, gk = want_c[c].dtype.kind, got_c[c].dtype.kind
+            if {wk, gk} <= {"i", "u", "f"} and ("f" in (wk, gk)) != (wk == gk == "f"):
+                kind_bad = (c, want_c[c].dtype, got_c[c].dtype)
+                break
+        if kind_bad:
+            c, w, g = kind_bad
+            print(f"FAIL {name}: dtype kind mismatch col={c} oracle={w} spark={g}")
+            n_fail += 1
+            continue
         bad = None
         for ci, c in enumerate(want_c.columns):
             wv, gv = want_c[c].tolist(), got_c[c].tolist()
