@@ -258,6 +258,44 @@ object DedupQueries {
         .select(col("rep_a"), col("rep_b"), col("hamming"),
           col("n_a"), col("n_b"))
         .orderBy(col("rep_a"), col("rep_b"))
+    }),
+
+    // Sorted-neighborhood blocking (SNM) — the third candidate-
+    // generation family next to LSH banding and key-equality blocking:
+    // sort once on a normalized key, compare each record only to its W
+    // successors. Distributed form: a coarse 4-char block is the
+    // shuffle key, the full key sorts WITHIN blocks, and the W leads
+    // come out of ONE Window pass (single sort, no self-join, no
+    // quadratic block expansion — candidate count is exactly ≤ W·n).
+    // Cross-block boundary pairs are missed by design (the standard
+    // SNM tradeoff; multi-pass with a second key is the recall fix).
+    // At 100 TB: one range-shuffle + per-partition sort, candidate
+    // verify (levenshtein on the 24-char keys) entirely map-side.
+    "q_sorted_neighborhood" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val W = 3
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 24)
+            .as("snkey"))
+        .withColumn("blk", substring(col("snkey"), 1, 4))
+      val win = Window.partitionBy(col("blk")).orderBy(col("snkey"), col("doc_id"))
+      keyed
+        // leads materialize in ONE Window pass; the explode must sit in
+        // a separate projection (window exprs can't feed a generator)
+        .select(col("doc_id"), col("snkey"),
+          array((1 to W).map(i => struct(
+            lead(col("doc_id"), i).over(win).as("id_n"),
+            lead(col("snkey"), i).over(win).as("key_n"))): _*).as("nbs"))
+        .select(col("doc_id"), col("snkey"), explode(col("nbs")).as("nb"))
+        .filter(col("nb.id_n").isNotNull)
+        .withColumn("lev", levenshtein(col("snkey"), col("nb.key_n")))
+        .filter(col("lev") <= 6)
+        .select(
+          least(col("doc_id"), col("nb.id_n")).as("id_a"),
+          greatest(col("doc_id"), col("nb.id_n")).as("id_b"),
+          col("lev"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -376,7 +414,32 @@ object DedupQueries {
          |SELECT rep_a, rep_b,
          |  CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming, n_a, n_b
          |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
-         |ORDER BY rep_a, rep_b""".stripMargin
+         |ORDER BY rep_a, rep_b""".stripMargin,
+
+    // DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    // replace-all; the three leads come from the same window spec.
+    "q_sorted_neighborhood" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 24)
+        |      AS snkey
+        |  FROM documents),
+        |b AS (SELECT doc_id, snkey, substring(snkey, 1, 4) AS blk FROM k),
+        |l AS (
+        |  SELECT doc_id, snkey,
+        |    lead(doc_id, 1) OVER w AS id1, lead(snkey, 1) OVER w AS key1,
+        |    lead(doc_id, 2) OVER w AS id2, lead(snkey, 2) OVER w AS key2,
+        |    lead(doc_id, 3) OVER w AS id3, lead(snkey, 3) OVER w AS key3
+        |  FROM b WINDOW w AS (PARTITION BY blk ORDER BY snkey, doc_id)),
+        |p AS (
+        |  SELECT doc_id AS ida, id1 AS idb,
+        |    CAST(levenshtein(snkey, key1) AS INTEGER) AS lev FROM l WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, id2, CAST(levenshtein(snkey, key2) AS INTEGER) FROM l WHERE id2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, id3, CAST(levenshtein(snkey, key3) AS INTEGER) FROM l WHERE id3 IS NOT NULL)
+        |SELECT LEAST(ida, idb) AS id_a, GREATEST(ida, idb) AS id_b, lev
+        |FROM p WHERE lev <= 6 ORDER BY id_a, id_b""".stripMargin
   )
 
   /** CTE chain producing `sims(doc_id, simhash)` — shared by the simhash

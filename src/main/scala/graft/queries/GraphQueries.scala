@@ -58,8 +58,12 @@ object GraphQueries {
     // correct Pregel shape, and AQE makes that call per scale).
     val e = edges(s, d)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val ew = e.join(deg, Seq("src")).localCheckpoint()
-    val nodes = ew.select(col("src").as("node")).distinct().localCheckpoint()
+    // deg already holds exactly the distinct sources (and every node of
+    // the both-directions edge set appears as a source) — reuse it as
+    // the node list instead of paying a second distinct over edges.
+    val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.withColumn("r", lit(Unit))
     for (_ <- 0 until Iters) {
       val contrib = ew
@@ -78,8 +82,80 @@ object GraphQueries {
       .limit(100)
   }
 
+  /** Per-customer supplier-list cap for the co-purchase projection —
+    * same skew treatment as DedupQueries.BUCKET_CAP: a hub customer
+    * contributes at most TriCap·(TriCap−1)/2 pairs. */
+  private[queries] val TriCap = 32
+
+  /** Triangle count over the supplier co-purchase graph.
+    *
+    * The raw trade graph is BIPARTITE (customer↔supplier) and so
+    * triangle-free; the interesting structure lives in its one-mode
+    * projection: suppliers are adjacent iff they share a customer. The
+    * pipeline is the standard scale shape end to end:
+    *   1. distinct (cust, supp) pairs, per-customer capped to the
+    *      TriCap smallest supplier ids (hub-customer skew bound,
+    *      mirrored in the twin);
+    *   2. projection pairs by per-customer self-join (quadratic only
+    *      within the cap), normalized u<v + distinct;
+    *   3. DEGREE-ORIENTED closing join (Suri–Vassilvitskii): each
+    *      undirected edge points from its (deg, id)-smaller endpoint,
+    *      so every wedge pivots on a LOW-degree node — fan-out per node
+    *      is O(√m) instead of O(max-degree), the difference between a
+    *      bounded shuffle and a hub blow-up at 10⁹ edges;
+    *   4. wedges e1(a,b)⋈e2(b,c) closed against e3(a,c).
+    * Output is one row of BIGINT graph invariants — exact in DuckDB.
+    */
+  private[graft] def triangles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val capped = cs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cust")).orderBy(col("supp"))))
+      .filter(col("rn") <= TriCap)
+      .drop("rn")
+    val pairs = capped.select(col("cust"), col("supp").as("sa"))
+      .join(capped.select(col("cust"), col("supp").as("sb")), Seq("cust"))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa").as("u"), col("sb").as("v"))
+      .distinct()
+    triangleCountFrom(pairs)
+  }
+
+  /** Steps 3–4 over any normalized undirected edge set (u < v, distinct)
+    * — factored out so specs can drive it with known graphs. */
+  private[graft] def triangleCountFrom(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs
+      .localCheckpoint() // reused 4×: degree + orientation + 3-way close
+    val deg = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = pairs
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("a"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint() // pivot of the 3-way closing join below
+    val tri = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(oriented.select(col("a").as("wa"), col("b").as("wc")),
+        col("a") === col("wa") && col("c") === col("wc"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
+
   val defs: Map[String, Q] = Map(
-    "q_pagerank" -> ((s, d) => pagerank(s, d))
+    "q_pagerank" -> ((s, d) => pagerank(s, d)),
+    "q_triangle_count" -> ((s, d) => triangles(s, d))
   )
 
   /** The twin unrolls the three iterations as CTEs; `//` is DuckDB's
@@ -113,6 +189,42 @@ object GraphQueries {
          |${iter("r2", "r3")}
          |SELECT node, r AS rank_micro FROM r3
          |ORDER BY rank_micro DESC, node LIMIT 100""".stripMargin
-    }
+    },
+
+    /** The twin replays cap, projection, degree orientation and the
+      * closing join; all outputs are COUNT(*) BIGINTs. */
+    "q_triangle_count" ->
+      s"""WITH cs AS (
+         |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |capped AS (
+         |  SELECT cust, supp FROM (
+         |    SELECT cust, supp,
+         |      row_number() OVER (PARTITION BY cust ORDER BY supp) AS rn
+         |    FROM cs) WHERE rn <= $TriCap),
+         |pairs AS (
+         |  SELECT DISTINCT a.supp AS u, b.supp AS v
+         |  FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp),
+         |deg AS (
+         |  SELECT n, COUNT(*) AS dg FROM (
+         |    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+         |  GROUP BY n),
+         |ori AS (
+         |  SELECT
+         |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+         |         THEN u ELSE v END AS a,
+         |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+         |         THEN v ELSE u END AS b
+         |  FROM pairs JOIN deg du ON du.n = pairs.u
+         |             JOIN deg dv ON dv.n = pairs.v),
+         |tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM ori e1 JOIN ori e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM ori e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b))
+         |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         |       (SELECT COUNT(*) FROM pairs) AS n_edges,
+         |       n_triangles
+         |FROM tri""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.BloomJoin
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import QueryUtil._
@@ -203,6 +204,33 @@ object JoinQueries {
         .distinct()
         .toDF("id_a", "id_b", "lev", "n_a", "n_b")
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Bloom-filter pruned join: the selective side (urgent finished
+    // orders, ~1% of keys) is sketched ONCE into a 1-row bloom
+    // (graft.functions.BloomJoin — Spark's own runtime-filter sketch,
+    // driven explicitly), broadcast by crossJoin, and the fact table is
+    // cut BEFORE its shuffle by might_contain; the exact semi-join then
+    // drops the bloom's false positives, so the result is bit-identical
+    // to the plain semi-join the oracle runs. At 100 TB this is the
+    // pre-shuffle prune you reach for when the optimizer can't inject
+    // its own runtime filter (selective keys landed by a separate job):
+    // shuffle bytes drop to ~selectivity·|fact| for one numBits/8-byte
+    // broadcast. Never a driver collect — the sketch stays in the plan.
+    "q_bloom_prune" -> ((s, d) => {
+      val sel = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloom = sel.agg(
+        BloomJoin.bloomAgg(xxhash64(col("o_orderkey")), 100000L, 800000L)
+          .as("bf"))
+      Tables.lineitem(s, d)
+        .filter(BloomJoin.mightContain(bloom, xxhash64(col("l_orderkey"))))
+        .join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -238,6 +266,16 @@ object JoinQueries {
         |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
         |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
         |ORDER BY nationkey""".stripMargin,
+
+    // The bloom prune is exact-verified in-plan, so the twin is the
+    // plain semi-join aggregate the pruned pipeline must reproduce.
+    "q_bloom_prune" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+         |                     WHERE o_orderstatus = 'F'
+         |                       AND o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_join_semi" ->
       """SELECT o_orderkey, o_orderstatus FROM orders

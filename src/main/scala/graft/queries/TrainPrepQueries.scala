@@ -320,6 +320,45 @@ object TrainPrepQueries {
         trim(regexp_replace(regexp_replace(aug, urlRe, ""), " +", " "))
           .as("stripped"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact-size quota sampling: draw EXACTLY N docs with per-source
+    // quotas proportional to corpus share, rounded by largest remainder
+    // (Hamilton apportionment — quotas always sum to N, no float
+    // thresholds), then pick each stratum's quota deterministically by
+    // hash order. Complements q_stratified_sample (per-row Bernoulli,
+    // size only ≈ target) when the contract is an exact sample size.
+    // All integer arithmetic. Scale shape: the quota table is
+    // #sources rows (the two single-partition windows over it are
+    // trivially small — the DATA-sized work is the per-source hash-rank
+    // window, which shuffles once on source; a skewed giant source is
+    // one sorted partition, handled like any top-k-per-group).
+    "q_quota_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val N = 100L
+      val cnts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      val tot = cnts.agg(sum(col("cnt")).as("tot"))
+      val wAll = Window.partitionBy(lit(0))
+      val wRem = Window.partitionBy(lit(0))
+        .orderBy(col("rem_key").desc, col("source"))
+      val quotas = cnts.crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr(s"(cnt * $N) DIV tot").as("base"),
+          expr(s"(cnt * $N) % tot").as("rem_key"))
+        .withColumn("rnk", row_number().over(wRem))
+        .withColumn("quota",
+          col("base") + when(col("rnk") <= lit(N) - sum(col("base")).over(wAll), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("quota"))
+      val wPick = Window.partitionBy(col("source"))
+        .orderBy(phash(col("doc_id").cast(StringType), 29), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(wPick))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -545,6 +584,29 @@ object TrainPrepQueries {
         |  CAST(len(regexp_extract_all(aug, 'https?://[^ ]+')) AS INTEGER) AS n_urls,
         |  trim(regexp_replace(regexp_replace(aug, 'https?://[^ ]+', '', 'g'),
         |       ' +', ' ', 'g')) AS stripped
-        |FROM a ORDER BY doc_id""".stripMargin
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // Largest-remainder quotas replayed in SQL; window SUM over BIGINT
+    // is CAST back (DuckDB widens to HUGEINT), and `//`/`%` match
+    // Spark's DIV/% on the positive operands used here.
+    "q_quota_sample" ->
+      s"""WITH cnts AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts),
+         |q0 AS (SELECT source, (cnt * 100) // tot AS base, (cnt * 100) % tot AS rem_key
+         |       FROM cnts, tot),
+         |q1 AS (SELECT source, base,
+         |         row_number() OVER (ORDER BY rem_key DESC, source) AS rnk,
+         |         CAST(SUM(base) OVER () AS BIGINT) AS sumbase
+         |       FROM q0),
+         |quotas AS (SELECT source,
+         |             base + CASE WHEN rnk <= 100 - sumbase THEN 1 ELSE 0 END AS quota
+         |           FROM q1),
+         |ranked AS (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY ${sqlPhash("CAST(doc_id AS VARCHAR)", 29)}, doc_id) AS rn
+         |           FROM documents)
+         |SELECT doc_id, ranked.source
+         |FROM ranked JOIN quotas ON ranked.source = quotas.source
+         |WHERE rn <= quota ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+import graft.functions.BloomJoin
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 operators: bloom-pruned join, degree-oriented
+  * triangle counting, sorted-neighborhood blocking, quota sampling.
+  * The DuckDB twins gate end-to-end values; these specs pin the
+  * properties the hash gate can't see (no-false-negative pruning,
+  * graph-theoretic ground truth, candidate bounds, quota exactness).
+  */
+class NewOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("triangle count matches ground truth on known graphs") {
+    def tri(edges: (Int, Int)*): (Long, Long, Long) = {
+      val r = GraphQueries.triangleCountFrom(edges.toDF("u", "v")).head
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("n_triangles"))
+    }
+    // K4: every 3-subset closes
+    assert(tri((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)) === ((4L, 6L, 4L)))
+    // C4: cycles of even length have no triangles
+    assert(tri((1, 2), (2, 3), (3, 4), (1, 4)) === ((4L, 4L, 0L)))
+    // star: the hub closes nothing
+    assert(tri((1, 2), (1, 3), (1, 4), (1, 5)) === ((5L, 4L, 0L)))
+    // one triangle + pendant edge: pendant adds a node, not a triangle
+    assert(tri((1, 2), (1, 3), (2, 3), (3, 9)) === ((4L, 4L, 1L)))
+  }
+
+  test("bloom prune never drops a true match and actually prunes") {
+    val li = Tables.lineitem(spark, sf())
+    val selKeys = Tables.orders(spark, sf())
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bloom = selKeys.agg(
+      BloomJoin.bloomAgg(xxhash64(col("o_orderkey")), 100000L, 800000L).as("bf"))
+    val pruned = li.filter(
+      BloomJoin.mightContain(bloom, xxhash64(col("l_orderkey"))))
+    val exact = li.join(selKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // no false negatives: every exact match survives the bloom
+    assert(exact.join(pruned, Seq("l_orderkey", "l_linenumber"), "left_anti")
+      .count() === 0)
+    // the sketch is selective (sized for ~1% fp at this key count)
+    val (total, kept) = (li.count(), pruned.count())
+    assert(kept < total, s"bloom kept all $total rows")
+    assert(kept >= exact.count())
+  }
+
+  test("quota sample: exactly N rows, every quota within 1 of exact share") {
+    val got = SparkEntry.queries("q_quota_sample")(spark, sf()).cache()
+    assert(got.count() === 100)
+    val cnts = Tables.documents(spark, sf())
+      .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = cnts.values.sum
+    val quotas = got.groupBy(col("source")).agg(count(lit(1)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas.values.sum === 100)
+    for ((src, q) <- quotas) {
+      val share = cnts(src) * 100.0 / tot
+      assert(q === math.floor(share).toLong || q === math.ceil(share).toLong,
+        s"$src: quota $q vs exact share $share")
+    }
+    got.unpersist()
+  }
+
+  test("sorted neighborhood: ONE window pass, candidates bounded by W·n") {
+    val q = SparkEntry.queries("q_sorted_neighborhood")(spark, sf())
+    val plan = q.queryExecution.executedPlan.toString
+    val windowOps = plan.sliding("Window [".length).count(_ == "Window [")
+    assert(windowOps === 1, s"expected exactly one Window operator:\n$plan")
+    val n = Tables.documents(spark, sf()).count()
+    assert(q.count() <= 3 * n)
+  }
+}
