@@ -82,21 +82,26 @@ object GraphQueries {
       .limit(100)
   }
 
-  /** Per-customer supplier-list cap for the co-purchase projection —
-    * same skew treatment as DedupQueries.BUCKET_CAP: a hub customer
+  /** Per-supplier customer-list cap for the co-purchase projection —
+    * same skew treatment as DedupQueries.BUCKET_CAP: a hub supplier
     * contributes at most TriCap·(TriCap−1)/2 pairs. */
-  private[queries] val TriCap = 32
+  private[queries] val TriCap = 16
 
-  /** Triangle count over the supplier co-purchase graph.
+  /** Triangle count over the customer co-purchase graph.
     *
     * The raw trade graph is BIPARTITE (customer↔supplier) and so
     * triangle-free; the interesting structure lives in its one-mode
-    * projection: suppliers are adjacent iff they share a customer. The
-    * pipeline is the standard scale shape end to end:
-    *   1. distinct (cust, supp) pairs, per-customer capped to the
-    *      TriCap smallest supplier ids (hub-customer skew bound,
+    * projection. Direction matters for density: projecting onto the
+    * SMALL side (suppliers sharing a customer) saturates toward the
+    * complete graph — ~all C(|S|,2) pairs exist and triangle work goes
+    * cubic in |S| (measured 22 s at sf0.1) — so the projection goes
+    * onto the LARGE side: customers are adjacent iff they share a
+    * supplier, which stays sparse (|edges| ≤ cap²·|S| ≪ C(|C|,2)) at
+    * every scale. The pipeline is the standard scale shape end to end:
+    *   1. distinct (supp, cust) pairs, per-supplier capped to the
+    *      TriCap smallest customer ids (hub-supplier skew bound,
     *      mirrored in the twin);
-    *   2. projection pairs by per-customer self-join (quadratic only
+    *   2. projection pairs by per-supplier self-join (quadratic only
     *      within the cap), normalized u<v + distinct;
     *   3. DEGREE-ORIENTED closing join (Suri–Vassilvitskii): each
     *      undirected edge points from its (deg, id)-smaller endpoint,
@@ -111,17 +116,17 @@ object GraphQueries {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
       .distinct()
     val capped = cs
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("cust")).orderBy(col("supp"))))
+        Window.partitionBy(col("supp")).orderBy(col("cust"))))
       .filter(col("rn") <= TriCap)
       .drop("rn")
-    val pairs = capped.select(col("cust"), col("supp").as("sa"))
-      .join(capped.select(col("cust"), col("supp").as("sb")), Seq("cust"))
-      .filter(col("sa") < col("sb"))
-      .select(col("sa").as("u"), col("sb").as("v"))
+    val pairs = capped.select(col("supp"), col("cust").as("ca"))
+      .join(capped.select(col("supp"), col("cust").as("cb")), Seq("supp"))
+      .filter(col("ca") < col("cb"))
+      .select(col("ca").as("u"), col("cb").as("v"))
       .distinct()
     triangleCountFrom(pairs)
   }
@@ -195,16 +200,16 @@ object GraphQueries {
       * closing join; all outputs are COUNT(*) BIGINTs. */
     "q_triangle_count" ->
       s"""WITH cs AS (
-         |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |capped AS (
-         |  SELECT cust, supp FROM (
-         |    SELECT cust, supp,
-         |      row_number() OVER (PARTITION BY cust ORDER BY supp) AS rn
+         |  SELECT supp, cust FROM (
+         |    SELECT supp, cust,
+         |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
          |    FROM cs) WHERE rn <= $TriCap),
          |pairs AS (
-         |  SELECT DISTINCT a.supp AS u, b.supp AS v
-         |  FROM capped a JOIN capped b ON a.cust = b.cust AND a.supp < b.supp),
+         |  SELECT DISTINCT a.cust AS u, b.cust AS v
+         |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust),
          |deg AS (
          |  SELECT n, COUNT(*) AS dg FROM (
          |    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
