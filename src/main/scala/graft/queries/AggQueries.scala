@@ -346,6 +346,59 @@ object AggQueries {
           (col("std_c") / 100.0).as("std_price"),
           col("n_beyond_1_5"), col("extreme_orderkey"), col("max_abs_z"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Equi-depth (quantile) histogram — the optimizer-stats shape. A
+    // global ntile over raw rows would be a single-partition sort of
+    // the whole table; instead the price is coarsened to integer
+    // dollars (a VALUE-DOMAIN bounded by the price range, not the row
+    // count — same re-shape as q_window_range_agg), the window runs
+    // over that small domain, and rows sharing a grid cell stay in one
+    // bucket. Depths are equal up to grid-tie granularity,
+    // deterministically. All integer arithmetic.
+    "q_equidepth_hist" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dom = Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice")).cast(LongType).as("price_d"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("price_d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(lit(0))
+      dom
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("total", sum(col("cnt")).over(wAll))
+        .withColumn("bucket", expr("((cum - 1) * 10) DIV total"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("cnt")).as("n"),
+          min(col("price_d")).as("lo_dollars"),
+          max(col("price_d")).as("hi_dollars"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Order-independent whole-table fingerprint: one map-side pass
+    // computes a canonical per-row hash (integer/string/date fields
+    // only — float columns go through exact cents so no float
+    // formatting crosses engines) and exact commutative reductions
+    // (split-half sums so no intermediate overflows BIGINT below 2^33
+    // rows, min/max, count). Two runs — different partitioning,
+    // different cluster, different engine — must agree bit-for-bit:
+    // the cheap migration/replication parity check a 100 TB copy job
+    // ends with. Embarrassingly parallel, shuffle carries one row per
+    // partition.
+    "q_table_digest" -> ((s, d) => {
+      val canon = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast(LongType),
+        col("o_orderdate").cast(DateType).cast(StringType),
+        col("o_orderpriority"))
+      val h = TextQueries.phash(canon, 7)
+      Tables.orders(s, d)
+        .select(h.as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h") % 1073741824L).as("hash_lo_sum"),
+          sum(expr("h DIV 1073741824")).as("hash_hi_sum"),
+          min(col("h")).as("hash_min"),
+          max(col("h")).as("hash_max"))
     })
   )
 
@@ -531,6 +584,36 @@ object AggQueries {
         |  MAX(CASE WHEN rn = 1 AND z IS NOT NULL THEN o_orderkey END) AS extreme_orderkey,
         |  MAX(abs(z)) AS max_abs_z
         |FROM r GROUP BY o_orderpriority, n, mean_c, std_c
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_equidepth_hist" ->
+      """WITH dom AS (
+        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS price_d, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT price_d, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY price_d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(cnt) OVER () AS BIGINT) AS total
+        |  FROM dom)
+        |SELECT ((cum - 1) * 10) // total AS bucket,
+        |  CAST(SUM(cnt) AS BIGINT) AS n,
+        |  MIN(price_d) AS lo_dollars, MAX(price_d) AS hi_dollars
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The twin recomputes the same canonical row hash; all sums CAST
+    // back from DuckDB's HUGEINT widening.
+    "q_table_digest" -> {
+      val canon = "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)" +
+        " || '|' || o_orderstatus || '|' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)" +
+        " || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' || o_orderpriority"
+      val h = TextQueries.sqlPhash(s"($canon)", 7)
+      s"""WITH t AS (SELECT $h AS h FROM orders)
+         |SELECT COUNT(*) AS n_rows,
+         |  CAST(SUM(h % 1073741824) AS BIGINT) AS hash_lo_sum,
+         |  CAST(SUM(h // 1073741824) AS BIGINT) AS hash_hi_sum,
+         |  MIN(h) AS hash_min, MAX(h) AS hash_max
+         |FROM t""".stripMargin
+    }
   )
 }

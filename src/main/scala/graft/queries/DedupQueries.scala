@@ -289,8 +289,10 @@ object DedupQueries {
             lead(col("snkey"), i).over(win).as("key_n"))): _*).as("nbs"))
         .select(col("doc_id"), col("snkey"), explode(col("nbs")).as("nb"))
         .filter(col("nb.id_n").isNotNull)
-        .withColumn("lev", levenshtein(col("snkey"), col("nb.key_n")))
-        .filter(col("lev") <= 6)
+        // bounded variant: early-exits the DP past the threshold and
+        // returns -1 there; for kept rows the value IS the distance
+        .withColumn("lev", levenshtein(col("snkey"), col("nb.key_n"), 6))
+        .filter(col("lev") >= 0)
         .select(
           least(col("doc_id"), col("nb.id_n")).as("id_a"),
           greatest(col("doc_id"), col("nb.id_n")).as("id_b"),

@@ -193,8 +193,10 @@ object JoinQueries {
         .drop("brn")
       a.join(b, Seq("blk"))
         .filter(col("id_a") =!= col("id_b"))
-        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("lev") <= 1)
+        // bounded variant: O(n·k) band instead of the full O(n²) DP,
+        // -1 past the threshold (so keep the >= 0 band)
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 1))
+        .filter(col("lev") >= 0)
         .select(
           least(col("id_a"), col("id_b")).as("id_lo"),
           greatest(col("id_a"), col("id_b")).as("id_hi"),

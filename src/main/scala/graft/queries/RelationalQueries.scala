@@ -213,6 +213,29 @@ object RelationalQueries {
         .orderBy(col("file_name"))
     }),
 
+    // Multimodal exact dedup: identical images found by the decoded-
+    // pixel checksum from the V2 source — the image-side twin of
+    // q_dedup_exact's sha2-on-text (min-survivor, group sizes). Only
+    // metadata + checksum columns are requested, so the reader's
+    // projection pushdown skips payload decode for nothing: checksum
+    // needs the bytes, and the query is one map-side scan + a
+    // #distinct-images shuffle at any corpus size.
+    "q_frame_dedup" -> ((s, _) => {
+      val root = graft.sources.DicomFixtures.ensure()
+      s.read.format(classOf[graft.sources.DicomLikeSource].getName)
+        .load(root.toString)
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("pixel_checksum"),
+          col("meta.pixelBytes").as("pixel_bytes"))
+        .filter(col("pixel_checksum").isNotNull)
+        .groupBy(col("pixel_checksum"))
+        .agg(count(lit(1)).as("n_files"),
+          min(col("file_name")).as("rep_file"),
+          sum(col("pixel_bytes").cast(LongType)).as("total_bytes"))
+        .orderBy(col("pixel_checksum"))
+    }),
+
     // Per-frame pixel statistics: the decoded `frames` column exploded
     // into one row per slice, stats computed RELATIONALLY (array_min /
     // array_max / aggregate — all codegen'd) over the decoded values.
@@ -302,6 +325,14 @@ object RelationalQueries {
       """SELECT uid, slice, n_px, px_min, px_max, px_mean
         |FROM read_parquet('/root/repo/tools/golden/frame_stats_golden.parquet')
         |ORDER BY uid, slice""".stripMargin,
+
+    "q_frame_dedup" ->
+      """SELECT pixel_checksum, COUNT(*) AS n_files,
+        |  MIN(file_name) AS rep_file,
+        |  CAST(SUM(pixel_bytes) AS BIGINT) AS total_bytes
+        |FROM read_parquet('/root/repo/tools/golden/binary_scan_golden.parquet')
+        |WHERE pixel_checksum IS NOT NULL
+        |GROUP BY pixel_checksum ORDER BY pixel_checksum""".stripMargin,
 
     "q_zorder_key" -> {
       val zTerms = (0 until 8).map(i =>

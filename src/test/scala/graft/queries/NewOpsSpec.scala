@@ -67,6 +67,38 @@ class NewOpsSpec extends SparkTestBase {
     got.unpersist()
   }
 
+  test("table digest is partitioning-independent and sensitive to any row change") {
+    val digestOf = (df: org.apache.spark.sql.DataFrame) => {
+      import org.apache.spark.sql.types.LongType
+      val canon = concat_ws("|", col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), round(col("o_totalprice") * 100).cast(LongType),
+        col("o_orderdate").cast("date").cast("string"), col("o_orderpriority"))
+      val h = TextQueries.phash(canon, 7)
+      df.select(h.as("h"))
+        .agg(sum(col("h") % 1073741824L).as("lo"), sum(expr("h DIV 1073741824")).as("hi"))
+        .head
+    }
+    val orig = Tables.orders(spark, sf())
+    // same data, adversarial partitioning -> identical digest
+    assert(digestOf(orig) === digestOf(orig.repartition(7)))
+    // flipping one field of one row moves at least one component
+    val tampered = orig.withColumn("o_custkey",
+      when(col("o_orderkey") === orig.select(min("o_orderkey")).head.getLong(0),
+        col("o_custkey") + 1).otherwise(col("o_custkey")))
+    assert(digestOf(orig) !== digestOf(tampered))
+  }
+
+  test("equi-depth histogram: depths within one grid cell of each other, buckets cover all rows") {
+    val h = SparkEntry.queries("q_equidepth_hist")(spark, sf()).collect()
+    val total = Tables.orders(spark, sf()).count()
+    assert(h.map(_.getAs[Long]("n")).sum === total)
+    // contiguous non-overlapping dollar ranges
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_dollars") < b.getAs[Long]("lo_dollars"))
+    case _ => ()
+    }
+  }
+
   test("sorted neighborhood: ONE window pass, candidates bounded by W·n") {
     val q = SparkEntry.queries("q_sorted_neighborhood")(spark, sf())
     val plan = q.queryExecution.executedPlan.toString
