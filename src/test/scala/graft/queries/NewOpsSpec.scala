@@ -99,6 +99,26 @@ class NewOpsSpec extends SparkTestBase {
     }
   }
 
+  test("observe() metrics: gate counters ride the SAME pass as the data") {
+    // The production-observability pattern for a 100 TB curation run:
+    // CollectMetrics accumulates pass/fail counters inside the one data
+    // pass instead of a second counting scan over the corpus.
+    val docs = Tables.documents(spark, sf())
+    val observed = docs.observe("gate",
+      count(lit(1)).as("n_in"),
+      sum(when(length(col("text")) >= 200, 1L).otherwise(0L)).as("n_pass"),
+      sum(length(col("text")).cast("long")).as("chars_seen"))
+    val keptDf = observed.filter(length(col("text")) >= 200)
+    val kept = keptDf.collect()
+    // metrics surface on the EXECUTED query's QE (the parent Dataset
+    // was never run itself)
+    val m = keptDf.queryExecution.observedMetrics("gate")
+    assert(m.getAs[Long]("n_in") === docs.count())
+    assert(m.getAs[Long]("n_pass") === kept.length.toLong)
+    assert(m.getAs[Long]("chars_seen") ===
+      docs.agg(sum(length(col("text")))).head.getLong(0))
+  }
+
   test("sorted neighborhood: ONE window pass, candidates bounded by W·n") {
     val q = SparkEntry.queries("q_sorted_neighborhood")(spark, sf())
     val plan = q.queryExecution.executedPlan.toString
