@@ -56,7 +56,10 @@ object GraphQueries {
     // ~1% of edges — so AQE converts the join to broadcast at runtime
     // (no hint: at extreme node counts the shuffle join on src is the
     // correct Pregel shape, and AQE makes that call per scale).
-    val e = edges(s, d)
+    // One materialization of the derived edge list: deg and ew both
+    // build from the checkpointed e, so the lineitem⋈orders+distinct
+    // derivation runs once, not once per consumer.
+    val e = edges(s, d).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
     val ew = e.join(deg, Seq("src")).localCheckpoint()
