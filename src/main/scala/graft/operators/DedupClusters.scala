@@ -41,7 +41,7 @@ object DedupClusters {
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
       val stepped = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("olabel"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // (2) pointer-jumping round: label(n) <- label(label(n)) — halves
       // the remaining path length each iteration, so convergence is
@@ -49,16 +49,18 @@ object DedupClusters {
       // would silently return partial labels on any chain longer than
       // maxIter).
       val byId = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
+      // The round's OLD label rides along, so the convergence probe
+      // below is a scan of the checkpointed result — not a third
+      // old-vs-new join per round.
       val next = stepped
         .join(byId, stepped("label") === byId("jid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("olabel"),
           least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label"))
+      val changed = next
+        .filter(col("label") =!= col("olabel"))
         .limit(1).count()
-      labels = next
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       i += 1
     }
