@@ -267,7 +267,25 @@ object SimilarityQueries {
     // bruteForceTopK in the ScalaTest recall test; oracle-checked for
     // parity here.
     "q_lsh_ann" -> ((s, d) =>
-      rerankTopK(s, d, lshCandidates(Tables.embeddings(s, d))))
+      rerankTopK(s, d, lshCandidates(Tables.embeddings(s, d)))),
+
+    // The k-means UPDATE step as a gated operator: per (cell, dim)
+    // exact sums of member embeddings in integer micro-units — the
+    // (cid, dim)-keyed shuffle with map-side partial aggregation that
+    // every broadcast-k-means iteration runs at corpus scale. Sums
+    // instead of means on purpose: the mean is sum/n downstream, and
+    // integer division would hit the Spark-DIV-truncates vs
+    // DuckDB-//-floors split on negative components.
+    "q_embed_centroid" -> ((s, d) => {
+      seededScored(s, d, 16)
+        .filter(col("crn") === 1)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(round(col("v").cast(DoubleType) * 1000000)
+            .cast(DecimalType(38, 0))).cast(LongType).as("sum_micro"))
+        .orderBy(col("cid"), col("dim"))
+    })
   )
 
   /** DOUBLE[] casts are load-bearing: DuckDB's list_cosine_similarity on
@@ -297,9 +315,10 @@ object SimilarityQueries {
     * does not trigger and parity is unconditional. */
   private[queries] val IVF_CAP = 128
 
-  private def ivfAnn(s: SparkSession, d: String): DataFrame = {
-    val nCent = 16
-    val nProbe = 4
+  /** Hash-seeded coarse quantizer scoring, shared by [[ivfAnn]] and the
+    * centroid-update query: every vector scored against the broadcast
+    * seed centroids, `crn` ranking nearest-first. */
+  private def seededScored(s: SparkSession, d: String, nCent: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cents = emb
       .withColumn("h", graft.functions.GraftFunctions.portable_hash60(
@@ -311,9 +330,15 @@ object SimilarityQueries {
       .select(col("cid"), col("cent"))
     val wNear = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val scored = emb.join(broadcast(cents))
+    emb.join(broadcast(cents))
       .withColumn("ccos", cosine(col("embedding"), col("cent")))
       .withColumn("crn", row_number().over(wNear))
+  }
+
+  private def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val nCent = 16
+    val nProbe = 4
+    val scored = seededScored(s, d, nCent)
     val wMember = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("id_b"))
     val members = scored.filter(col("crn") === 1)
@@ -569,6 +594,26 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
        |  FROM scored)""".stripMargin
 
+  /** Shared twin fragment: md5 seed order → 16 centroids → full
+    * nearest-centroid scoring with `crn` ranking (mirrors
+    * [[seededScored]] step by step). */
+  private val sqlSeededCranked =
+    """seeds AS (
+      |  SELECT vec_id AS seed_id, embedding AS cent
+      |  FROM embeddings
+      |  ORDER BY CAST('0x' || substring(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
+      |  LIMIT 16),
+      |cents AS (
+      |  SELECT row_number() OVER (ORDER BY seed_id) AS cid, cent FROM seeds),
+      |cscored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cent AS DOUBLE[])) AS ccos
+      |  FROM embeddings e CROSS JOIN cents c),
+      |cranked AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+      |  FROM cscored)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_cosine_topk" ->
       s"""WITH pairs AS (
@@ -664,21 +709,7 @@ object SimilarityQueries {
     // posting-list join → exact re-rank. The centroid cosines are
     // compared UNROUNDED for ranking, exactly as the Spark side does.
     "q_ivf_ann" ->
-      s"""WITH seeds AS (
-         |  SELECT vec_id AS seed_id, embedding AS cent
-         |  FROM embeddings
-         |  ORDER BY CAST('0x' || substring(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT), vec_id
-         |  LIMIT 16),
-         |cents AS (
-         |  SELECT row_number() OVER (ORDER BY seed_id) AS cid, cent FROM seeds),
-         |cscored AS (
-         |  SELECT e.vec_id, c.cid,
-         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cent AS DOUBLE[])) AS ccos
-         |  FROM embeddings e CROSS JOIN cents c),
-         |cranked AS (
-         |  SELECT vec_id, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
-         |  FROM cscored),
+      s"""WITH $sqlSeededCranked,
          |members AS (
          |  SELECT cid, id_b FROM (
          |    SELECT cid, vec_id AS id_b,
@@ -692,6 +723,24 @@ object SimilarityQueries {
          |  WHERE id_a <> id_b),
          |$sqlRerank
          |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
-         |ORDER BY id_a, rn""".stripMargin
+         |ORDER BY id_a, rn""".stripMargin,
+
+    // unnest + generate_subscripts zip in DuckDB; dim is 0-based to
+    // match posexplode. round(double) is half-away in both engines and
+    // a binary double times 1e6 never lands on an exact .5 tie.
+    "q_embed_centroid" ->
+      s"""WITH $sqlSeededCranked,
+         |m AS (
+         |  SELECT c.cid, e.embedding
+         |  FROM cranked c JOIN embeddings e ON c.vec_id = e.vec_id
+         |  WHERE c.crn = 1),
+         |u AS (
+         |  SELECT cid,
+         |    generate_subscripts(embedding, 1) - 1 AS dim,
+         |    unnest(embedding) AS v
+         |  FROM m)
+         |SELECT cid, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n_members,
+         |  CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS DECIMAL(38,0))) AS BIGINT) AS sum_micro
+         |FROM u GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
   )
 }
