@@ -165,6 +165,41 @@ object WindowQueries {
         .limit(100)
         .select(col("o_orderkey"),
           dec(col("o_totalprice")).cast(DoubleType).as("o_totalprice"))
+    }),
+
+    // 2-D skyline (Pareto frontier): orders not dominated in
+    // (order date, price) — kept iff price is strictly below every
+    // total-order predecessor's. The naive form is ONE global window
+    // (single-partition running min over all rows); this is the
+    // decomposed scale shape instead: a per-MONTH running min handles
+    // the within-month prefix (partitioned window — parallel), a
+    // months-domain running min (tiny, bounded by the calendar not the
+    // data) handles everything earlier, and the row keeps iff it beats
+    // the least of the two. Integer cents end to end.
+    "q_skyline_2d" -> ((s, d) => {
+      val Inf = Long.MaxValue
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderdate").cast(DateType).as("dt"),
+        round(col("o_totalprice") * 100).cast(LongType).as("pc"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("mon"))
+      val monPrefix = o.groupBy(col("mon")).agg(min(col("pc")).as("mprice"))
+        .withColumn("prev_mon_min",
+          min(col("mprice")).over(Window.orderBy(col("mon"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("mon"), col("prev_mon_min"))
+      val wIn = Window.partitionBy(col("mon"))
+        .orderBy(col("dt"), col("pc"), col("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      o.join(broadcast(monPrefix), Seq("mon"))
+        .withColumn("in_min", min(col("pc")).over(wIn))
+        .filter(col("pc") < least(
+          coalesce(col("prev_mon_min"), lit(Inf)),
+          coalesce(col("in_min"), lit(Inf))))
+        .select(col("k").as("o_orderkey"),
+          col("dt").cast(StringType).as("order_date"),
+          col("pc").as("price_cents"))
+        .orderBy(col("order_date"), col("price_cents"), col("o_orderkey"))
     })
   )
 
@@ -247,6 +282,28 @@ object WindowQueries {
     "q_sort_limit" ->
       """SELECT o_orderkey,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_skyline_2d" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS dt,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+        |    year(o_orderdate) * 100 + month(o_orderdate) AS mon
+        |  FROM orders),
+        |mp AS (
+        |  SELECT mon,
+        |    MIN(MIN(pc)) OVER (ORDER BY mon
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_mon_min
+        |  FROM o GROUP BY mon),
+        |w AS (
+        |  SELECT o.k, o.dt, o.pc, mp.prev_mon_min,
+        |    MIN(pc) OVER (PARTITION BY o.mon ORDER BY dt, pc, k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS in_min
+        |  FROM o JOIN mp ON o.mon = mp.mon)
+        |SELECT k AS o_orderkey, CAST(dt AS VARCHAR) AS order_date, pc AS price_cents
+        |FROM w
+        |WHERE pc < LEAST(COALESCE(prev_mon_min, 9223372036854775807),
+        |                 COALESCE(in_min, 9223372036854775807))
+        |ORDER BY order_date, price_cents, o_orderkey""".stripMargin
   )
 }

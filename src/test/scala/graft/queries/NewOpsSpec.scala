@@ -99,6 +99,22 @@ class NewOpsSpec extends SparkTestBase {
     }
   }
 
+  test("skyline decomposition equals the sequential prefix-min frontier") {
+    val got = SparkEntry.queries("q_skyline_2d")(spark, sf()).collect()
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    val rows = Tables.orders(spark, sf())
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("date").cast("string").as("dt"),
+        round(col("o_totalprice") * 100).cast("long").as("pc"))
+      .collect()
+      .map(r => (r.getAs[String]("dt"), r.getAs[Long]("pc"), r.getAs[Long]("o_orderkey")))
+      .sortBy(identity)
+    var best = Long.MaxValue
+    val keep = scala.collection.mutable.Set[Long]()
+    for ((_, pc, k) <- rows) if (pc < best) { best = pc; keep += k }
+    assert(got === keep.toSet)
+  }
+
   test("observe() metrics: gate counters ride the SAME pass as the data") {
     // The production-observability pattern for a 100 TB curation run:
     // CollectMetrics accumulates pass/fail counters inside the one data
