@@ -146,8 +146,93 @@ object TextQueries {
         aggregate(tokHashes, lit(0L),
           (acc, x) => (acc * 31L + x) % 1000000007L).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 relevance ranking (Robertson/Okapi, k1=1.2 b=0.75) of every
+    // document against a fixed 3-term query — the retrieval-scoring step
+    // of a data-curation search index. The IDF is kept as the RATIONAL
+    // core (N-df+0.5)/(df+0.5) rather than its ln(): ln is the one
+    // transcendental whose last bit differs between Java and DuckDB,
+    // and dropping it keeps every arithmetic step exactly-rounded
+    // IEEE in identical op order, so the twin is bit-identical (same
+    // trade TfIdf makes above; per-term ranking order is unchanged,
+    // ln being monotone). Per-doc totals avoid order-dependent double
+    // sums by pivoting the 3 terms into columns and adding
+    // left-to-right.
+    //
+    // Scale shape: tf is one shuffle on (doc_id, term) AFTER the
+    // explode is pre-filtered to the query terms (work ∝ query hits,
+    // not corpus tokens); df and the corpus stats are tiny broadcast
+    // aggregates; everything downstream is map-side.
+    "q_bm25" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("dl", size(col("toks")))
+      val stats = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl").cast(LongType)).as("tot_tokens"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin("spark", "query", "fast"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val tfD = col("tf").cast(DoubleType)
+      val avgdl = col("tot_tokens").cast(DoubleType) / col("n_docs").cast(DoubleType)
+      val idfR = (col("n_docs").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5))
+      val score = idfR * ((tfD * lit(2.2)) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / avgdl))))
+      def termCol(t: String): Column =
+        coalesce(max(when(col("term") === t, col("score"))), lit(0.0))
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("score", score)
+        .groupBy(col("doc_id"))
+        .agg(termCol("spark").as("s_spark"),
+          termCol("query").as("s_query"),
+          termCol("fast").as("s_fast"))
+        .withColumn("bm25", col("s_spark") + col("s_query") + col("s_fast"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(50)
+    }),
+
+    // Token co-occurrence lift (the PMI core e^pmi = N·c(u,v)/(c(u)·c(v)),
+    // kept as the exact integer ratio — same no-ln contract as q_bm25) —
+    // the phrase/collocation-mining step of corpus analysis. Pairs are
+    // generated per document from the SORTED DISTINCT token set capped
+    // at CoocCap entries, so per-doc work is ≤ cap²/2 regardless of
+    // document length (the same hub-bound treatment as
+    // DedupQueries.BUCKET_CAP / GraphQueries.TriCap, mirrored exactly in
+    // the twin); marginals come from the same capped sets so the ratio
+    // is internally consistent. One shuffle on the pair key; the
+    // marginal join is a broadcast (vocabulary-sized).
+    "q_cooccur_pmi" -> ((s, d) => {
+      val capped = slice(array_sort(array_distinct(split(col("text"), " "))), 1, CoocCap)
+      val docToks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(capped).as("tok"))
+      val marg = docToks.groupBy(col("tok")).agg(count(lit(1)).as("c_tok"))
+      val nDf = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val pairs = docToks.as("a")
+        .join(docToks.as("b"), col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+        .groupBy(col("a.tok").as("tok_u"), col("b.tok").as("tok_v"))
+        .agg(count(lit(1)).as("c_uv"))
+        .filter(col("c_uv") >= 5)
+      pairs
+        .join(broadcast(marg.withColumnRenamed("tok", "tok_u").withColumnRenamed("c_tok", "c_u")), Seq("tok_u"))
+        .join(broadcast(marg.withColumnRenamed("tok", "tok_v").withColumnRenamed("c_tok", "c_v")), Seq("tok_v"))
+        .crossJoin(broadcast(nDf))
+        .select(col("tok_u"), col("tok_v"), col("c_uv"), col("c_u"), col("c_v"),
+          ((col("n_docs") * col("c_uv")).cast(DoubleType) /
+            (col("c_u") * col("c_v")).cast(DoubleType)).as("lift"))
+        .orderBy(col("lift").desc, col("tok_u"), col("tok_v"))
+        .limit(100)
     })
   )
+
+  /** Per-doc distinct-token cap for co-occurrence pair generation. */
+  private[queries] val CoocCap = 32
 
   private def sqlScore(lang: String): String = {
     val preds = stop(lang).map(w => s"t = '$w'").mkString(" OR ")
@@ -229,6 +314,53 @@ object TextQueries {
          |      list_transform(string_split(text, ' '),
          |        t -> ${sqlPhash("t", 0)} % 1000003)),
          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(CAST(len(toks) AS BIGINT)) AS tot_tokens FROM d2),
+        |tf AS (
+        |  SELECT doc_id, dl, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d2)
+        |  WHERE term IN ('spark', 'query', 'fast')
+        |  GROUP BY doc_id, dl, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ((CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |         / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / (CAST(s.tot_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s),
+        |per AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN term = 'spark' THEN score END), 0.0) AS s_spark,
+        |    coalesce(max(CASE WHEN term = 'query' THEN score END), 0.0) AS s_query,
+        |    coalesce(max(CASE WHEN term = 'fast' THEN score END), 0.0) AS s_fast
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, s_spark, s_query, s_fast,
+        |  (s_spark + s_query + s_fast) AS bm25
+        |FROM per ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_cooccur_pmi" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, unnest(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, $CoocCap)) AS tok
+         |  FROM documents),
+         |marg AS (SELECT tok, COUNT(*) AS c_tok FROM dt GROUP BY tok),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.tok AS tok_u, b.tok AS tok_v, COUNT(*) AS c_uv
+         |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY a.tok, b.tok HAVING COUNT(*) >= 5)
+         |SELECT tok_u, tok_v, c_uv, mu.c_tok AS c_u, mv.c_tok AS c_v,
+         |  CAST(n.n_docs * c_uv AS DOUBLE) / CAST(mu.c_tok * mv.c_tok AS DOUBLE) AS lift
+         |FROM pairs
+         |JOIN marg mu ON pairs.tok_u = mu.tok
+         |JOIN marg mv ON pairs.tok_v = mv.tok
+         |CROSS JOIN n
+         |ORDER BY lift DESC, tok_u, tok_v LIMIT 100""".stripMargin
   )
 }
