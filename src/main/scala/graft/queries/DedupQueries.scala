@@ -298,8 +298,51 @@ object DedupQueries {
           greatest(col("doc_id"), col("nb.id_n")).as("id_b"),
           col("lev"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Cross-document shared-substring coverage (the ExactSubstr dedup
+    // signal of Lee et al. 2021, "Deduplicating Training Data Makes
+    // Language Models Better", at token granularity): for every doc,
+    // what fraction of its 8-token runs also occur verbatim in some
+    // OTHER document. Production dedup then cuts those spans; here the
+    // per-doc coverage is the gated output (span surgery is a trivial
+    // map over the same positions).
+    //
+    // Scale shape: token-8-gram hashes are map-side (one phash per
+    // position — positions, not distinct grams, because coverage is
+    // positional); ONE shuffle keyed by gram hash computes the
+    // distinct-doc count per gram (map-side partial after a per-doc
+    // distinct); the join back to positions is on the same key — work
+    // ∝ total tokens throughout, never pairwise in docs. This is the
+    // relational form of the suffix-array pass: equality of fixed-L
+    // runs instead of maximal repeats, the standard distributed
+    // approximation.
+    "q_substr_dedup" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+        .filter(col("n_tok") >= SubstrLen)
+      val g = base
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), col("n_tok") - SubstrLen)).as("pos"))
+        .select(col("doc_id"),
+          phash(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(SubstrLen))), 2)
+            .as("gh"))
+      val gramDocs = g.distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      g.join(gramDocs, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared_grams"),
+          (col("n_shared_grams").cast(DoubleType) / col("n_grams").cast(DoubleType))
+            .as("shared_ratio"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Run length (tokens) for cross-document exact-substring coverage. */
+  private[queries] val SubstrLen = 8
 
   /** (doc_id, simhash) — shared by q_simhash and q_simhash_near. */
   private def simhashFp(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
@@ -441,7 +484,29 @@ object DedupQueries {
         |  UNION ALL
         |  SELECT doc_id, id3, CAST(levenshtein(snkey, key3) AS INTEGER) FROM l WHERE id3 IS NOT NULL)
         |SELECT LEAST(ida, idb) AS id_a, GREATEST(ida, idb) AS id_b, lev
-        |FROM p WHERE lev <= 6 ORDER BY id_a, id_b""".stripMargin
+        |FROM p WHERE lev <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_substr_dedup" -> {
+      val L = SubstrLen
+      s"""WITH d2 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE len(string_split(text, ' ')) >= $L),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(CAST(len(toks) AS INTEGER) - ${L - 1}),
+         |      i -> ${sqlPhash(s"array_to_string(toks[i+1:i+$L], ' ')", 2)})) AS gh
+         |  FROM d2),
+         |gc AS (
+         |  SELECT gh, COUNT(*) AS nd
+         |  FROM (SELECT gh, doc_id FROM g GROUP BY gh, doc_id) GROUP BY gh),
+         |per AS (
+         |  SELECT g.doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN gc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams
+         |  FROM g JOIN gc ON g.gh = gc.gh GROUP BY g.doc_id)
+         |SELECT doc_id, n_grams, n_shared_grams,
+         |  CAST(n_shared_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS shared_ratio
+         |FROM per ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** CTE chain producing `sims(doc_id, simhash)` — shared by the simhash

@@ -359,6 +359,28 @@ object TrainPrepQueries {
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Weighted sampling without replacement via PRIORITY SAMPLING
+    // (Duffield–Lund–Thorup): each doc gets priority w/u with u a
+    // deterministic hash-uniform in (0, 1]; the global top-k by
+    // priority is a weight-proportional sample. Chosen over the
+    // classic Efraimidis–Spirakis u^(1/w) key because the priority
+    // needs only +,*,/ — exactly-rounded IEEE in identical op order on
+    // both engines — while pow/ln last-bit behavior differs between
+    // Java and DuckDB (same no-transcendental contract as
+    // TextQueries.q_bm25). Longer docs are proportionally likelier to
+    // survive — the corpus-rebalancing step when the weight is
+    // token/char count. Map-side priorities + one top-k (TakeOrdered
+    // at this k; per-partition top-k then a merge — no global sort).
+    "q_weighted_sample" -> ((s, d) => {
+      val u = ((phash(col("doc_id").cast(StringType), 21) % 1000000L + 1L)
+        .cast(DoubleType)) / lit(1000000.0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars").cast(DoubleType) / u).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100)
     })
   )
 
@@ -607,6 +629,14 @@ object TrainPrepQueries {
          |           FROM documents)
          |SELECT doc_id, ranked.source
          |FROM ranked JOIN quotas ON ranked.source = quotas.source
-         |WHERE rn <= quota ORDER BY doc_id""".stripMargin
+         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(n_chars AS DOUBLE)
+         |    / (CAST(${sqlPhash("CAST(doc_id AS VARCHAR)", 21)} % 1000000 + 1 AS DOUBLE) / 1000000.0)
+         |    AS priority
+         |FROM documents
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
   )
 }
