@@ -399,6 +399,59 @@ object AggQueries {
           sum(expr("h DIV 1073741824")).as("hash_hi_sum"),
           min(col("h")).as("hash_min"),
           max(col("h")).as("hash_max"))
+    }),
+
+    // Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
+    // heavy-tail-safe twin of q_zscore_outliers (mean/stddev are
+    // dragged by the outliers they're meant to find; the median pair
+    // has a 50% breakdown point). Two median passes (percentile is a
+    // single-shuffle exact agg per group; the per-group medians then
+    // BROADCAST back — at 100 TB both joins stay broadcast because
+    // there is one row per group, not per input row). Deviations and
+    // the 3×MAD threshold are pure IEEE arithmetic in identical op
+    // order; medians interpolate (a+b)/2 identically in both engines.
+    "q_mad_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(median(col("l_extendedprice")).as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+      val mads = dev.groupBy(col("l_returnflag"))
+        .agg(median(col("adev")).as("mad"))
+      dev.join(broadcast(mads), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Winsorized aggregate: clamp each value into its group's
+    // [p05, p95] before summing — the standard tail-taming step before
+    // training-weight or revenue statistics. Percentile bounds
+    // broadcast back (one row per group); the clamped sum routes
+    // through DECIMAL(18,4) per-value views (QueryUtil.dec) because
+    // clamped values are interpolated percentiles, not 2-decimal money
+    // — the decimal view makes the sum order-independent on both
+    // engines. One shuffle for the percentiles, one for the final agg.
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val pct = li.groupBy(col("l_returnflag")).agg(
+        percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      li.join(broadcast(pct), Seq("l_returnflag"))
+        .withColumn("w",
+          least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_high"),
+          sum(dec(col("w"))).cast(DoubleType).as("winsor_sum"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -614,6 +667,36 @@ object AggQueries {
          |  CAST(SUM(h // 1073741824) AS BIGINT) AS hash_hi_sum,
          |  MIN(h) AS hash_min, MAX(h) AS hash_max
          |FROM t""".stripMargin
-    }
+    },
+
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, median(l_extendedprice) AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        |dev AS (
+        |  SELECT l.l_returnflag, med.med,
+        |    abs(l.l_extendedprice - med.med) AS adev
+        |  FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag),
+        |mads AS (
+        |  SELECT l_returnflag, median(adev) AS mad FROM dev GROUP BY l_returnflag)
+        |SELECT dev.l_returnflag, max(dev.med) AS med, max(mads.mad) AS mad,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN dev.adev > 3.0 * mads.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mads ON dev.l_returnflag = mads.l_returnflag
+        |GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH pct AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, max(pct.p05) AS p05, max(pct.p95) AS p95,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice < pct.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice > pct.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CAST(least(greatest(l.l_extendedprice, pct.p05), pct.p95) AS DECIMAL(18,4))) AS DOUBLE) AS winsor_sum
+        |FROM lineitem l JOIN pct ON l.l_returnflag = pct.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
   )
 }

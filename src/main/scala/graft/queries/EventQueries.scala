@@ -232,6 +232,32 @@ object EventQueries {
           (col("week") - col("cohort_week")).as("weeks_since"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — next-action modeling / anomalous-flow detection. The
+    // successor comes out of one window pass (the same total
+    // (ts, event_id) order every event query uses); transition
+    // probability is the exact integer ratio c(from,to)/c(from) in
+    // IEEE double. Scale shape: one range-shuffle on user_id for the
+    // window, one map-side-combined agg on the (from, to) pair key
+    // (≤ |event_type|² groups), marginals joined broadcast.
+    "q_markov_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val marg = trans.groupBy(col("from_type"))
+        .agg(sum(col("n_trans")).as("n_from"))
+      trans.join(broadcast(marg), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+          (col("n_trans").cast(DoubleType) / col("n_from").cast(DoubleType))
+            .as("p_trans"))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -404,6 +430,22 @@ object EventQueries {
         |SELECT c.cohort_week, a.week - c.cohort_week AS weeks_since, COUNT(*) AS n_users
         |FROM active a JOIN cohort c ON c.user_id = a.user_id
         |GROUP BY c.cohort_week, weeks_since
-        |ORDER BY cohort_week, weeks_since""".stripMargin
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "q_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |trans AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n_trans
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+        |marg AS (
+        |  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        |  FROM trans GROUP BY from_type)
+        |SELECT trans.from_type, to_type, n_trans, n_from,
+        |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p_trans
+        |FROM trans JOIN marg ON trans.from_type = marg.from_type
+        |ORDER BY trans.from_type, to_type""".stripMargin
   )
 }
