@@ -163,7 +163,37 @@ object GraphQueries {
 
   val defs: Map[String, Q] = Map(
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
-    "q_triangle_count" -> ((s, d) => triangles(s, d))
+    "q_triangle_count" -> ((s, d) => triangles(s, d)),
+
+    // k-hop BFS frontier sizes from a seed set (nation-0 suppliers):
+    // how many NEW nodes become reachable at each hop ≤ 3 — the
+    // blast-radius / influence-propagation primitive. Classic
+    // distributed BFS: per round ONE join of the current frontier
+    // against the edge list plus an anti-join against the visited set;
+    // rounds are fixed (3), each frontier/visited is localCheckpoint'd
+    // so no lineage re-derivation (same treatment as
+    // operators.DedupClusters and pagerank above). The twin is a
+    // DuckDB recursive CTE whose UNION-dedup on (node, hop) reproduces
+    // min-hop BFS exactly.
+    "q_khop_frontier" -> ((s, d) => {
+      val e = edges(s, d).localCheckpoint()
+      val seeds = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 0)
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      var visited = seeds.withColumn("hop", lit(0)).localCheckpoint()
+      var frontier = visited.select(col("node"))
+      for (h <- 1 to 3) {
+        val next = frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint()
+        visited = visited.unionAll(next.withColumn("hop", lit(h)))
+          .localCheckpoint()
+        frontier = next
+      }
+      visited.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("hop"))
+    })
   )
 
   /** The twin unrolls the three iterations as CTEs; `//` is DuckDB's
@@ -233,6 +263,24 @@ object GraphQueries {
          |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
          |       (SELECT COUNT(*) FROM pairs) AS n_edges,
          |       n_triangles
-         |FROM tri""".stripMargin
+         |FROM tri""".stripMargin,
+
+    "q_khop_frontier" ->
+      """WITH RECURSIVE cs AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT cust AS src, supp AS dst FROM cs
+        |  UNION ALL
+        |  SELECT supp AS src, cust AS dst FROM cs),
+        |walk(node, hop) AS (
+        |  SELECT 's' || s_suppkey AS node, 0 AS hop
+        |  FROM supplier WHERE s_nationkey = 0
+        |  UNION
+        |  SELECT e.dst, w.hop + 1
+        |  FROM walk w JOIN edges e ON w.node = e.src
+        |  WHERE w.hop < 3),
+        |md AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+        |SELECT hop, COUNT(*) AS n_nodes FROM md GROUP BY hop ORDER BY hop""".stripMargin
   )
 }

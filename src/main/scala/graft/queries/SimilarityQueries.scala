@@ -285,6 +285,32 @@ object SimilarityQueries {
           sum(round(col("v").cast(DoubleType) * 1000000)
             .cast(DecimalType(38, 0))).cast(LongType).as("sum_micro"))
         .orderBy(col("cid"), col("dim"))
+    }),
+
+    // Per-dimension QUANTILE NORMALIZATION of the embedding space
+    // (percent_rank of each component within its dimension, first 8
+    // dims gated) — the rank-based whitening step that makes cosine /
+    // Euclidean distances comparable across dimensions with wildly
+    // different scales. pr = (rank-1)/(n-1) is an exact integer ratio;
+    // values are compared, never operated on, so the float column
+    // crosses engines bit-exactly (widened to DOUBLE only for output).
+    //
+    // Scale note: as written this is one shuffle partitioned by dim —
+    // fine while #dims ≥ cores, but a single dimension's values land in
+    // ONE partition. The 100 TB form range-partitions (dim, v) and
+    // derives rank = per-partition offset + prefix count (exactly how
+    // q_equidepth_hist re-shapes its global sort); the gated semantics
+    // are unchanged, so the operator is the contract, not the layout.
+    "q_embed_quantile_norm" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dim")).orderBy(col("v"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .filter(col("dim") < 8)
+        .withColumn("pr", percent_rank().over(w))
+        .select(col("vec_id"), col("dim"),
+          col("v").cast(DoubleType).as("v"), col("pr"))
+        .orderBy(col("dim"), col("vec_id"))
     })
   )
 
@@ -741,6 +767,17 @@ object SimilarityQueries {
          |  FROM m)
          |SELECT cid, CAST(dim AS INTEGER) AS dim, COUNT(*) AS n_members,
          |  CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS DECIMAL(38,0))) AS BIGINT) AS sum_micro
-         |FROM u GROUP BY cid, dim ORDER BY cid, dim""".stripMargin
+         |FROM u GROUP BY cid, dim ORDER BY cid, dim""".stripMargin,
+
+    "q_embed_quantile_norm" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+        |    unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT vec_id, dim, CAST(v AS DOUBLE) AS v,
+        |  percent_rank() OVER (PARTITION BY dim ORDER BY v) AS pr
+        |FROM u WHERE dim < 8
+        |ORDER BY dim, vec_id""".stripMargin
   )
 }
