@@ -165,7 +165,9 @@ object GraphQueries {
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_triangle_count" -> ((s, d) => triangles(s, d)),
 
-    // k-hop BFS frontier sizes from a seed set (nation-0 suppliers):
+    // k-hop BFS frontier sizes from a seed set (every 10th supplier —
+    // scale-independent and non-empty at every sf, unlike a nation
+    // filter):
     // how many NEW nodes become reachable at each hop ≤ 3 — the
     // blast-radius / influence-propagation primitive. Classic
     // distributed BFS: per round ONE join of the current frontier
@@ -178,7 +180,7 @@ object GraphQueries {
     "q_khop_frontier" -> ((s, d) => {
       val e = edges(s, d).localCheckpoint()
       val seeds = Tables.supplier(s, d)
-        .filter(col("s_nationkey") === 0)
+        .filter(col("s_suppkey") % 10 === 0)
         .select(concat(lit("s"), col("s_suppkey")).as("node"))
       var visited = seeds.withColumn("hop", lit(0)).localCheckpoint()
       var frontier = visited.select(col("node"))
@@ -275,7 +277,7 @@ object GraphQueries {
         |  SELECT supp AS src, cust AS dst FROM cs),
         |walk(node, hop) AS (
         |  SELECT 's' || s_suppkey AS node, 0 AS hop
-        |  FROM supplier WHERE s_nationkey = 0
+        |  FROM supplier WHERE s_suppkey % 10 = 0
         |  UNION
         |  SELECT e.dst, w.hop + 1
         |  FROM walk w JOIN edges e ON w.node = e.src
