@@ -258,6 +258,32 @@ object EventQueries {
           (col("n_trans").cast(DoubleType) / col("n_from").cast(DoubleType))
             .as("p_trans"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // First-touch revenue attribution: each user's lifetime purchase
+    // value is credited to their FIRST event type (the acquisition
+    // channel in a marketing funnel). One window pass finds the first
+    // touch (same total order), one agg folds purchases to integer
+    // cents per user (exact, order-independent), and the final
+    // per-channel rollup divides once at the end — the dsum contract.
+    // Scale: both heavy stages key on user_id, so they share one
+    // shuffle partitioning; the channel rollup is O(event types).
+    "q_attribution" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+      val firstTouch = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_touch"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast(DecimalType(38, 0))).as("cents"))
+      firstTouch.join(rev, Seq("user_id"), "left")
+        .groupBy(col("first_touch"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("cents").isNotNull, 1L).otherwise(0L)).as("n_buyers"),
+          (sum(col("cents")).cast(DoubleType) / 100.0).as("attributed_rev"))
+        .orderBy(col("first_touch"))
     })
   )
 
@@ -446,6 +472,21 @@ object EventQueries {
         |SELECT trans.from_type, to_type, n_trans, n_from,
         |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p_trans
         |FROM trans JOIN marg ON trans.from_type = marg.from_type
-        |ORDER BY trans.from_type, to_type""".stripMargin
+        |ORDER BY trans.from_type, to_type""".stripMargin,
+
+    "q_attribution" ->
+      """WITH ft AS (
+        |  SELECT user_id, event_type AS first_touch
+        |  FROM (SELECT user_id, event_type,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |        FROM events) WHERE rn = 1),
+        |rev AS (
+        |  SELECT user_id, SUM(CAST(round(value * 100) AS DECIMAL(38,0))) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT first_touch, COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN rev.cents IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
+        |  CAST(SUM(rev.cents) AS DOUBLE) / 100.0 AS attributed_rev
+        |FROM ft LEFT JOIN rev ON ft.user_id = rev.user_id
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin
   )
 }

@@ -233,6 +233,25 @@ object JoinQueries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Salted skew join, GATED: lineitem⋈supplier through
+    // operators.SkewJoin (fact side scattered over 8 deterministic
+    // salt buckets, dim side replicated 8×) — the explicit hot-key
+    // treatment for when AQE's skew split can't fire (broadcast-able
+    // dim but a reducer-melting fact key). The oracle is the PLAIN
+    // join: salting is pure layout, so the twin proving value-equality
+    // is exactly the operator's correctness contract.
+    "q_salted_join" -> ((s, d) => {
+      val joined = graft.operators.SkewJoin.saltedInnerJoin(
+        Tables.lineitem(s, d).withColumnRenamed("l_suppkey", "suppkey"),
+        Tables.supplier(s, d).withColumnRenamed("s_suppkey", "suppkey"),
+        "suppkey",
+        saltSource = struct(col("l_orderkey"), col("l_linenumber")),
+        saltBuckets = 8)
+      joined.groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_nationkey"))
     })
   )
 
@@ -344,6 +363,13 @@ object JoinQueries {
          |  ON a.c_nationkey = b.c_nationkey AND a.bk_prefix = b.bk_prefix
          |WHERE a.rep_id <> b.rep_id
          |  AND levenshtein(a.c_name, b.c_name) <= 1
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The twin is the UNSALTED join — deliberately: salting must be
+    // value-invisible.
+    "q_salted_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_lines, ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
   )
 }

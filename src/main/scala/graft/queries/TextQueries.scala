@@ -228,6 +228,25 @@ object TextQueries {
             (col("c_u") * col("c_v")).cast(DoubleType)).as("lift"))
         .orderBy(col("lift").desc, col("tok_u"), col("tok_v"))
         .limit(100)
+    }),
+
+    // Per-source language-diversity via GINI IMPURITY 1 − Σp² — the
+    // corpus-mix health metric. Entropy is the textbook choice but
+    // needs ln (the engines' one last-bit-divergent primitive); Gini
+    // ranks mixes identically and stays rational: Σp² = Σc²/n², so the
+    // whole statistic is integer sums + ONE exact double division.
+    // Two map-side-combined shuffles, output is O(sources).
+    "q_source_gini" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          (lit(1.0) - col("sumsq").cast(DoubleType) /
+            (col("n_docs") * col("n_docs")).cast(DoubleType)).as("gini"))
+        .orderBy(col("source"))
     })
   )
 
@@ -361,6 +380,14 @@ object TextQueries {
          |JOIN marg mu ON pairs.tok_u = mu.tok
          |JOIN marg mv ON pairs.tok_v = mv.tok
          |CROSS JOIN n
-         |ORDER BY lift DESC, tok_u, tok_v LIMIT 100""".stripMargin
+         |ORDER BY lift DESC, tok_u, tok_v LIMIT 100""".stripMargin,
+
+    "q_source_gini" ->
+      """WITH cl AS (
+        |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_langs,
+        |  1.0 - CAST(SUM(c * c) AS DOUBLE)
+        |    / CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE) AS gini
+        |FROM cl GROUP BY source ORDER BY source""".stripMargin
   )
 }
