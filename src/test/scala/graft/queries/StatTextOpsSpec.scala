@@ -145,6 +145,36 @@ class StatTextOpsSpec extends SparkTestBase {
     assert(got === expect.toMap)
   }
 
+  test("salted join equals the plain join bit-for-bit") {
+    val salted = SparkEntry.queries("q_salted_join")(spark, sf()).collect()
+    val plain = Tables.lineitem(spark, sf())
+      .join(Tables.supplier(spark, sf()), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"), QueryUtil.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("s_nationkey")).collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("source gini: zero for single-language sources, bounded by 1 - 1/k") {
+    SparkEntry.queries("q_source_gini")(spark, sf()).collect().foreach { r =>
+      val (k, g) = (r.getAs[Long]("n_langs"), r.getAs[Double]("gini"))
+      assert(g >= 0.0 && g <= 1.0 - 1.0 / k + 1e-12)
+      if (k == 1) assert(g === 0.0)
+    }
+  }
+
+  test("attribution: users and revenue both partition exactly across channels") {
+    val rows = SparkEntry.queries("q_attribution")(spark, sf()).collect()
+    val ev = Tables.events(spark, sf())
+    assert(rows.map(_.getAs[Long]("n_users")).sum ===
+      ev.select(col("user_id")).distinct().count())
+    val totalCents = ev.filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("decimal(38,0)"))).head.getDecimal(0)
+    val attributed = rows.flatMap(r => Option(r.getAs[java.lang.Double]("attributed_rev")))
+      .map(v => BigDecimal(v) * 100).sum
+    assert(attributed === BigDecimal(totalCents))
+  }
+
   test("embedding quantile norm: each dimension spans the full [0,1] rank range") {
     val rows = SparkEntry.queries("q_embed_quantile_norm")(spark, sf()).collect()
     val byDim = rows.groupBy(_.getAs[Int]("dim"))
