@@ -300,6 +300,33 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ASYMMETRIC containment join: |Sa∩Sb| / |Sa| over shingle sets —
+    // the decontamination-grade similarity (a short eval doc fully
+    // contained in a long train doc has low Jaccard but containment
+    // 1.0; Jaccard misses exactly the pairs that matter). Same
+    // inverted-index shape as q_ngram_jaccard — work ∝ true overlap,
+    // zero-overlap pairs never materialize — with BOTH directions
+    // derived from the one symmetric intersection count.
+    "q_containment" -> ((s, d) => {
+      val docs = docShinglesOf(docsSpread(s, d))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val inv = docs.select(col("source"), col("doc_id"), explode(col("sh")).as("h"))
+      val inter = inv.toDF("source", "id_a", "h")
+        .join(inv.toDF("source", "id_b", "h"), Seq("source", "h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("source"), col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+        .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+        .select(col("source"), col("id_a"), col("id_b"),
+          col("n_common"), col("n_a"), col("n_b"),
+          (col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType)).as("cont_ab"),
+          (col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType)).as("cont_ba"))
+        .filter(col("cont_ab") >= 0.5 || col("cont_ba") >= 0.5)
+        .orderBy(col("source"), col("id_a"), col("id_b"))
+    }),
+
     // Cross-document shared-substring coverage (the ExactSubstr dedup
     // signal of Lee et al. 2021, "Deduplicating Training Data Makes
     // Language Models Better", at token granularity): for every doc,
@@ -436,6 +463,24 @@ object DedupQueries {
          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.15
          |ORDER BY a.source, id_a, id_b""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $sqlHashedShingles AS sh FROM documents),
+         |f AS (SELECT * FROM t WHERE len(sh) > 0),
+         |p AS (
+         |  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+         |    CAST(len(a.sh) AS INTEGER) AS n_a, CAST(len(b.sh) AS INTEGER) AS n_b
+         |  FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
+         |SELECT source, id_a, id_b, n_common, n_a, n_b,
+         |  CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_ab,
+         |  CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_ba
+         |FROM p
+         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) >= 0.5
+         |   OR CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) >= 0.5
+         |ORDER BY source, id_a, id_b""".stripMargin,
 
     "q_simhash" ->
       s"""WITH $sqlSimhashCte
