@@ -175,6 +175,30 @@ class StatTextOpsSpec extends SparkTestBase {
     assert(attributed === BigDecimal(totalCents))
   }
 
+  test("containment dominates jaccard and hits 1.0 on exact-duplicate pairs") {
+    val cont = SparkEntry.queries("q_containment")(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
+    cont.values.foreach { r =>
+      val (nc, na, nb) = (r.getAs[Long]("n_common"), r.getAs[Int]("n_a"), r.getAs[Int]("n_b"))
+      val jac = nc.toDouble / (na + nb - nc).toDouble
+      assert(r.getAs[Double]("cont_ab") >= jac && r.getAs[Double]("cont_ba") >= jac)
+      assert(nc <= math.min(na, nb))
+    }
+    // exact-duplicate docs (≥3 tokens) must appear with containment 1.0 both ways
+    val dups = Tables.documents(spark, sf())
+      .filter(size(split(col("text"), " ")) >= 3)
+      .groupBy(col("text"), col("source")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(array_sort(col("ids")).as("ids")).collect()
+    dups.foreach { row =>
+      val ids = row.getSeq[Long](0)
+      for (a <- ids; b <- ids if a < b) {
+        val r = cont((a, b))
+        assert(r.getAs[Double]("cont_ab") === 1.0 && r.getAs[Double]("cont_ba") === 1.0)
+      }
+    }
+  }
+
   test("embedding quantile norm: each dimension spans the full [0,1] rank range") {
     val rows = SparkEntry.queries("q_embed_quantile_norm")(spark, sf()).collect()
     val byDim = rows.groupBy(_.getAs[Int]("dim"))
