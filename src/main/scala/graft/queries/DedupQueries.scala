@@ -307,9 +307,23 @@ object DedupQueries {
     // inverted-index shape as q_ngram_jaccard — work ∝ true overlap,
     // zero-overlap pairs never materialize — with BOTH directions
     // derived from the one symmetric intersection count.
+    //
+    // Exact-duplicate texts are COLLAPSED to one representative first
+    // (min-id; the q_simhash_near treatment) with the class size
+    // carried as n_mem_*: replicated boilerplate is the one input that
+    // makes overlap itself quadratic — measured 13 s → >10 min going
+    // sf0.1 → 100× on the 100-deep duplicate corpus before the
+    // collapse (SCALE.md), linear after. At 100 TB the group key is
+    // sha2(text), not the text (identical semantics; the text column
+    // here doubles as its own digest at test scale).
     "q_containment" -> ((s, d) => {
-      val docs = docShinglesOf(docsSpread(s, d))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val reps = docsSpread(s, d)
+        .groupBy(col("source"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+      val docs = docShinglesOf(reps)
+        .join(reps.select(col("doc_id"), col("n_members")), Seq("doc_id"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        col("n_members"))
       val inv = docs.select(col("source"), col("doc_id"), explode(col("sh")).as("h"))
       val inter = inv.toDF("source", "id_a", "h")
         .join(inv.toDF("source", "id_b", "h"), Seq("source", "h"))
@@ -317,10 +331,11 @@ object DedupQueries {
         .groupBy(col("source"), col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_common"))
       inter
-        .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
-        .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+        .join(sizes.toDF("id_a", "n_a", "n_mem_a"), Seq("id_a"))
+        .join(sizes.toDF("id_b", "n_b", "n_mem_b"), Seq("id_b"))
         .select(col("source"), col("id_a"), col("id_b"),
           col("n_common"), col("n_a"), col("n_b"),
+          col("n_mem_a"), col("n_mem_b"),
           (col("n_common").cast(DoubleType) / col("n_a").cast(DoubleType)).as("cont_ab"),
           (col("n_common").cast(DoubleType) / col("n_b").cast(DoubleType)).as("cont_ba"))
         .filter(col("cont_ab") >= 0.5 || col("cont_ba") >= 0.5)
@@ -465,16 +480,20 @@ object DedupQueries {
          |ORDER BY a.source, id_a, id_b""".stripMargin,
 
     "q_containment" ->
-      s"""WITH t AS (
-         |  SELECT source, doc_id, $sqlHashedShingles AS sh FROM documents),
+      s"""WITH reps AS (
+         |  SELECT source, text, MIN(doc_id) AS doc_id, COUNT(*) AS n_members
+         |  FROM documents GROUP BY source, text),
+         |t AS (
+         |  SELECT source, doc_id, n_members, $sqlHashedShingles AS sh FROM reps),
          |f AS (SELECT * FROM t WHERE len(sh) > 0),
          |p AS (
          |  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
-         |    CAST(len(a.sh) AS INTEGER) AS n_a, CAST(len(b.sh) AS INTEGER) AS n_b
+         |    CAST(len(a.sh) AS INTEGER) AS n_a, CAST(len(b.sh) AS INTEGER) AS n_b,
+         |    a.n_members AS n_mem_a, b.n_members AS n_mem_b
          |  FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.sh, b.sh)) > 0)
-         |SELECT source, id_a, id_b, n_common, n_a, n_b,
+         |SELECT source, id_a, id_b, n_common, n_a, n_b, n_mem_a, n_mem_b,
          |  CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_ab,
          |  CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_ba
          |FROM p

@@ -218,13 +218,26 @@ class QueryLibrarySpec extends SparkTestBase {
     for (name <- Seq("q_fuzzy_match", "q_simhash_near", "q_cosine_pairs",
         "q_embed_dedup", "q_lsh_ann", "q_ivf_ann", "q_minhash_lsh_pairs",
         "q_pagerank", "q_correlation", "q_histogram", "q_interpolate",
-        "q_window_range_agg", "q_sql_recursive")) {
+        "q_window_range_agg", "q_sql_recursive",
+        // round-4b: every new pairwise/join-bearing operator blocks on
+        // an equi-key (gram hash, pair key, salt, source) — only the
+        // 1-row corpus-stats broadcasts may cross-join
+        "q_substr_dedup", "q_containment",
+        "q_salted_join", "q_khop_frontier", "q_markov_transitions",
+        "q_mad_outliers", "q_winsorize", "q_attribution")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin") ||
         name == "q_ivf_ann", // centroid broadcast (16 rows) is a deliberate BNL
         s"$name plans a nested loop:\n$plan")
+    }
+    // the 1-row-broadcast exceptions: BNL against a literal 1-row stats
+    // subtree is the intended shape for bm25/pmi (corpus N / avgdl)
+    for (name <- Seq("q_bm25", "q_cooccur_pmi")) {
+      val plan = SparkEntry.queries(name)(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
     }
   }
 

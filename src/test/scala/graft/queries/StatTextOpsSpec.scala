@@ -175,27 +175,30 @@ class StatTextOpsSpec extends SparkTestBase {
     assert(attributed === BigDecimal(totalCents))
   }
 
-  test("containment dominates jaccard and hits 1.0 on exact-duplicate pairs") {
-    val cont = SparkEntry.queries("q_containment")(spark, sf()).collect()
-      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r).toMap
-    cont.values.foreach { r =>
+  test("containment dominates jaccard; exact-duplicate texts collapse to one rep") {
+    val rows = SparkEntry.queries("q_containment")(spark, sf()).collect()
+    rows.foreach { r =>
       val (nc, na, nb) = (r.getAs[Long]("n_common"), r.getAs[Int]("n_a"), r.getAs[Int]("n_b"))
       val jac = nc.toDouble / (na + nb - nc).toDouble
       assert(r.getAs[Double]("cont_ab") >= jac && r.getAs[Double]("cont_ba") >= jac)
       assert(nc <= math.min(na, nb))
     }
-    // exact-duplicate docs (≥3 tokens) must appear with containment 1.0 both ways
-    val dups = Tables.documents(spark, sf())
-      .filter(size(split(col("text"), " ")) >= 3)
+    // duplicate-text classes never pair with themselves (collapsed to
+    // the min-id rep), and any rep that does appear carries its class
+    // size as the member count
+    val dupGroups = Tables.documents(spark, sf())
       .groupBy(col("text"), col("source")).agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(array_sort(col("ids")).as("ids")).collect()
-    dups.foreach { row =>
-      val ids = row.getSeq[Long](0)
-      for (a <- ids; b <- ids if a < b) {
-        val r = cont((a, b))
-        assert(r.getAs[Double]("cont_ab") === 1.0 && r.getAs[Double]("cont_ba") === 1.0)
-      }
+      .map(_.getSeq[Long](0))
+    val pairIds = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val memOf = rows.flatMap(r => Seq(
+      r.getAs[Long]("id_a") -> r.getAs[Long]("n_mem_a"),
+      r.getAs[Long]("id_b") -> r.getAs[Long]("n_mem_b"))).toMap
+    dupGroups.foreach { ids =>
+      for (a <- ids; b <- ids if a < b)
+        assert(!pairIds.contains((a, b)), s"intra-class pair ($a,$b) survived collapse")
+      memOf.get(ids.min).foreach(m => assert(m === ids.size.toLong))
     }
   }
 
