@@ -198,9 +198,19 @@ object DedupQueries {
     // threshold), so the work is proportional to actual overlap — the
     // textbook scalable shape vs the dense per-bucket cross join, which
     // benched 6× slower at sf0.1 and degrades quadratically.
+    // Exact-duplicate texts COLLAPSE to their min-id rep first (class
+    // size rides as n_mem_*), like q_simhash_near and q_containment:
+    // replicated boilerplate is the input that makes true overlap —
+    // and with it this join's work — quadratic (measured at 100×;
+    // SCALE.md). Pairs are then between distinct texts only.
     "q_ngram_jaccard" -> ((s, d) => {
-      val docs = docShingles(s, d)
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val reps = docsSpread(s, d)
+        .groupBy(col("source"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+      val docs = docShinglesOf(reps)
+        .join(reps.select(col("doc_id"), col("n_members")), Seq("doc_id"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
+        col("n_members"))
       val inv = docs.select(col("source"), col("doc_id"), explode(col("sh")).as("h"))
       val inter = inv.toDF("source", "id_a", "h")
         .join(inv.toDF("source", "id_b", "h"), Seq("source", "h"))
@@ -208,9 +218,10 @@ object DedupQueries {
         .groupBy(col("source"), col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_common"))
       inter
-        .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
-        .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+        .join(sizes.toDF("id_a", "n_a", "n_mem_a"), Seq("id_a"))
+        .join(sizes.toDF("id_b", "n_b", "n_mem_b"), Seq("id_b"))
         .select(col("source"), col("id_a"), col("id_b"),
+          col("n_mem_a"), col("n_mem_b"),
           (col("n_common").cast(DoubleType) /
             (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
         .filter(col("jaccard") >= 0.15)
@@ -468,10 +479,14 @@ object DedupQueries {
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
-      s"""WITH t AS (
-         |  SELECT source, doc_id, $sqlHashedShingles AS sh FROM documents),
+      s"""WITH reps AS (
+         |  SELECT source, text, MIN(doc_id) AS doc_id, COUNT(*) AS n_members
+         |  FROM documents GROUP BY source, text),
+         |t AS (
+         |  SELECT source, doc_id, n_members, $sqlHashedShingles AS sh FROM reps),
          |f AS (SELECT * FROM t WHERE len(sh) > 0)
          |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.n_members AS n_mem_a, b.n_members AS n_mem_b,
          |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
          |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
