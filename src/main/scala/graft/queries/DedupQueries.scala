@@ -190,6 +190,25 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup REPORTING: cluster-size histogram over the connected
+    // components — how many k-size duplicate clusters exist, how many
+    // docs they cover, and the removable-duplicate count the dedup
+    // pass will save. Two O(clusters) aggregations on top of the same
+    // CC operator; the twin extends the recursive-CTE closure with the
+    // identical rollup.
+    "q_cluster_stats" -> ((s, d) => {
+      val edges = minhashPairs(s, d)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      graft.operators.DedupClusters.connectedComponents(nodes, edges)
+        .groupBy(col("cluster_rep")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs"),
+          ((col("csize") - 1) * col("n_clusters")).as("n_removable"))
+        .orderBy(col("csize"))
+    }),
+
     // N-gram (token-3-gram) Jaccard within same-source buckets, as an
     // inverted-index set-similarity join: explode shingle hashes, join
     // on (source, shingle) to count the intersection per pair, then
@@ -477,6 +496,23 @@ object DedupQueries {
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
          |SELECT a AS doc_id, MIN(b) AS cluster_rep, MIN(b) = a AS is_survivor
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "q_cluster_stats" ->
+      s"""WITH RECURSIVE $sqlVerifiedPairs,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified WHERE jaccard >= 0.2
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM verified WHERE jaccard >= 0.2),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |cc AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a),
+         |sizes AS (SELECT cluster_rep, COUNT(*) AS csize FROM cc GROUP BY cluster_rep)
+         |SELECT csize, COUNT(*) AS n_clusters,
+         |  CAST(csize * COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST((csize - 1) * COUNT(*) AS BIGINT) AS n_removable
+         |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH reps AS (

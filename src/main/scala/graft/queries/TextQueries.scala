@@ -230,6 +230,34 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Vocabulary construction: global counts of the BPE-ish subtoken
+    // segmentation (same regex as q_token_count), top-200 by frequency
+    // with per-token corpus share and the cumulative-coverage curve —
+    // the statistic a tokenizer build reads to pick vocab size. The
+    // top-k comes from sort+limit (TakeOrdered: per-partition top-200
+    // then a driver merge — NO global-window rank over the full
+    // vocabulary, which would sort every distinct token in one
+    // partition); the rank/cumulative window then runs on the 200-row
+    // result only.
+    "q_token_vocab" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("total"))
+      val top = counts.orderBy(col("n").desc, col("tok")).limit(200)
+      val w = Window.orderBy(col("n").desc, col("tok"))
+      top.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("cum",
+          sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("rnk"), col("tok"), col("n"),
+          (col("n").cast(DoubleType) / col("total").cast(DoubleType)).as("share"),
+          (col("cum").cast(DoubleType) / col("total").cast(DoubleType)).as("cum_share"))
+        .orderBy(col("rnk"))
+    }),
+
     // Per-source language-diversity via GINI IMPURITY 1 − Σp² — the
     // corpus-mix health metric. Entropy is the textbook choice but
     // needs ln (the engines' one last-bit-divergent primitive); Gini
@@ -381,6 +409,23 @@ object TextQueries {
          |JOIN marg mv ON pairs.tok_v = mv.tok
          |CROSS JOIN n
          |ORDER BY lift DESC, tok_u, tok_v LIMIT 100""".stripMargin,
+
+    "q_token_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+        |top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 200),
+        |r AS (
+        |  SELECT tok, n,
+        |    row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+        |    CAST(SUM(n) OVER (ORDER BY n DESC, tok ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM top)
+        |SELECT rnk, tok, n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM r CROSS JOIN tot ORDER BY rnk""".stripMargin,
 
     "q_source_gini" ->
       """WITH cl AS (

@@ -202,6 +202,27 @@ class StatTextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("cluster stats: sizes partition the corpus; removable = docs - clusters") {
+    val rows = SparkEntry.queries("q_cluster_stats")(spark, sf()).collect()
+    val nDocs = Tables.documents(spark, sf()).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_removable") ===
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+  }
+
+  test("token vocab: contiguous ranks, monotone coverage curve") {
+    val rows = SparkEntry.queries("q_token_vocab")(spark, sf()).collect()
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq === (1 to rows.length))
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last <= 1.0 + 1e-12)
+    assert(math.abs(cums.head - shares.head) < 1e-15)
+  }
+
   test("embedding quantile norm: each dimension spans the full [0,1] rank range") {
     val rows = SparkEntry.queries("q_embed_quantile_norm")(spark, sf()).collect()
     val byDim = rows.groupBy(_.getAs[Int]("dim"))
