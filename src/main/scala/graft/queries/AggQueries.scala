@@ -126,6 +126,33 @@ object AggQueries {
             / col("exact_orders").cast(DoubleType) <= 0.05).as("within_bound"))
     }),
 
+    // Mergeable heavy-hitters sketch (Spark 4.1 approx_top_k two-phase
+    // form): per-group ACCUMULATE → COMBINE → ESTIMATE — the
+    // shard-then-merge layout every 100 TB frequency job uses. Gated
+    // by the q_hll_union pattern: the hashed output is the EXACT
+    // top-10 (deterministic total order) plus a boolean asserting the
+    // sketch's estimate for each is within 5%; maxItemsTracked (16384)
+    // exceeds the distinct-supplier count at every gate scale, so the
+    // sketch is provably exact there and the bound must hold. The twin
+    // emits the same exacts + literal true.
+    "q_approx_top_k" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_top_k_accumulate(l_suppkey, 16384)").as("acc"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(acc, 16384), 16384)")
+          .as("est"))
+      val sketch = est.select(explode(col("est")).as("e"))
+        .select(col("e.item").as("l_suppkey"), col("e.count").as("est_n"))
+      val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_suppkey")).limit(10)
+      exact.join(sketch, Seq("l_suppkey"), "left")
+        .select(col("l_suppkey"), col("n"),
+          (col("est_n").isNotNull &&
+            abs(col("est_n") - col("n")).cast(DoubleType)
+              / col("n").cast(DoubleType) <= lit(0.05)).as("within_bound"))
+        .orderBy(col("n").desc, col("l_suppkey"))
+    }),
+
     // Approximate percentile sketch, oracle-gated by the same
     // error-bound pattern as q_approx_count_distinct: emit the EXACT
     // median plus a boolean asserting the sketch value's RANK lies
@@ -498,6 +525,11 @@ object AggQueries {
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  true AS within_bound
         |FROM lineitem""".stripMargin,
+
+    "q_approx_top_k" ->
+      """SELECT l_suppkey, COUNT(*) AS n, true AS within_bound
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin,
 
     "q_approx_quantile" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
