@@ -147,6 +147,42 @@ object SetOpQueries {
         lit(1).as("valid_from"), lit(null).cast("int").as("valid_to"))
       closedOrCurrent.unionByName(opened)
         .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
+    // CDC snapshot diff: reconcile two snapshots of the same table into
+    // the change feed a downstream consumer replays — every key
+    // classified added / removed / changed by ONE full outer join on
+    // the key, emitting only the delta (unchanged rows are the bulk at
+    // 100 TB and never leave the join). Snapshots are derived
+    // deterministically from orders: the "old" snapshot lacks keys
+    // ≡0 (mod 89) (so they surface as added), the "new" one drops keys
+    // ≡0 (mod 97) (removed) and bumps the price of keys ≡0 (mod 101)
+    // (changed). Scale shape: both snapshots shuffle once on the key —
+    // on a lakehouse both sides are bucketed on it and the join is
+    // zero-shuffle; output is |delta|, not |table|.
+    "q_snapshot_diff" -> ((s, d) => {
+      def snap(dropMod: Int) = Tables.orders(s, d)
+        .filter(col("o_orderkey") % dropMod =!= 0)
+      val old = snap(89).select(
+        col("o_orderkey"),
+        dec(col("o_totalprice")).cast("double").as("old_price"),
+        col("o_orderstatus").as("old_status"))
+      val nw = snap(97).select(
+        col("o_orderkey"),
+        (dec(col("o_totalprice")) +
+          when(col("o_orderkey") % 101 === 0, 25).otherwise(0))
+          .cast("double").as("new_price"),
+        col("o_orderstatus").as("new_status"))
+      old.join(nw, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_price").isNull, "added")
+            .when(col("new_price").isNull, "removed")
+            .when(!(col("old_price") <=> col("new_price")) ||
+              !(col("old_status") <=> col("new_status")), "changed"))
+        .filter(col("change_type").isNotNull)
+        .select(col("change_type"), col("o_orderkey"),
+          col("old_price"), col("new_price"))
+        .orderBy(col("change_type"), col("o_orderkey"))
     })
   )
 
@@ -241,6 +277,37 @@ object SetOpQueries {
         |  SELECT c_custkey, new_acctbal AS acctbal, 1 AS valid_from,
         |    CAST(NULL AS INTEGER) AS valid_to
         |  FROM j WHERE new_acctbal IS NOT NULL)
-        |SELECT * FROM rows ORDER BY c_custkey, valid_from""".stripMargin
+        |SELECT * FROM rows ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS old_price,
+        |    o_orderstatus AS old_status
+        |  FROM orders WHERE o_orderkey % 89 <> 0),
+        |nw AS (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) +
+        |      CASE WHEN o_orderkey % 101 = 0 THEN 25 ELSE 0 END AS DOUBLE) AS new_price,
+        |    o_orderstatus AS new_status
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |j AS (
+        |  SELECT COALESCE(old.o_orderkey, nw.o_orderkey) AS o_orderkey,
+        |    old_price, old_status, new_price, new_status
+        |  FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey)
+        |SELECT
+        |  CASE WHEN old_price IS NULL THEN 'added'
+        |       WHEN new_price IS NULL THEN 'removed'
+        |       WHEN old_price IS DISTINCT FROM new_price
+        |         OR old_status IS DISTINCT FROM new_status THEN 'changed'
+        |  END AS change_type,
+        |  o_orderkey, old_price, new_price
+        |FROM j
+        |WHERE CASE WHEN old_price IS NULL THEN 'added'
+        |           WHEN new_price IS NULL THEN 'removed'
+        |           WHEN old_price IS DISTINCT FROM new_price
+        |             OR old_status IS DISTINCT FROM new_status THEN 'changed'
+        |      END IS NOT NULL
+        |ORDER BY change_type, o_orderkey""".stripMargin
   )
 }

@@ -85,6 +85,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hashed linear classifier (the fastText-shaped quality gate a
+    // production corpus runs before training): tokens hash into D=4096
+    // feature buckets; each bucket's weight (integer micro-units in
+    // [-1000, 1000]) derives here from a second hash of the bucket id —
+    // a TRAINED model would broadcast a 4096-entry weight array instead,
+    // with the identical plan shape: a pure map-side lookup-and-sum, no
+    // shuffle, no UDF. The margin is an exact BIGINT sum over token
+    // OCCURRENCES (frequency-weighted bag of words); keep = margin > 0.
+    // All-integer arithmetic end to end, so the twin is bit-exact.
+    "q_quality_classifier" -> ((s, d) => {
+      val D = 4096
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      def weight(t: Column): Column =
+        (phash((phash(t, 7) % D).cast(StringType), 11) % 2001) - 1000
+      val margin = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        margin.as("margin_micro"),
+        (margin > 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace words + a BPE-ish regex segmentation.
     "q_token_count" -> ((s, d) => {
       Tables.documents(s, d).select(
@@ -317,6 +340,22 @@ object TextQueries {
          |  (CASE WHEN n_tokens BETWEEN 20 AND 60 THEN 1.0 ELSE 0.5 END)
          |    * (1.0 - CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS quality
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality_classifier" -> {
+      val bucket = s"${sqlPhash("t", 7)} % 4096"
+      val weight = s"(${sqlPhash(s"CAST($bucket AS VARCHAR)", 11)} % 2001) - 1000"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(COALESCE(list_sum(list_transform(toks, t -> $weight)), 0) AS BIGINT)
+         |    AS margin_micro,
+         |  CAST(COALESCE(list_sum(list_transform(toks, t -> $weight)), 0) AS BIGINT) > 0
+         |    AS keep
+         |FROM d ORDER BY doc_id""".stripMargin
     },
 
     "q_token_count" ->
