@@ -410,6 +410,88 @@ object DedupQueries {
           (col("n_shared_grams").cast(DoubleType) / col("n_grams").cast(DoubleType))
             .as("shared_ratio"))
         .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL dedup — the nightly-batch shape: a new slice of the
+    // corpus (doc_id ≡ 0 mod 5 here) checked against the already-landed
+    // base WITHOUT re-pairing the base against itself. Two gates, both
+    // ids-only joins: exact (content digest semi-join) and near (any
+    // shared LSH band with a base doc). At 100 TB the base's digest set
+    // and band index are persisted artifacts of the previous run,
+    // bucketed on their keys, so the nightly cost is O(batch), not
+    // O(corpus) — the whole point of running dedup incrementally. The
+    // batch side shuffles digests and (band, key) pairs only; texts
+    // never move.
+    "q_incremental_dedup" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val inc = docs.filter(col("doc_id") % 5 === 0)
+      val baseDigests = base.select(sha2(col("text"), 256).as("th")).distinct()
+      val exact = inc.select(col("doc_id"), sha2(col("text"), 256).as("th"))
+        .join(baseDigests, Seq("th"), "left_semi")
+        .select(col("doc_id")).withColumn("ke", lit(true))
+      val baseBands = bandedSignaturesOf(base)
+        .select(col("band"), col("band_key")).distinct()
+      val near = bandedSignaturesOf(inc)
+        .join(baseBands, Seq("band", "band_key"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("kn", lit(true))
+      inc.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ke"), lit(false)).as("known_exact"),
+          coalesce(col("kn"), lit(false)).as("known_near"))
+        .withColumn("is_new", !col("known_exact") && !col("known_near"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LOSSLESS prefix-filtered set-similarity self-join (the AllPairs /
+    // PPJoin candidate family) over the 3-gram shingle-hash sets, in
+    // one global canonical order (hash ascending): a doc of n shingles
+    // indexes only its first n − ⌈t·n⌉ + 1, because two sets with
+    // Jaccard ≥ t MUST share an element inside those prefixes (if all
+    // common elements sat in the ⌈t·n⌉−1 suffix, the intersection
+    // would be < t·n ≤ t·union — contradiction). So unlike MinHash
+    // banding this candidate set has PERFECT recall at the threshold —
+    // which is exactly what the DuckDB twin asserts: it builds the
+    // ground truth from the FULL inverted index, no prefix math, and
+    // the gate hashes equal. (Unigram token sets are deliberately NOT
+    // the universe: the synthetic corpus shares a small vocabulary, so
+    // nearly all doc pairs exceed any unigram threshold — 30k pairs at
+    // t=0.8 — while shingle-set similarity is discriminative.)
+    // Exact-duplicate texts collapse to a min-id rep first (the
+    // q_containment treatment). Scale: the indexed volume per doc drops
+    // from n to (1−t)·n+1 elements — at t=1/2, half the postings — and
+    // under a trained global-frequency order (rarest first) the
+    // surviving postings are the RARE elements, which is what keeps
+    // bucket sizes bounded at corpus scale.
+    "q_prefix_filter_join" -> ((s, d) => {
+      val reps = docsSpread(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+      val sized = reps.select(col("doc_id"), col("n_members"),
+        sort_array(hashedShingles(col("text"))).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n", size(col("toks")))
+      // t = 1/2: prefix length ℓ = n − ⌈n/2⌉ + 1 (integer ceil)
+      val inv = sized
+        .withColumn("pfx_len", col("n") - expr("(n + 1) DIV 2") + 1)
+        .select(col("doc_id"), explode(slice(col("toks"), lit(1), col("pfx_len"))).as("h"))
+      val cand = inv.toDF("id_a", "h")
+        .join(inv.toDF("id_b", "h"), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val full = sized.select(col("doc_id"), col("toks"), col("n"), col("n_members"))
+      cand
+        .join(full.toDF("id_a", "toks_a", "n_a", "n_mem_a"), Seq("id_a"))
+        .join(full.toDF("id_b", "toks_b", "n_b", "n_mem_b"), Seq("id_b"))
+        .withColumn("n_common", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .withColumn("jac_micro",
+          expr("CAST(n_common AS BIGINT) * 1000000 DIV (n_a + n_b - n_common)"))
+        .filter(col("jac_micro") >= 500000)
+        .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+          col("n_common"), col("jac_micro"), col("n_mem_a"), col("n_mem_b"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -465,7 +547,72 @@ object DedupQueries {
        |  FROM pairs JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)""".stripMargin
   }
 
+  /** Banded-signature CTE chain for a doc subset (`pred` on documents):
+    * yields `<p>bands(doc_id, bk)` — the per-doc LSH band keys. Mirrors
+    * [[bandedSignaturesOf]] for the incremental twin. */
+  private def sqlBandsFor(p: String, pred: String): String = {
+    val sigCols = (0 until NUM_HASHES).map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
+    val bandStructs = (0 until BANDS)
+      .map(b => s"(${b}, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR))")
+      .mkString(", ")
+    s"""${p}t AS (SELECT doc_id, $sqlHashedShingles AS sh FROM documents WHERE $pred),
+       |${p}sigs AS (SELECT doc_id, $sigCols FROM ${p}t WHERE len(sh) > 0),
+       |${p}bands AS (
+       |  SELECT doc_id, unnest([$bandStructs]) AS bk FROM ${p}sigs)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_incremental_dedup" ->
+      s"""WITH ${sqlBandsFor("b", "doc_id % 5 <> 0")},
+         |${sqlBandsFor("i", "doc_id % 5 = 0")},
+         |exact AS (
+         |  SELECT DISTINCT doc_id FROM documents
+         |  WHERE doc_id % 5 = 0 AND sha256(text) IN (
+         |    SELECT sha256(text) FROM documents WHERE doc_id % 5 <> 0)),
+         |near AS (
+         |  SELECT DISTINCT doc_id FROM ibands
+         |  WHERE bk IN (SELECT bk FROM bbands))
+         |SELECT d.doc_id,
+         |  e.doc_id IS NOT NULL AS known_exact,
+         |  n.doc_id IS NOT NULL AS known_near,
+         |  e.doc_id IS NULL AND n.doc_id IS NULL AS is_new
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN exact e ON e.doc_id = d.doc_id
+         |LEFT JOIN near n ON n.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Ground truth from the FULL inverted index — no prefix math. The
+    // hash gate equals iff the prefix filter is lossless at t = 1/2.
+    "q_prefix_filter_join" ->
+      s"""WITH reps AS (
+         |  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_members, text
+         |  FROM documents GROUP BY text),
+         |t AS (
+         |  SELECT doc_id, n_members,
+         |    list_sort($sqlHashedShingles) AS toks
+         |  FROM reps),
+         |s AS (
+         |  SELECT doc_id, n_members, toks, CAST(len(toks) AS INTEGER) AS n
+         |  FROM t WHERE len(toks) > 0),
+         |inv AS (SELECT doc_id, unnest(toks) AS h FROM s),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b,
+         |    sa.n_members AS n_mem_a, sb.n_members AS n_mem_b,
+         |    CAST(len(list_intersect(sa.toks, sb.toks)) AS INTEGER) AS n_common
+         |  FROM cand
+         |  JOIN s sa ON sa.doc_id = id_a
+         |  JOIN s sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, n_a, n_b, n_common,
+         |  CAST(CAST(n_common AS BIGINT) * 1000000 // (n_a + n_b - n_common) AS BIGINT)
+         |    AS jac_micro,
+         |  n_mem_a, n_mem_b
+         |FROM v
+         |WHERE CAST(n_common AS BIGINT) * 1000000 // (n_a + n_b - n_common) >= 500000
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT sha256(text) AS content_hash,
         |  MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
