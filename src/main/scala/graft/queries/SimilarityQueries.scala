@@ -311,8 +311,51 @@ object SimilarityQueries {
         .select(col("vec_id"), col("dim"),
           col("v").cast(DoubleType).as("v"), col("pr"))
         .orderBy(col("dim"), col("vec_id"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup =
+    // cluster the embedding space coarsely, then prune near-duplicates
+    // WITHIN clusters only — the trick that turns a quadratic global
+    // cosine search into per-cluster work. A vector is a duplicate iff
+    // some EARLIER-id member of ITS cluster (earlier side capped at
+    // SEM_CAP, the IVF_CAP treatment, mirrored in the twin) has cosine
+    // ≥ τ; the min-id survivor stays. Candidates travel as id pairs
+    // only; embeddings join back for the verify. Scale shape: the
+    // assignment is a broadcast join against O(centroids) rows; the
+    // pairing shuffle keys on cid with the per-cluster cap bounding a
+    // degenerate cluster at cap·|cluster| — production retrains nlist ∝
+    // √n so expected cluster size stays constant (same argument as
+    // IVF), and τ comes from a held-out calibration, not from here.
+    "q_semdedup" -> ((s, d) => {
+      val scored = seededScored(s, d, 16)
+      val assign = scored.filter(col("crn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val wM = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("vec_id"))
+      val capped = assign.withColumn("mrn", row_number().over(wM))
+        .filter(col("mrn") <= SEM_CAP)
+        .select(col("cid"), col("vec_id").as("id_a"))
+      val pairs = capped
+        .join(assign.select(col("cid"), col("vec_id").as("id_b")), Seq("cid"))
+        .filter(col("id_a") < col("id_b"))
+      val e = Tables.embeddings(s, d)
+      val dups = pairs
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+        .filter(cosine(col("emb_a"), col("emb_b")) >= SEM_TAU)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("dup", lit(true))
+      assign
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("dup"), lit(false)).as("is_dup"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** SemDeDup per-cluster earlier-member cap and cosine threshold. */
+  private[queries] val SEM_CAP = 128
+  private val SEM_TAU = 0.5
 
   /** DOUBLE[] casts are load-bearing: DuckDB's list_cosine_similarity on
     * FLOAT[] computes (and returns) float32, which diverges from Spark's
@@ -778,6 +821,26 @@ object SimilarityQueries {
         |SELECT vec_id, dim, CAST(v AS DOUBLE) AS v,
         |  percent_rank() OVER (PARTITION BY dim ORDER BY v) AS pr
         |FROM u WHERE dim < 8
-        |ORDER BY dim, vec_id""".stripMargin
+        |ORDER BY dim, vec_id""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH $sqlSeededCranked,
+         |assign AS (SELECT vec_id, cid FROM cranked WHERE crn = 1),
+         |m AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS mrn
+         |  FROM assign),
+         |capped AS (SELECT cid, vec_id AS id_a FROM m WHERE mrn <= $SEM_CAP),
+         |dup AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM capped a
+         |  JOIN assign b ON b.cid = a.cid AND a.id_a < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.id_a
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |          CAST(eb.embedding AS DOUBLE[])) >= $SEM_TAU)
+         |SELECT s.vec_id, s.cid, d.vec_id IS NOT NULL AS is_dup
+         |FROM assign s LEFT JOIN dup d ON d.vec_id = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin
   )
 }
