@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4c curation operators (CDC snapshot diff,
+  * incremental dedup, lossless prefix-filtered similarity join,
+  * SemDeDup, hashed linear quality classifier). The DuckDB twins gate
+  * end-to-end values; these pin the properties the hash gate can't
+  * see: classification completeness against independently derived
+  * predicates, prefix-filter losslessness against the unfiltered join,
+  * survivor invariants, and an independent JVM replay of the margin.
+  */
+class CurationOpsSpec extends SparkTestBase {
+
+  test("snapshot diff: classes match the generating predicates exactly") {
+    val rows = SparkEntry.queries("q_snapshot_diff")(spark, sf()).collect()
+    val keys = Tables.orders(spark, sf())
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val added = keys.filter(k => k % 89 == 0 && k % 97 != 0).toSet
+    val removed = keys.filter(k => k % 97 == 0 && k % 89 != 0).toSet
+    val changed = keys.filter(k =>
+      k % 101 == 0 && k % 89 != 0 && k % 97 != 0).toSet
+    val byType = rows.groupBy(_.getAs[String]("change_type"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("o_orderkey")).toSet }
+    assert(byType.getOrElse("added", Set.empty) === added)
+    assert(byType.getOrElse("removed", Set.empty) === removed)
+    assert(byType.getOrElse("changed", Set.empty) === changed)
+    // delta completeness: nothing else leaks out of the join
+    assert(rows.length === added.size + removed.size + changed.size)
+    // changed rows carry both prices, differing by exactly the bump
+    rows.filter(_.getAs[String]("change_type") == "changed").foreach { r =>
+      assert(r.getAs[Double]("new_price") - r.getAs[Double]("old_price") === 25.0)
+    }
+  }
+
+  test("incremental dedup: exact flags replay; exact implies near when banded") {
+    val out = SparkEntry.queries("q_incremental_dedup")(spark, sf()).collect()
+    val docs = Tables.documents(spark, sf())
+    val baseTexts = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("text")).collect().map(_.getString(0)).toSet
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every incoming doc is classified, none dropped
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === incoming.keySet)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expectedExact = baseTexts.contains(incoming(id))
+      assert(r.getAs[Boolean]("known_exact") === expectedExact,
+        s"doc $id exact flag diverges from the digest replay")
+      // an exact duplicate long enough to band must also band-match:
+      // identical text => identical signature => identical band keys
+      if (expectedExact && incoming(id).split(" ").length >= 3)
+        assert(r.getAs[Boolean]("known_near"), s"exact dup $id not band-known")
+      assert(r.getAs[Boolean]("is_new") ===
+        (!r.getAs[Boolean]("known_exact") && !r.getAs[Boolean]("known_near")))
+    }
+  }
+
+  test("prefix filter is lossless: equals the unfiltered inverted-index join") {
+    val gated = SparkEntry.queries("q_prefix_filter_join")(spark, sf())
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth inside Spark: full postings (no prefix), exact
+    // jaccard >= 1/2 over the same collapsed reps
+    val reps = Tables.documents(spark, sf())
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val sh = DedupQueries.docShinglesOf(reps.withColumn("source", lit("x")))
+      .select(col("doc_id"), col("sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val full = inv.toDF("id_a", "h").join(inv.toDF("id_b", "h"), Seq("h"))
+      .filter(col("id_a") < col("id_b")).select(col("id_a"), col("id_b")).distinct()
+      .join(sh.toDF("id_a", "sh_a"), Seq("id_a"))
+      .join(sh.toDF("id_b", "sh_b"), Seq("id_b"))
+      .withColumn("ninter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jm", expr(
+        "CAST(ninter AS BIGINT) * 1000000 DIV (size(sh_a) + size(sh_b) - ninter)"))
+      .filter(col("jm") >= 500000)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated === full)
+  }
+
+  test("semdedup: cluster minimum survives; every dup has a close earlier member") {
+    val out = SparkEntry.queries("q_semdedup")(spark, sf())
+    val rows = out.collect()
+    val byCluster = rows.groupBy(_.getAs[Int]("cid"))
+    byCluster.foreach { case (_, members) =>
+      val minId = members.map(_.getAs[Long]("vec_id")).min
+      val minRow = members.find(_.getAs[Long]("vec_id") == minId).get
+      assert(!minRow.getAs[Boolean]("is_dup"), s"cluster min $minId flagged dup")
+    }
+    // every flagged dup really has an earlier same-cluster member with
+    // cos >= 0.5 (cap cannot hide one at this scale: clusters are small)
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    byCluster.foreach { case (_, members) =>
+      val ids = members.map(_.getAs[Long]("vec_id")).sorted
+      members.filter(_.getAs[Boolean]("is_dup")).foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        val earlier = ids.filter(_ < id).take(SimilarityQueries.SEM_CAP)
+        assert(earlier.exists(a => cos(e(a), e(id)) >= 0.5),
+          s"dup $id has no close earlier member")
+      }
+    }
+  }
+
+  test("quality classifier: margin replays in an independent JVM implementation") {
+    val rows = SparkEntry.queries("q_quality_classifier")(spark, sf()).collect()
+    val texts = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def p60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def weight(tok: String): Long = {
+      val bucket = p60(s"7:$tok") % 4096
+      (p60(s"11:$bucket") % 2001) - 1000
+    }
+    rows.take(50).foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split(" ").filter(_.nonEmpty)
+      val expected = toks.map(weight).sum
+      assert(r.getAs[Long]("margin_micro") === expected)
+      assert(r.getAs[Boolean]("keep") === (expected > 0))
+      assert(r.getAs[Int]("n_tokens") === toks.length)
+    }
+  }
+}

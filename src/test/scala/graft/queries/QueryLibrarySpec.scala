@@ -224,12 +224,17 @@ class QueryLibrarySpec extends SparkTestBase {
         // 1-row corpus-stats broadcasts may cross-join
         "q_substr_dedup", "q_containment",
         "q_salted_join", "q_khop_frontier", "q_markov_transitions",
-        "q_mad_outliers", "q_winsorize", "q_attribution")) {
+        "q_mad_outliers", "q_winsorize", "q_attribution",
+        // round-4c: CDC joins on the key, incremental dedup on digests /
+        // band keys, prefix-filter on posting hashes, semdedup on cid
+        "q_snapshot_diff", "q_incremental_dedup", "q_prefix_filter_join",
+        "q_semdedup", "q_quality_classifier")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin") ||
-        name == "q_ivf_ann", // centroid broadcast (16 rows) is a deliberate BNL
+        name == "q_ivf_ann" ||
+        name == "q_semdedup", // centroid broadcast (16 rows) is a deliberate BNL
         s"$name plans a nested loop:\n$plan")
     }
     // the 1-row-broadcast exceptions: BNL against a literal 1-row stats
