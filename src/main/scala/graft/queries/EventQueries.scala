@@ -260,6 +260,39 @@ object EventQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // OHLC resampling (downsample-to-bars): per (event_type, hour) the
+    // open/close values at the explicit total (ts, event_id) order,
+    // plus high/low/volume and the exact-cents sum — the time-series
+    // densification every metrics store runs. open/close come from ONE
+    // window pass each (row_number asc / desc, the portable form — see
+    // q_merge_upsert for why not arg_min/arg_max), values are SELECTED,
+    // never operated on, so doubles cross engines bit-exactly. Scale
+    // shape: both window passes and the final agg share the same
+    // (event_type, hour) partitioning — one shuffle; bar count is
+    // O(types × hours), orders of magnitude below the event count.
+    "q_ohlc_resample" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+        .withColumn("w_start", fmt(window(col("ts"), "1 hour").getField("start")))
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("w_start"))
+        .orderBy(col("ts"), col("event_id"))
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("w_start"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn_o", row_number().over(wAsc))
+        .withColumn("rn_c", row_number().over(wDesc))
+        .groupBy(col("event_type"), col("w_start"))
+        .agg(
+          max(when(col("rn_o") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rn_c") === 1, col("value"))).as("close"),
+          count(lit(1)).as("volume"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"), col("w_start"))
+    }),
+
     // First-touch revenue attribution: each user's lifetime purchase
     // value is credited to their FIRST event type (the acquisition
     // channel in a marketing funnel). One window pass finds the first
@@ -322,6 +355,29 @@ object EventQueries {
          |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
          |FROM sess GROUP BY user_id, sess_id
          |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q_ohlc_resample" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |    ts, event_id, value
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, w_start, value,
+         |    row_number() OVER (PARTITION BY event_type, w_start
+         |                       ORDER BY ts, event_id) AS rn_o,
+         |    row_number() OVER (PARTITION BY event_type, w_start
+         |                       ORDER BY ts DESC, event_id DESC) AS rn_c
+         |  FROM e)
+         |SELECT event_type, w_start,
+         |  MAX(CASE WHEN rn_o = 1 THEN value END) AS open,
+         |  MAX(value) AS high,
+         |  MIN(value) AS low,
+         |  MAX(CASE WHEN rn_c = 1 THEN value END) AS close,
+         |  COUNT(*) AS volume,
+         |  ${sqlDsum("value")} AS sum_value
+         |FROM r GROUP BY event_type, w_start
+         |ORDER BY event_type, w_start""".stripMargin,
 
     "q_event_dedup_first" ->
       """WITH r AS (

@@ -117,6 +117,32 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ohlc resample: bounds hold; open/close match the explicit event order") {
+    val bars = SparkEntry.queries("q_ohlc_resample")(spark, sf()).collect()
+    assert(bars.nonEmpty)
+    var vol = 0L
+    bars.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h)
+      assert(r.getAs[Long]("volume") >= 1)
+      vol += r.getAs[Long]("volume")
+    }
+    // every event lands in exactly one bar
+    assert(vol === Tables.events(spark, sf()).count())
+    // replay one bar's open/close from the raw events
+    val first = bars.head
+    val evs = Tables.events(spark, sf())
+      .filter(col("event_type") === first.getAs[String]("event_type"))
+      .select(col("ts").cast("string"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1.startsWith(first.getAs[String]("w_start").take(13)))
+      .sortBy(t => (t._1, t._2))
+    assert(evs.head._3 === first.getAs[Double]("open"))
+    assert(evs.last._3 === first.getAs[Double]("close"))
+  }
+
   test("quality classifier: margin replays in an independent JVM implementation") {
     val rows = SparkEntry.queries("q_quality_classifier")(spark, sf()).collect()
     val texts = Tables.documents(spark, sf())
