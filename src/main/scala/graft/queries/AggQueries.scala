@@ -254,6 +254,39 @@ object AggQueries {
     }),
 
     // D4-pattern: conditional aggregation (sum/count over CASE).
+    // Data-quality audit (the Deequ/expectation-suite shape): ONE
+    // aggregation pass computes completeness (null counts), uniqueness
+    // (count − count distinct on the key), and validity (range
+    // violations) as a long-format metric table, plus one anti-join for
+    // referential integrity — the audit every ingest runs before
+    // publishing a partition. All metrics are exact BIGINTs. Scale:
+    // the stats pass is a single map-side-combined aggregate over the
+    // fact (count distinct on the key is the one shuffle); the orphan
+    // check is a broadcast anti-join against the dimension's key set.
+    "q_dq_audit" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val stats = o.agg(
+        count(lit(1)).as("row_count"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+          .as("dup_orderkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+        sum(when(year(col("o_orderdate")).between(1995, 2001), 0L).otherwise(1L))
+          .as("date_out_of_range"))
+      val metrics = stats.selectExpr(
+        """stack(5,
+          |  'date_out_of_range', date_out_of_range,
+          |  'dup_orderkey', dup_orderkey,
+          |  'nonpos_price', nonpos_price,
+          |  'null_custkey', null_custkey,
+          |  'row_count', row_count) AS (check_name, value)""".stripMargin)
+      val orphans = o.join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("orphan_custkey").as("check_name"), col("value"))
+      metrics.unionByName(orphans).orderBy(col("check_name"))
+    }),
+
     "q_conditional_agg" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_linestatus"))
@@ -589,6 +622,27 @@ object AggQueries {
          |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
          |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_dq_audit" ->
+      """WITH s AS (
+        |  SELECT
+        |    COUNT(*) AS row_count,
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+        |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+        |    SUM(CASE WHEN year(o_orderdate) BETWEEN 1995 AND 2001
+        |             THEN 0 ELSE 1 END) AS date_out_of_range
+        |  FROM orders),
+        |m AS (
+        |  SELECT 'date_out_of_range' AS check_name, CAST(date_out_of_range AS BIGINT) AS value FROM s
+        |  UNION ALL SELECT 'dup_orderkey', CAST(dup_orderkey AS BIGINT) FROM s
+        |  UNION ALL SELECT 'nonpos_price', CAST(nonpos_price AS BIGINT) FROM s
+        |  UNION ALL SELECT 'null_custkey', CAST(null_custkey AS BIGINT) FROM s
+        |  UNION ALL SELECT 'row_count', CAST(row_count AS BIGINT) FROM s
+        |  UNION ALL
+        |  SELECT 'orphan_custkey', COUNT(*) FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT check_name, value FROM m ORDER BY check_name""".stripMargin,
 
     "q_conditional_agg" ->
       """SELECT l_linestatus,

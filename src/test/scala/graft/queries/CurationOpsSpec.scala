@@ -143,6 +143,16 @@ class CurationOpsSpec extends SparkTestBase {
     assert(evs.last._3 === first.getAs[Double]("close"))
   }
 
+  test("dq audit: row_count replays; clean generated data passes every check") {
+    val m = SparkEntry.queries("q_dq_audit")(spark, sf()).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("value")).toMap
+    assert(m("row_count") === Tables.orders(spark, sf()).count())
+    // the driver data is referentially clean and in-range by construction
+    for (c <- Seq("null_custkey", "dup_orderkey", "nonpos_price",
+        "date_out_of_range", "orphan_custkey"))
+      assert(m(c) === 0L, s"$c expected clean, got ${m(c)}")
+  }
+
   test("quality classifier: margin replays in an independent JVM implementation") {
     val rows = SparkEntry.queries("q_quality_classifier")(spark, sf()).collect()
     val texts = Tables.documents(spark, sf())
