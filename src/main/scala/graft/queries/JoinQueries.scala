@@ -159,6 +159,41 @@ object JoinQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // POINT-IN-TIME (temporal/SCD2) join: each order enriched with the
+    // dimension VERSION whose validity interval contains the order
+    // date — the lakehouse dim-lookup after an SCD2 merge (q_scd2_merge
+    // builds the history; this query CONSUMES one). The dim derives
+    // deterministically: every customer has a v0 open at 1995-01-01;
+    // keys ≡0 (mod 10) get a +100-balance v1 at 1998-01-01 that closes
+    // v0. ISO date STRINGS compare lexicographically, so the interval
+    // predicate is engine-portable with zero timestamp semantics.
+    // Scale shape: an EQUI-join on the customer key (shuffle or bucketed
+    // co-location) with the interval containment as a cheap post-join
+    // filter — correct because SCD2 bounds versions-per-key (here ≤ 2);
+    // a dim with hot version churn flips to the q_join_asof shape
+    // (max_by over versions ≤ ts) on the same key partitioning.
+    "q_pit_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val v0 = c.select(col("c_custkey"),
+        dec(col("c_acctbal")).cast("double").as("acctbal"),
+        lit("1995-01-01").as("valid_from"),
+        when(col("c_custkey") % 10 === 0, "1998-01-01")
+          .otherwise("9999-12-31").as("valid_to"))
+      val v1 = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          (dec(col("c_acctbal")) + 100).cast("double").as("acctbal"),
+          lit("1998-01-01").as("valid_from"), lit("9999-12-31").as("valid_to"))
+      val dim = v0.unionByName(v1)
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      o.join(dim, col("o_custkey") === col("c_custkey") &&
+          col("order_date") >= col("valid_from") &&
+          col("order_date") < col("valid_to"))
+        .select(col("o_orderkey"), col("o_custkey"), col("order_date"),
+          col("acctbal"), col("valid_from"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Blocked fuzzy self-join (entity resolution), scale-shaped end to
     // end (same staging as q_simhash_near):
     // 1. collapse EXACT duplicates first — (name, nation) classes with a
@@ -338,6 +373,29 @@ object JoinQueries {
         |  MAX(CASE WHEN rn = 1 THEN l_linenumber END) AS asof_linenumber,
         |  CAST(MAX(l_shipdate) AS DATE) AS asof_shipdate
         |FROM matched GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_pit_join" ->
+      """WITH v0 AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS acctbal,
+        |    '1995-01-01' AS valid_from,
+        |    CASE WHEN c_custkey % 10 = 0 THEN '1998-01-01'
+        |         ELSE '9999-12-31' END AS valid_to
+        |  FROM customer),
+        |v1 AS (
+        |  SELECT c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) + 100 AS DOUBLE) AS acctbal,
+        |    '1998-01-01' AS valid_from, '9999-12-31' AS valid_to
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |dim AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, order_date, acctbal, valid_from
+        |FROM o JOIN dim ON o_custkey = c_custkey
+        |  AND order_date >= valid_from AND order_date < valid_to
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_fuzzy_match" ->
       s"""WITH ents AS (

@@ -143,6 +143,22 @@ class CurationOpsSpec extends SparkTestBase {
     assert(evs.last._3 === first.getAs[Double]("close"))
   }
 
+  test("pit join: every order matches exactly one version; bump applied iff in v1 window") {
+    val rows = SparkEntry.queries("q_pit_join")(spark, sf()).collect()
+    assert(rows.length === Tables.orders(spark, sf()).count())
+    assert(rows.map(_.getAs[Long]("o_orderkey")).distinct.length === rows.length)
+    val bal = Tables.customer(spark, sf())
+      .select(col("c_custkey"), QueryUtil.dec(col("c_acctbal")).cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val ck = r.getAs[Long]("o_custkey")
+      val expectV1 = ck % 10 == 0 && r.getAs[String]("order_date") >= "1998-01-01"
+      assert(r.getAs[String]("valid_from") ===
+        (if (expectV1) "1998-01-01" else "1995-01-01"))
+      assert(r.getAs[Double]("acctbal") === bal(ck) + (if (expectV1) 100.0 else 0.0))
+    }
+  }
+
   test("dq audit: row_count replays; clean generated data passes every check") {
     val m = SparkEntry.queries("q_dq_audit")(spark, sf()).collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("value")).toMap

@@ -228,7 +228,8 @@ class QueryLibrarySpec extends SparkTestBase {
         // round-4c: CDC joins on the key, incremental dedup on digests /
         // band keys, prefix-filter on posting hashes, semdedup on cid
         "q_snapshot_diff", "q_incremental_dedup", "q_prefix_filter_join",
-        "q_semdedup", "q_quality_classifier")) {
+        "q_semdedup", "q_quality_classifier", "q_pit_join", "q_ohlc_resample",
+        "q_dq_audit")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
