@@ -46,6 +46,25 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("w.end").as("sess_end"), col("n_events"))
 
+  /** OHLC hourly bars (batch twin: q_ohlc_resample): open/close at the
+    * explicit (ts, event_id) order via min_by/max_by over a struct key —
+    * PURE aggregates (unlike the batch twin's row_number form, which
+    * exists only for DuckDB portability), so the same one-shuffle shape
+    * runs unchanged under streaming append, with the watermark closing
+    * bars an hour plus the lateness bound after their end. */
+  def ohlcBars(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+
   /** Stream-static enrichment join: every micro-batch equi-joins the
     * stream against a STATIC dimension (re-broadcast per batch, no join
     * state, no watermark requirement on the static side) before the

@@ -143,6 +143,26 @@ class CurationOpsSpec extends SparkTestBase {
     assert(evs.last._3 === first.getAs[Double]("close"))
   }
 
+  test("minhash-lsh candidate recall measured against the prefix-filter ground truth") {
+    // q_prefix_filter_join is EXACT at jaccard >= 0.5 (losslessness
+    // proven above); the banded MinHash-LSH candidates are probabilistic.
+    // With 4 bands x 2 rows, P(candidate | J=0.5) = 1-(1-0.25)^4 ~ 68%
+    // per banding theory — but verified pairs at J >= 0.5 in this corpus
+    // are near-identical docs (J ~ 1), where detection is near-certain.
+    // Pin a floor well above chance and report the measured recall.
+    val truth = SparkEntry.queries("q_prefix_filter_join")(spark, sf("0.01"))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val cand = SparkEntry.queries("q_minhash_lsh_pairs")(spark, sf("0.01"))
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = truth.count(cand.contains)
+    val recall = hit.toDouble / truth.size
+    info(f"LSH recall vs exact J>=0.5 ground truth: $hit/${truth.size} = $recall%.2f")
+    assert(recall >= 0.8, f"LSH candidate recall $recall%.2f below floor")
+  }
+
   test("pit join: every order matches exactly one version; bump applied iff in v1 window") {
     val rows = SparkEntry.queries("q_pit_join")(spark, sf()).collect()
     assert(rows.length === Tables.orders(spark, sf()).count())

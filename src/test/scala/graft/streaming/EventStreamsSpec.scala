@@ -99,6 +99,43 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ohlc bars: streaming append == batch on closed bars") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.ohlcBars(stream.toDF())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = realEvents.splitAt(150)
+      stream.addData(c1)
+      q.processAllAvailable()
+      stream.addData(c2)
+      q.processAllAvailable()
+      stream.addData(Seq(flushSentinel(realEvents)))
+      q.processAllAvailable()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))
+      val got = spark.table("ohlc_out")
+        .filter(col("event_type") =!= "flush")
+        .collect().map(key).toMap
+      val want = realEvents.toDF()
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("volume"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("open"), col("high"), col("low"), col("close"), col("volume"))
+        .collect().map(key).toMap
+      assert(got === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join: enrichment agg == batch twin") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = realEvents.map(_.event_type).distinct.sorted.zipWithIndex
