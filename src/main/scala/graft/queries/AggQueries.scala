@@ -388,10 +388,15 @@ object AggQueries {
           when(col("n") > 1,
             sqrt((col("s2") - col("s1") * col("s1") / col("n").cast(DoubleType))
               / (col("n") - 1).cast(DoubleType))))
+      // z rounded at 1e-6 (the cosine-output precedent): at 10× the
+      // Σc² decimal→double conversion crosses 2^53 and the variance
+      // CANCELLATION amplifies its 1-ulp engine difference to ~5 ulps
+      // in z — rounding far above that grain restores bit parity
+      // without touching the exact decimal-routed stats themselves.
       val z = o.join(broadcast(stats), Seq("o_orderpriority"))
         .withColumn("z",
           when(col("std_c").isNotNull && col("std_c") =!= 0.0,
-            (col("c") - col("mean_c")) / col("std_c")))
+            round((col("c") - col("mean_c")) / col("std_c"), 6)))
       z.groupBy(col("o_orderpriority"), col("n"), col("mean_c"), col("std_c"))
         .agg(
           count(when(abs(col("z")) > 1.5, lit(1))).as("n_beyond_1_5"),
@@ -402,8 +407,8 @@ object AggQueries {
             .as("extreme_orderkey"),
           max(abs(col("z"))).as("max_abs_z"))
         .select(col("o_orderpriority"), col("n"),
-          (col("mean_c") / 100.0).as("mean_price"),
-          (col("std_c") / 100.0).as("std_price"),
+          round(col("mean_c") / 100.0, 6).as("mean_price"),
+          round(col("std_c") / 100.0, 6).as("std_price"),
           col("n_beyond_1_5"), col("extreme_orderkey"), col("max_abs_z"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -711,14 +716,14 @@ object AggQueries {
         |z AS (
         |  SELECT o.o_orderpriority, m.n, m.mean_c, m.std_c, o.o_orderkey,
         |    CASE WHEN m.std_c IS NOT NULL AND m.std_c <> 0
-        |      THEN (o.c - m.mean_c) / m.std_c END AS z
+        |      THEN round((o.c - m.mean_c) / m.std_c, 6) END AS z
         |  FROM o JOIN m ON o.o_orderpriority = m.o_orderpriority),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
         |                               ORDER BY abs(z) DESC, o_orderkey) AS rn
         |  FROM z)
-        |SELECT o_orderpriority, n, mean_c / 100.0 AS mean_price,
-        |  std_c / 100.0 AS std_price,
+        |SELECT o_orderpriority, n, round(mean_c / 100.0, 6) AS mean_price,
+        |  round(std_c / 100.0, 6) AS std_price,
         |  COUNT(CASE WHEN abs(z) > 1.5 THEN 1 END) AS n_beyond_1_5,
         |  MAX(CASE WHEN rn = 1 AND z IS NOT NULL THEN o_orderkey END) AS extreme_orderkey,
         |  MAX(abs(z)) AS max_abs_z

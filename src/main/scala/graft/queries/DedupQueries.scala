@@ -412,6 +412,33 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BEST-QUALITY survivor selection — the survivorship policy is
+    // pluggable: q_dedup_clusters keeps the min-id copy; production
+    // curation keeps the BEST copy. Same connected components, then one
+    // window over (cluster, margin desc, id) picks the highest
+    // hashed-classifier margin (TextQueries.classifierMargin — a stand-
+    // in for any trained scorer) per near-dup cluster. Scale: adds one
+    // O(docs) map-side margin column and one cluster-keyed window to
+    // the CC operator; the policy change costs nothing structural.
+    "q_dedup_survivor" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val edges = verifiedPairsOf(docs)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val nodes = docs.select(col("doc_id").as("id"))
+      val cc = graft.operators.DedupClusters.connectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+      val margins = docs.select(col("doc_id"),
+        TextQueries.classifierMargin(col("text")).as("margin_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_rep"))
+        .orderBy(col("margin_micro").desc, col("doc_id"))
+      cc.join(margins, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster_rep"), col("margin_micro"),
+          (col("rn") === 1).as("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // INCREMENTAL dedup — the nightly-batch shape: a new slice of the
     // corpus (doc_id ≡ 0 mod 5 here) checked against the already-landed
     // base WITHOUT re-pairing the base against itself. Two gates, both
@@ -576,6 +603,27 @@ object DedupQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_survivor" ->
+      s"""WITH RECURSIVE $sqlVerifiedPairs,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified WHERE jaccard >= 0.2
+         |  UNION ALL
+         |  SELECT id_b, id_a FROM verified WHERE jaccard >= 0.2),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+         |cc AS (SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a),
+         |m AS (SELECT doc_id, ${TextQueries.sqlClassifierMargin} AS margin_micro
+         |      FROM documents),
+         |r AS (
+         |  SELECT cc.doc_id, cluster_rep, margin_micro,
+         |    row_number() OVER (PARTITION BY cluster_rep
+         |                       ORDER BY margin_micro DESC, cc.doc_id) AS rn
+         |  FROM cc JOIN m ON m.doc_id = cc.doc_id)
+         |SELECT doc_id, cluster_rep, margin_micro, rn = 1 AS is_survivor
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "q_incremental_dedup" ->
       s"""WITH ${sqlBandsFor("b", "doc_id % 5 <> 0")},
          |${sqlBandsFor("i", "doc_id % 5 = 0")},

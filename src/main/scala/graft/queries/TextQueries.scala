@@ -35,6 +35,25 @@ object TextQueries {
   private[queries] def sqlPhash(x: String, seed: Int): String =
     s"CAST('0x' || substring(md5('$seed' || ':' || $x), 1, 15) AS BIGINT)"
 
+  /** Hashed-classifier margin over a text column (shared by
+    * q_quality_classifier and the best-quality dedup survivor policy):
+    * token → 4096-bucket hash → hash-derived weight in micro-units,
+    * exact BIGINT sum over token occurrences. */
+  private[queries] def classifierMargin(text: Column): Column = {
+    val toks = filter(split(text, " "), t => length(t) > 0)
+    def weight(t: Column): Column =
+      (phash((phash(t, 7) % 4096).cast(StringType), 11) % 2001) - 1000
+    aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+  }
+
+  /** DuckDB twin of [[classifierMargin]] over a column named `text`. */
+  private[queries] val sqlClassifierMargin: String = {
+    val bucket = s"${sqlPhash("t", 7)} % 4096"
+    val weight = s"(${sqlPhash(s"CAST($bucket AS VARCHAR)", 11)} % 2001) - 1000"
+    "CAST(COALESCE(list_sum(list_transform(" +
+      s"list_filter(string_split(text, ' '), t -> len(t) > 0), t -> $weight)), 0) AS BIGINT)"
+  }
+
   private val stop = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "de" -> Seq("der", "die", "das", "und", "zu"),
@@ -95,11 +114,8 @@ object TextQueries {
     // OCCURRENCES (frequency-weighted bag of words); keep = margin > 0.
     // All-integer arithmetic end to end, so the twin is bit-exact.
     "q_quality_classifier" -> ((s, d) => {
-      val D = 4096
       val toks = filter(split(col("text"), " "), t => length(t) > 0)
-      def weight(t: Column): Column =
-        (phash((phash(t, 7) % D).cast(StringType), 11) % 2001) - 1000
-      val margin = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+      val margin = classifierMargin(col("text"))
       Tables.documents(s, d).select(
         col("doc_id"),
         size(toks).as("n_tokens"),
@@ -342,21 +358,13 @@ object TextQueries {
          |FROM t ORDER BY doc_id""".stripMargin
     },
 
-    "q_quality_classifier" -> {
-      val bucket = s"${sqlPhash("t", 7)} % 4096"
-      val weight = s"(${sqlPhash(s"CAST($bucket AS VARCHAR)", 11)} % 2001) - 1000"
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(toks) AS INTEGER) AS n_tokens,
-         |  CAST(COALESCE(list_sum(list_transform(toks, t -> $weight)), 0) AS BIGINT)
-         |    AS margin_micro,
-         |  CAST(COALESCE(list_sum(list_transform(toks, t -> $weight)), 0) AS BIGINT) > 0
-         |    AS keep
-         |FROM d ORDER BY doc_id""".stripMargin
-    },
+    "q_quality_classifier" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS INTEGER)
+         |    AS n_tokens,
+         |  $sqlClassifierMargin AS margin_micro,
+         |  $sqlClassifierMargin > 0 AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -71,6 +71,41 @@ object TrainPrepQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // Missing-value imputation — the prep step before any model sees
+    // the table: numeric nulls get their GROUP's exact median,
+    // categorical nulls the group's mode (deterministic count-desc,
+    // value-asc tie order). Nulls are introduced deterministically
+    // (event_id ≡ 0 mod 13 loses value, ≡ 0 mod 17 loses type) so the
+    // twin derives the identical corruption. Scale shape: the median
+    // and mode tables are O(users) aggregates on the SAME user_id key
+    // the join-back uses — one shuffle partitioning shared end to end;
+    // at extreme group cardinality the exact median swaps for an
+    // approx_percentile sketch with the same plan shape.
+    "q_impute_missing" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        when(col("event_id") % 13 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("value")).as("v"),
+        when(col("event_id") % 17 === 0, lit(null).cast(StringType))
+          .otherwise(col("event_type")).as("t"))
+      val med = e.filter(col("v").isNotNull).groupBy(col("user_id"))
+        .agg(median(col("v")).as("med_v"))
+      val wM = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n").desc, col("t"))
+      val mode = e.filter(col("t").isNotNull)
+        .groupBy(col("user_id"), col("t")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wM))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("t").as("mode_t"))
+      e.join(med, Seq("user_id"), "left")
+        .join(mode, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          col("v").isNull.as("value_was_null"),
+          coalesce(col("v"), col("med_v")).as("value_imputed"),
+          col("t").isNull.as("type_was_null"),
+          coalesce(col("t"), col("mode_t")).as("type_imputed"))
+        .orderBy(col("event_id"))
+    }),
+
     // Repetition quality filter (Gopher-style): fraction of duplicate
     // tokens + share of tokens covered by the single most common bigram.
     // Shuffle key is (doc_id, bigram) — cardinality ∝ corpus tokens,
@@ -385,6 +420,34 @@ object TrainPrepQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_impute_missing" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v,
+        |    CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END AS t
+        |  FROM events),
+        |med AS (
+        |  SELECT user_id, median(v) AS med_v FROM e
+        |  WHERE v IS NOT NULL GROUP BY user_id),
+        |mo AS (
+        |  SELECT user_id, t, COUNT(*) AS n FROM e
+        |  WHERE t IS NOT NULL GROUP BY user_id, t),
+        |md AS (
+        |  SELECT user_id, t AS mode_t FROM (
+        |    SELECT user_id, t,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY n DESC, t) AS rn
+        |    FROM mo)
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id,
+        |  v IS NULL AS value_was_null,
+        |  COALESCE(v, med_v) AS value_imputed,
+        |  t IS NULL AS type_was_null,
+        |  COALESCE(t, mode_t) AS type_imputed
+        |FROM e
+        |LEFT JOIN med ON med.user_id = e.user_id
+        |LEFT JOIN md ON md.user_id = e.user_id
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_repetition_filter" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,

@@ -189,6 +189,41 @@ class CurationOpsSpec extends SparkTestBase {
       assert(m(c) === 0L, s"$c expected clean, got ${m(c)}")
   }
 
+  test("dedup survivor: one survivor per cluster, highest margin wins, min-id tiebreak") {
+    val rows = SparkEntry.queries("q_dedup_survivor")(spark, sf()).collect()
+    val margins = SparkEntry.queries("q_quality_classifier")(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("margin_micro")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("margin_micro") ===
+      margins(r.getAs[Long]("doc_id"))))
+    rows.groupBy(_.getAs[Long]("cluster_rep")).foreach { case (_, members) =>
+      val survivors = members.filter(_.getAs[Boolean]("is_survivor"))
+      assert(survivors.length === 1)
+      val best = members.map(m =>
+        (-m.getAs[Long]("margin_micro"), m.getAs[Long]("doc_id"))).min
+      assert(survivors.head.getAs[Long]("doc_id") === best._2)
+    }
+  }
+
+  test("impute missing: null flags match the corruption; median/mode replay per group") {
+    val rows = SparkEntry.queries("q_impute_missing")(spark, sf()).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("event_id")
+      assert(r.getAs[Boolean]("value_was_null") === (id % 13 == 0))
+      assert(r.getAs[Boolean]("type_was_null") === (id % 17 == 0))
+    }
+    // driver-side replay for one user with imputed rows
+    val imputed = rows.filter(_.getAs[Boolean]("value_was_null"))
+    assert(imputed.nonEmpty)
+    val uid = imputed.head.getAs[Long]("user_id")
+    val vals = Tables.events(spark, sf())
+      .filter(col("user_id") === uid && col("event_id") % 13 =!= 0)
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    val med = if (n % 2 == 1) vals(n / 2) else (vals(n / 2 - 1) + vals(n / 2)) / 2
+    imputed.filter(_.getAs[Long]("user_id") == uid)
+      .foreach(r => assert(r.getAs[Double]("value_imputed") === med))
+  }
+
   test("quality classifier: margin replays in an independent JVM implementation") {
     val rows = SparkEntry.queries("q_quality_classifier")(spark, sf()).collect()
     val texts = Tables.documents(spark, sf())
