@@ -313,6 +313,28 @@ object SimilarityQueries {
         .orderBy(col("dim"), col("vec_id"))
     }),
 
+    // Dense linear projection — the PCA / random-projection APPLY step
+    // (dimensionality-reduction infra for ANN index build and sketching;
+    // Johnson–Lindenstrauss says 8 random dims preserve pairwise
+    // geometry up to ~1/√8 distortion). Every embedding is multiplied
+    // through a fixed 64×8 matrix derived at PLAN time from the md5
+    // hyperplane generator (a TRAINED PCA basis would broadcast the
+    // same way); each output dim is one sequential zip_with·fold in
+    // element order — the CosineSimilarity evaluation-order contract —
+    // rounded at 1e-6 for the oracle hash. Pure map-side: no shuffle,
+    // pipelines inside the scan at any scale.
+    "q_embed_project" -> ((s, d) => {
+      val outDims = (0 until 8).map { j =>
+        val w = planeVector(j).map(lit(_))
+        round(aggregate(
+          zip_with(col("embedding"), array(w: _*), (a, b) => a * b),
+          lit(0.0d), (acc, x) => acc + x), 6).as(s"p$j")
+      }
+      Tables.embeddings(s, d)
+        .select(col("vec_id") +: outDims: _*)
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup =
     // cluster the embedding space coarsely, then prune near-duplicates
     // WITHIN clusters only — the trick that turns a quadratic global
@@ -822,6 +844,16 @@ object SimilarityQueries {
         |  percent_rank() OVER (PARTITION BY dim ORDER BY v) AS pr
         |FROM u WHERE dim < 8
         |ORDER BY dim, vec_id""".stripMargin,
+
+    "q_embed_project" -> {
+      val dims = (0 until 8).map { j =>
+        s"round(list_sum(list_transform(range(1, $DIM + 1), i -> " +
+          s"CAST(embedding[i] AS DOUBLE) * (${sqlPlaneComponent(j, "i")}))), 6) AS p$j"
+      }.mkString(",\n|  ")
+      s"""SELECT vec_id,
+         |  $dims
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
 
     "q_semdedup" ->
       s"""WITH $sqlSeededCranked,

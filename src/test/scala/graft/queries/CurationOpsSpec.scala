@@ -224,6 +224,28 @@ class CurationOpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Double]("value_imputed") === med))
   }
 
+  test("embed projection: replays in an independent JVM implementation") {
+    val rows = SparkEntry.queries("q_embed_project")(spark, sf()).collect()
+    val embs = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def p60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def w(j: Int, i: Int): Double = (p60(s"plane:$j:$i") % 1000L).toDouble / 1000.0 - 0.5
+    rows.take(10).foreach { r =>
+      val e = embs(r.getAs[Long]("vec_id"))
+      for (j <- 0 until 8) {
+        var acc = 0.0
+        for (i <- e.indices) acc += e(i).toDouble * w(j, i + 1)
+        val expected = BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double](s"p$j") === expected)
+      }
+    }
+  }
+
   test("quality classifier: margin replays in an independent JVM implementation") {
     val rows = SparkEntry.queries("q_quality_classifier")(spark, sf()).collect()
     val texts = Tables.documents(spark, sf())
