@@ -54,6 +54,9 @@ object TextQueries {
       s"list_filter(string_split(text, ' '), t -> len(t) > 0), t -> $weight)), 0) AS BIGINT)"
   }
 
+  /** BPE vocabulary cap (top words by count desc, word asc). */
+  private[queries] val VocabCap = 2000
+
   private val stop = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),
     "de" -> Seq("der", "die", "das", "und", "zu"),
@@ -122,6 +125,56 @@ object TextQueries {
         margin.as("margin_micro"),
         (margin > 0).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE MERGE LEARNING — the tokenizer-TRAINING step (Sennrich et al.
+    // 2016): start from character segmentation of the (weighted) word
+    // vocabulary, count adjacent symbol pairs, merge the most frequent
+    // pair, repeat. Three rounds unrolled — like q_pagerank's fixed
+    // iterations — each one aggregate (pair counts, map-side combined)
+    // + a 1-row broadcast of the winning pair + a map-side merge apply.
+    // Segmentations live as TWO-SPACE-joined strings: each literal
+    // `replace(' a  b ' → ' ab ')` consumes one separator space and the
+    // remainder supplies the next, so non-overlapping occurrences merge
+    // greedily left-to-right with IDENTICAL semantics in both engines
+    // (and 'a a a' correctly becomes 'aa a'). Vocab capped to the top
+    // VocabCap words by (count desc, word) — deterministic, mirrored.
+    // Scale: pair counting shuffles (pair, weight) only; the apply step
+    // is map-side; rounds are a driver-side constant — exactly how a
+    // production BPE trainer distributes (the winning pair is the only
+    // cross-partition fact per round).
+    "q_bpe_merges" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+        .orderBy(col("wn").desc, col("w")).limit(VocabCap)
+      val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+      var segs = words.select(col("w"), col("wn"),
+        array_join(chars, "  ").as("seg"))
+      val rounds = (1 to 3).map { r =>
+        val arr = split(col("seg"), "  ")
+        val pairs = segs
+          .select(col("wn"), arr.as("a"))
+          .select(col("wn"), explode(
+            when(size(col("a")) >= 2,
+              transform(sequence(lit(1), size(col("a")) - 1),
+                i => struct(element_at(col("a"), i).as("pa"),
+                  element_at(col("a"), i + 1).as("pb"))))
+              .otherwise(array().cast(ArrayType(StructType(Seq(
+                StructField("pa", StringType), StructField("pb", StringType))))))).as("p"))
+          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .agg(sum(col("wn")).as("n"))
+        val top = pairs.orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
+          .select(col("pa"), col("pb"), col("n"), lit(r).as("round"))
+        segs = segs.crossJoin(broadcast(top.select(col("pa"), col("pb"))))
+          .select(col("w"), col("wn"),
+            trim(expr("replace(' ' || seg || ' ', ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')"))
+              .as("seg"))
+        top
+      }
+      rounds.reduce(_ unionByName _)
+        .select(col("round"), col("pa"), col("pb"), col("n"))
+        .orderBy(col("round"))
     }),
 
     // Token counting: whitespace words + a BPE-ish regex segmentation.
@@ -365,6 +418,47 @@ object TextQueries {
          |  $sqlClassifierMargin AS margin_micro,
          |  $sqlClassifierMargin > 0 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_merges" -> {
+      def pairsOf(segCte: String, i: Int) =
+        s"""pr$i AS (
+           |  SELECT a[i] AS pa, a[i + 1] AS pb, SUM(wn) AS n
+           |  FROM (
+           |    SELECT wn, a, unnest(range(1, len(a))) AS i
+           |    FROM (SELECT wn, string_split(seg, '  ') AS a FROM $segCte))
+           |  GROUP BY pa, pb),
+           |top$i AS (SELECT pa, pb, n FROM pr$i ORDER BY n DESC, pa, pb LIMIT 1)"""
+          .stripMargin
+      def applyOf(prev: String, i: Int) =
+        s"""seg$i AS (
+           |  SELECT w, wn,
+           |    trim(replace(' ' || seg || ' ',
+           |                 ' ' || t.pa || '  ' || t.pb || ' ',
+           |                 ' ' || t.pa || t.pb || ' ')) AS seg
+           |  FROM $prev CROSS JOIN top$i t)""".stripMargin
+      s"""WITH words AS (
+         |  SELECT w, COUNT(*) AS wn FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+         |    FROM documents)
+         |  GROUP BY w ORDER BY wn DESC, w LIMIT $VocabCap),
+         |seg0 AS (
+         |  SELECT w, wn,
+         |    array_to_string(list_transform(range(1, len(w) + 1),
+         |      i -> substr(w, i, 1)), '  ') AS seg
+         |  FROM words),
+         |${pairsOf("seg0", 1)},
+         |${applyOf("seg0", 1)},
+         |${pairsOf("seg1", 2)},
+         |${applyOf("seg1", 2)},
+         |${pairsOf("seg2", 3)}
+         |SELECT * FROM (
+         |  SELECT 1 AS round, pa, pb, CAST(n AS BIGINT) AS n FROM top1
+         |  UNION ALL
+         |  SELECT 2, pa, pb, CAST(n AS BIGINT) FROM top2
+         |  UNION ALL
+         |  SELECT 3, pa, pb, CAST(n AS BIGINT) FROM top3)
+         |ORDER BY round""".stripMargin
+    },
 
     "q_token_count" ->
       """SELECT doc_id,

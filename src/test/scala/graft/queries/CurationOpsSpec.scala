@@ -224,6 +224,44 @@ class CurationOpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Double]("value_imputed") === med))
   }
 
+  test("bpe merges: replays in an independent sequential JVM implementation") {
+    val rows = SparkEntry.queries("q_bpe_merges")(spark, sf()).collect()
+    assert(rows.length === 3)
+    // sequential reference: greedy BPE over the same capped vocabulary
+    val vocab = Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .orderBy(col("wn").desc, col("w")).limit(TextQueries.VocabCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var segs: Seq[(Vector[String], Long)] =
+      vocab.map { case (w, n) => (w.map(_.toString).toVector, n) }.toSeq
+    val expected = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      val best = counts.toSeq.map { case ((a, b), n) => (-n, a, b) }.min
+      val (pa, pb) = (best._2, best._3)
+      segs = segs.map { case (syms, n) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+            out += pa + pb; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), n)
+      }
+      (r, pa, pb, -best._1)
+    }
+    val got = rows.map(r => (r.getAs[Int]("round"), r.getAs[String]("pa"),
+      r.getAs[String]("pb"), r.getAs[Long]("n"))).toSeq
+    assert(got === expected)
+    // merge frequency is non-increasing across rounds
+    assert(got.map(_._4).sliding(2).forall(s => s.head >= s.last))
+  }
+
   test("embed projection: replays in an independent JVM implementation") {
     val rows = SparkEntry.queries("q_embed_project")(spark, sf()).collect()
     val embs = Tables.embeddings(spark, sf())
