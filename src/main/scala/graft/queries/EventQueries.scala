@@ -260,6 +260,53 @@ object EventQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // INTERVAL COALESCING — merge overlapping validity/activity ranges
+    // per key (the continuous-domain cousin of gaps-and-islands; the
+    // dedup step for derived availability windows, maintenance windows,
+    // IP-lease ranges). Each event spawns a ±120 s activity interval;
+    // overlapping-or-touching intervals per user merge into one. The
+    // classic one-window idiom: a new island starts where this start
+    // exceeds the running max of previous ends; the island id is the
+    // running count of starts — one (user)-keyed window pass + one
+    // aggregate, no self-join. Epoch-second integers end to end.
+    // Scale: one range-shuffle on user_id shared by window and agg;
+    // per-user event counts bound partition memory (same argument as
+    // every per-user window here).
+    "q_interval_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // event_id rides along as the window tiebreaker: with duplicated
+      // timestamps a non-total ORDER BY lets the two window passes sort
+      // ties differently (the is_new=1 row can land mid-tie-group in
+      // the running sum's order, splitting islands nondeterministically
+      // — observed on the 10x replica). A unique key pins row identity
+      // in BOTH engines.
+      val iv = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        (expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000") - 120L).as("ivs"),
+        (expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000") + 120L).as("ive"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ivs"), col("ive"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val marked = iv
+        .withColumn("prev_max_end", max(col("ive")).over(w))
+        .withColumn("is_new",
+          when(col("prev_max_end").isNull ||
+            col("ivs") > col("prev_max_end"), 1L).otherwise(0L))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ivs"), col("ive"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      marked
+        .withColumn("island", sum(col("is_new")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("ivs")).as("merged_start"),
+          max(col("ive")).as("merged_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("island"), col("merged_start"),
+          col("merged_end"),
+          (col("merged_end") - col("merged_start")).as("span_s"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("island"))
+    }),
+
     // OHLC resampling (downsample-to-bars): per (event_type, hour) the
     // open/close values at the explicit total (ts, event_id) order,
     // plus high/low/volume and the exact-cents sum — the time-series
@@ -355,6 +402,33 @@ object EventQueries {
          |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
          |FROM sess GROUP BY user_id, sess_id
          |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) - 120 AS ivs,
+        |    CAST(epoch_ns(ts) // 1000000000 AS BIGINT) + 120 AS ive
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, ivs, ive,
+        |    CASE WHEN max(ive) OVER (PARTITION BY user_id ORDER BY ivs, ive, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           IS NULL
+        |      OR ivs > max(ive) OVER (PARTITION BY user_id ORDER BY ivs, ive, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM iv),
+        |run AS (
+        |  SELECT user_id, ivs, ive,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ivs, ive, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM marked)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  MIN(ivs) AS merged_start, MAX(ive) AS merged_end,
+        |  MAX(ive) - MIN(ivs) AS span_s,
+        |  COUNT(*) AS n_events
+        |FROM run GROUP BY user_id, island
+        |ORDER BY user_id, island""".stripMargin,
 
     "q_ohlc_resample" ->
       s"""WITH e AS (

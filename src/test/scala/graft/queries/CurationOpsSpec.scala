@@ -224,6 +224,25 @@ class CurationOpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Double]("value_imputed") === med))
   }
 
+  test("interval merge: islands disjoint with real gaps; events conserved") {
+    val rows = SparkEntry.queries("q_interval_merge")(spark, sf()).collect()
+    val nEvents = Tables.events(spark, sf()).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === nEvents)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, islands) =>
+      val sorted = islands.sortBy(_.getAs[Long]("island"))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("span_s") >= 240L) // at least one ±120 s interval
+        assert(r.getAs[Long]("merged_end") > r.getAs[Long]("merged_start"))
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("merged_start") > a.getAs[Long]("merged_end"),
+            "islands must be separated by a strict gap")
+        case _ =>
+      }
+    }
+  }
+
   test("bpe merges: replays in an independent sequential JVM implementation") {
     val rows = SparkEntry.queries("q_bpe_merges")(spark, sf()).collect()
     assert(rows.length === 3)
