@@ -99,6 +99,48 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: anti-join against the static landed-base index") {
+    // The streaming form of q_incremental_dedup: the base corpus's
+    // digest index is a STATIC table (re-read per micro-batch, like the
+    // stream-static enrichment join); incoming docs anti-join it, and
+    // the in-stream dropDuplicates handles batch-internal repeats. Only
+    // genuinely novel docs reach the sink.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val base = docs.filter(_._1 % 5 != 0)
+    val incoming = docs.filter(_._1 % 5 == 0)
+    val baseIdx = base.toDF("doc_id", "text")
+      .select(sha2(col("text"), 256).as("digest")).distinct()
+    val stream = MemoryStream[(Long, String)]
+    val novel = stream.toDF().toDF("doc_id", "text")
+      .withColumn("digest", sha2(col("text"), 256))
+      .join(baseIdx, Seq("digest"), "left_anti")
+      .dropDuplicates("digest")
+      .select(col("doc_id"))
+    val q = novel.writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = incoming.splitAt(incoming.length / 2)
+      stream.addData(c1); q.processAllAvailable()
+      stream.addData(c2); q.processAllAvailable()
+      stream.addData(c1) // replays of already-seen docs must not re-emit
+      q.processAllAvailable()
+      val got = spark.table("incdedup_out").collect().map(_.getLong(0)).toSet
+      val baseDigests = base.map(_._2).toSet
+      val wantDigests = scala.collection.mutable.Set.empty[String]
+      val want = incoming.filter { case (_, text) =>
+        !baseDigests.contains(text) && {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val dg = md.digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+          wantDigests.add(dg)
+        }
+      }.map(_._1).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("ohlc bars: streaming append == batch on closed bars") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Ev]
