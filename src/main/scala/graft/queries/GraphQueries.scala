@@ -114,7 +114,12 @@ object GraphQueries {
     *   4. wedges e1(a,b)⋈e2(b,c) closed against e3(a,c).
     * Output is one row of BIGINT graph invariants — exact in DuckDB.
     */
-  private[graft] def triangles(s: SparkSession, d: String): DataFrame = {
+  private[graft] def triangles(s: SparkSession, d: String): DataFrame =
+    triangleCountFrom(copurchasePairs(s, d))
+
+  /** Capped customer co-purchase projection (u < v, distinct) — shared
+    * by the triangle count and the k-core peeling. */
+  private[graft] def copurchasePairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -126,12 +131,11 @@ object GraphQueries {
         Window.partitionBy(col("supp")).orderBy(col("cust"))))
       .filter(col("rn") <= TriCap)
       .drop("rn")
-    val pairs = capped.select(col("supp"), col("cust").as("ca"))
+    capped.select(col("supp"), col("cust").as("ca"))
       .join(capped.select(col("supp"), col("cust").as("cb")), Seq("supp"))
       .filter(col("ca") < col("cb"))
       .select(col("ca").as("u"), col("cb").as("v"))
       .distinct()
-    triangleCountFrom(pairs)
   }
 
   /** Steps 3–4 over any normalized undirected edge set (u < v, distinct)
@@ -164,6 +168,33 @@ object GraphQueries {
   val defs: Map[String, Q] = Map(
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_triangle_count" -> ((s, d) => triangles(s, d)),
+
+    // K-CORE peeling (K=3, 3 rounds unrolled — the q_pagerank
+    // fixed-iteration treatment of an iterate-to-fixpoint algorithm):
+    // repeatedly drop nodes of degree < K and restrict edges to
+    // surviving endpoints; the dense backbone that survives is the
+    // community-detection / influence-seeding substrate. Each round is
+    // one map-side-combined degree aggregate (O(nodes) rows) + two
+    // ids-only semi-joins; full peeling at scale runs the same rounds
+    // to fixpoint with the DedupClusters checkpoint treatment. Output:
+    // surviving nodes with their round-3 degrees.
+    "q_kcore" -> ((s, d) => {
+      val K = 3
+      var edges = copurchasePairs(s, d).localCheckpoint()
+      for (_ <- 1 to 3) {
+        val deg = edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+        val keep = deg.filter(col("dg") >= K)
+        edges = edges
+          .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+      }
+      edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg3"))
+        .select(col("n").as("node"), col("deg3"))
+        .orderBy(col("node"))
+    }),
 
     // k-hop BFS frontier sizes from a seed set (every 10th supplier —
     // scale-independent and non-empty at every sf, unlike a nation
@@ -200,7 +231,43 @@ object GraphQueries {
 
   /** The twin unrolls the three iterations as CTEs; `//` is DuckDB's
     * floor division on BIGINTs, matching Spark's `DIV`. */
+  /** Shared twin fragment: the capped co-purchase projection CTE chain
+    * ending in `pairs(u, v)` — mirrors [[copurchasePairs]]. */
+  private val sqlCopurchasePairs: String =
+    s"""cs AS (
+       |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |capped AS (
+       |  SELECT supp, cust FROM (
+       |    SELECT supp, cust,
+       |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
+       |    FROM cs) WHERE rn <= $TriCap),
+       |pairs AS (
+       |  SELECT DISTINCT a.cust AS u, b.cust AS v
+       |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_kcore" -> {
+      def round(i: Int, prev: String) =
+        s"""d$i AS (
+           |  SELECT n, COUNT(*) AS dg FROM (
+           |    SELECT u AS n FROM $prev UNION ALL SELECT v AS n FROM $prev)
+           |  GROUP BY n),
+           |k$i AS (SELECT n FROM d$i WHERE dg >= 3),
+           |e$i AS (
+           |  SELECT u, v FROM $prev
+           |  WHERE u IN (SELECT n FROM k$i) AND v IN (SELECT n FROM k$i))"""
+          .stripMargin
+      s"""WITH $sqlCopurchasePairs,
+         |${round(1, "pairs")},
+         |${round(2, "e1")},
+         |${round(3, "e2")}
+         |SELECT n AS node, COUNT(*) AS deg3 FROM (
+         |  SELECT u AS n FROM e3 UNION ALL SELECT v AS n FROM e3)
+         |GROUP BY n ORDER BY node""".stripMargin
+    },
+
     "q_pagerank" -> {
       // DuckDB's SUM over BIGINT widens to HUGEINT, which the pandas
       // boundary renders as float64 — CAST back to BIGINT each

@@ -224,6 +224,22 @@ class CurationOpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Double]("value_imputed") === med))
   }
 
+  test("kcore: replays a sequential 3-round peel of the same projection") {
+    val got = SparkEntry.queries("q_kcore")(spark, sf()).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg3")).toMap
+    var edges = GraphQueries.copurchasePairs(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (_ <- 1 to 3) {
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    assert(got === want)
+  }
+
   test("interval merge: islands disjoint with real gaps; events conserved") {
     val rows = SparkEntry.queries("q_interval_merge")(spark, sf()).collect()
     val nEvents = Tables.events(spark, sf()).count()
