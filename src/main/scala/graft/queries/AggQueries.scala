@@ -126,6 +126,34 @@ object AggQueries {
             / col("exact_orders").cast(DoubleType) <= 0.05).as("within_bound"))
     }),
 
+    // Sketch ALGEBRA: set-intersection cardinality from HLL sketches by
+    // inclusion–exclusion (|A∩B| = |A| + |B| − |A∪B|, the union being
+    // the native mergeable op) — how overlap between two 100 TB key
+    // populations is estimated without materializing either set. Gated
+    // by the error-bound pattern: exact counts + a boolean asserting
+    // the estimate lands within 10% of the UNION size (inclusion–
+    // exclusion compounds the per-sketch error, so the bound is
+    // against the larger denominator — the standard guarantee form).
+    "q_hll_intersect" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      val b = li.filter(col("l_returnflag") === "A").select(col("l_orderkey"))
+      val est = a.agg(expr("hll_sketch_agg(l_orderkey, 12)").as("ska"))
+        .crossJoin(b.agg(expr("hll_sketch_agg(l_orderkey, 12)").as("skb")))
+        .select(
+          expr("hll_sketch_estimate(ska)").as("est_a"),
+          expr("hll_sketch_estimate(skb)").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(ska, skb))").as("est_u"))
+        .select((col("est_a") + col("est_b") - col("est_u")).as("est_i"),
+          col("est_u"))
+      val ex = a.intersect(b).agg(count(lit(1)).as("exact_i"))
+        .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("exact_u")))
+      est.crossJoin(ex)
+        .select(col("exact_i"), col("exact_u"),
+          (abs(col("est_i") - col("exact_i")).cast(DoubleType)
+            / col("exact_u").cast(DoubleType) <= 0.1).as("within_bound"))
+    }),
+
     // Mergeable heavy-hitters sketch (Spark 4.1 approx_top_k two-phase
     // form): per-group ACCUMULATE → COMBINE → ESTIMATE — the
     // shard-then-merge layout every 100 TB frequency job uses. Gated
@@ -557,6 +585,17 @@ object AggQueries {
     "q_bitmap_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_hll_intersect" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |     INTERSECT
+        |     SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'))
+        |    AS exact_i,
+        |  (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+        |   WHERE l_returnflag IN ('R', 'A')) AS exact_u,
+        |  true AS within_bound""".stripMargin,
 
     "q_hll_union" ->
       """SELECT (SELECT COUNT(DISTINCT l_returnflag) FROM lineitem) AS n_groups,
