@@ -229,7 +229,8 @@ class QueryLibrarySpec extends SparkTestBase {
         // band keys, prefix-filter on posting hashes, semdedup on cid
         "q_snapshot_diff", "q_incremental_dedup", "q_prefix_filter_join",
         "q_semdedup", "q_quality_classifier", "q_pit_join", "q_ohlc_resample",
-        "q_dq_audit")) {
+        "q_dq_audit", "q_dedup_survivor", "q_impute_missing",
+        "q_interval_merge", "q_kcore", "q_embed_project")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -240,7 +241,7 @@ class QueryLibrarySpec extends SparkTestBase {
     }
     // the 1-row-broadcast exceptions: BNL against a literal 1-row stats
     // subtree is the intended shape for bm25/pmi (corpus N / avgdl)
-    for (name <- Seq("q_bm25", "q_cooccur_pmi")) {
+    for (name <- Seq("q_bm25", "q_cooccur_pmi", "q_bpe_merges", "q_hll_intersect")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
