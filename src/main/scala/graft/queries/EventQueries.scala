@@ -340,6 +340,49 @@ object EventQueries {
         .orderBy(col("event_type"), col("w_start"))
     }),
 
+    // LINEAR multi-touch attribution — the companion policy to
+    // q_attribution's first-touch: each purchase's value splits EQUALLY
+    // across every prior touch (view/click) of that user. The naive
+    // form joins purchases × touches (quadratic per user — 12G pairs on
+    // the 100× replica); the scale shape instead carries RUNNING
+    // per-type touch counts to each purchase row with one conditional-
+    // sum window over the (user) partition in total (ts, event_id)
+    // order — O(events) end to end, same single shuffle as the other
+    // per-user windows. Credit is integer micro-cents with per-purchase
+    // truncating division (identical DIV//floor on non-negatives);
+    // purchases with no prior touch land in the 'direct' bucket.
+    "q_attribution_linear" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = Tables.events(s, d)
+        .withColumn("k_view",
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).over(w))
+        .withColumn("k_click",
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"),
+          coalesce(col("k_view"), lit(0L)).as("kv"),
+          coalesce(col("k_click"), lit(0L)).as("kc"))
+        .withColumn("n", col("kv") + col("kc"))
+      val credits = p.filter(col("n") > 0)
+        .select(explode(array(
+          struct(lit("view").as("touch_type"),
+            expr("cents * 10000 * kv DIV n").as("credit_micro")),
+          struct(lit("click").as("touch_type"),
+            expr("cents * 10000 * kc DIV n").as("credit_micro")))).as("c"))
+        .select(col("c.touch_type"), col("c.credit_micro"))
+        .unionByName(p.filter(col("n") === 0)
+          .select(lit("direct").as("touch_type"),
+            (col("cents") * 10000L).as("credit_micro")))
+      credits.groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("credit_micro")).as("credited_micro"))
+        .orderBy(col("touch_type"))
+    }),
+
     // First-touch revenue attribution: each user's lifetime purchase
     // value is credited to their FIRST event type (the acquisition
     // channel in a marketing funnel). One window pass finds the first
@@ -402,6 +445,34 @@ object EventQueries {
          |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
          |FROM sess GROUP BY user_id, sess_id
          |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q_attribution_linear" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS kv0,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS kc0
+        |  FROM events),
+        |p AS (
+        |  SELECT event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    COALESCE(kv0, 0) AS kv, COALESCE(kc0, 0) AS kc,
+        |    COALESCE(kv0, 0) + COALESCE(kc0, 0) AS n
+        |  FROM e WHERE event_type = 'purchase'),
+        |credits AS (
+        |  SELECT 'view' AS touch_type, cents * 10000 * kv // n AS credit_micro
+        |  FROM p WHERE n > 0
+        |  UNION ALL
+        |  SELECT 'click', cents * 10000 * kc // n FROM p WHERE n > 0
+        |  UNION ALL
+        |  SELECT 'direct', cents * 10000 FROM p WHERE n = 0)
+        |SELECT touch_type, COUNT(*) AS n_credits,
+        |  CAST(SUM(credit_micro) AS BIGINT) AS credited_micro
+        |FROM credits GROUP BY touch_type
+        |ORDER BY touch_type""".stripMargin,
 
     "q_interval_merge" ->
       """WITH iv AS (

@@ -224,6 +224,24 @@ class CurationOpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Double]("value_imputed") === med))
   }
 
+  test("linear attribution: value conserved up to per-purchase truncation") {
+    val rows = SparkEntry.queries("q_attribution_linear")(spark, sf()).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_credits"), r.getAs[Long]("credited_micro"))).toMap
+    val purchases = Tables.events(spark, sf())
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100).cast("long")).collect().map(_.getLong(0))
+    val totalMicro = purchases.map(_ * 10000L).sum
+    val credited = rows.values.map(_._2).sum
+    // each attributed purchase loses < 2 micro to the two floors
+    assert(credited <= totalMicro)
+    assert(credited >= totalMicro - 2L * purchases.length)
+    // every purchase appears exactly once per applicable bucket
+    val nDirect = rows.get("direct").map(_._1).getOrElse(0L)
+    assert(rows("view")._1 === rows("click")._1)
+    assert(rows("view")._1 + nDirect === purchases.length.toLong)
+  }
+
   test("kcore: replays a sequential 3-round peel of the same projection") {
     val got = SparkEntry.queries("q_kcore")(spark, sf()).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg3")).toMap
