@@ -340,6 +340,40 @@ object EventQueries {
         .orderBy(col("event_type"), col("w_start"))
     }),
 
+    // CUSUM change-point detection: per event type, the position where
+    // the cumulative deviation from the series mean peaks — the
+    // classic level-shift detector (monitoring / drift alarms), one
+    // tier deeper than the pointwise q_zscore_outliers. ALL-INTEGER
+    // contract: instead of Σ(x_j − T/n) in doubles, track the
+    // n-SCALED statistic S_i = n·Σx_j − i·T (identical argmax, zero
+    // rounding anywhere). One (type)-keyed window pass for the running
+    // sum, one more for the argmax — same shuffle partitioning; group
+    // totals ride in via a broadcast O(types) join.
+    "q_cusum_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        col("ts"), round(col("value") * 100).cast("long").as("cents"))
+      val tot = e.groupBy(col("event_type"))
+        .agg(sum(col("cents")).as("t_cents"), count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val scored = e.join(broadcast(tot), Seq("event_type"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("running", sum(col("cents")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("s_scaled", col("n") * col("running") - col("rn") * col("t_cents"))
+      val wBest = Window.partitionBy(col("event_type"))
+        .orderBy(abs(col("s_scaled")).desc, col("rn"))
+      scored
+        .withColumn("rb", row_number().over(wBest))
+        .filter(col("rb") === 1)
+        .select(col("event_type"), col("n"),
+          col("rn").as("cusum_pos"),
+          abs(col("s_scaled")).as("cusum_peak_scaled"),
+          col("event_id").as("change_event_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // LINEAR multi-touch attribution — the companion policy to
     // q_attribution's first-touch: each purchase's value splits EQUALLY
     // across every prior touch (view/click) of that user. The naive
@@ -445,6 +479,38 @@ object EventQueries {
          |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
          |FROM sess GROUP BY user_id, sess_id
          |ORDER BY user_id, sess_start""".stripMargin,
+
+    "q_cusum_changepoint" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(cents) AS BIGINT) AS t_cents,
+        |    COUNT(*) AS n
+        |  FROM e GROUP BY event_type),
+        |scored AS (
+        |  SELECT e.event_type, e.event_id, tot.n,
+        |    row_number() OVER (PARTITION BY e.event_type
+        |                       ORDER BY ts, event_id) AS rn,
+        |    CAST(SUM(cents) OVER (PARTITION BY e.event_type
+        |                          ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS running,
+        |    t_cents
+        |  FROM e JOIN tot ON tot.event_type = e.event_type),
+        |best AS (
+        |  SELECT event_type, n, rn, event_id,
+        |    abs(n * running - rn * t_cents) AS s_abs,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY abs(n * running - rn * t_cents) DESC, rn)
+        |      AS rb
+        |  FROM scored)
+        |SELECT event_type, n, rn AS cusum_pos,
+        |  CAST(s_abs AS BIGINT) AS cusum_peak_scaled,
+        |  event_id AS change_event_id
+        |FROM best WHERE rb = 1
+        |ORDER BY event_type""".stripMargin,
 
     "q_attribution_linear" ->
       """WITH e AS (

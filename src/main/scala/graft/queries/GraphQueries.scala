@@ -169,6 +169,44 @@ object GraphQueries {
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_triangle_count" -> ((s, d) => triangles(s, d)),
 
+    // PERSONALIZED PageRank (random walk with restart to a seed set) —
+    // the recsys/influence form: restart mass goes only to the seeds
+    // (every 50th customer), so ranks measure proximity TO THE SEEDS
+    // rather than global centrality. Same fixed-point integer contract
+    // and 3-iteration unroll as q_pagerank: r ← (15·p + 85·Ar) DIV 100
+    // in micro-units with p = 1e6 DIV |S| on seeds; the seed share is a
+    // 1-row broadcast. Same per-iteration shuffles as q_pagerank.
+    "q_ppr" -> ((s, d) => {
+      val e = edges(s, d).localCheckpoint()
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint()
+      val ew = e.join(deg, Seq("src")).localCheckpoint()
+      val nodes = deg.select(col("src").as("node"))
+      val isSeed = col("node").startsWith("c") &&
+        expr("CAST(substring(node, 2) AS BIGINT) % 50 = 0")
+      val nSeeds = nodes.filter(isSeed).agg(count(lit(1)).as("ns"))
+      val seeded = nodes.crossJoin(broadcast(nSeeds))
+        .select(col("node"),
+          when(isSeed, expr("1000000 DIV ns")).otherwise(0L).as("pmu"))
+        .localCheckpoint()
+      var ranks = seeded.select(col("node"), col("pmu").as("r"))
+      for (_ <- 0 until 3) {
+        val contrib = ew
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))
+          .groupBy(col("node"))
+          .agg(sum(col("share")).as("inflow"))
+        ranks = seeded
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr("(15 * pmu + 85 * coalesce(inflow, 0L)) DIV 100").as("r"))
+      }
+      ranks
+        .select(col("node"), col("r").as("ppr_micro"))
+        .orderBy(col("ppr_micro").desc, col("node"))
+        .limit(100)
+    }),
+
     // K-CORE peeling (K=3, 3 rounds unrolled — the q_pagerank
     // fixed-iteration treatment of an iterate-to-fixpoint algorithm):
     // repeatedly drop nodes of degree < K and restrict edges to
@@ -266,6 +304,39 @@ object GraphQueries {
          |SELECT n AS node, COUNT(*) AS deg3 FROM (
          |  SELECT u AS n FROM e3 UNION ALL SELECT v AS n FROM e3)
          |GROUP BY n ORDER BY node""".stripMargin
+    },
+
+    "q_ppr" -> {
+      val seedCond = "node LIKE 'c%' AND CAST(substring(node, 2) AS BIGINT) % 50 = 0"
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT sd.node,
+           |    CAST((15 * sd.pmu + 85 * COALESCE((
+           |      SELECT SUM($prev.r // deg.outdeg)
+           |      FROM edges JOIN $prev ON $prev.node = edges.src
+           |                 JOIN deg ON deg.src = edges.src
+           |      WHERE edges.dst = sd.node), 0)) // 100 AS BIGINT) AS r
+           |  FROM seeded sd)""".stripMargin
+      s"""WITH cs AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT cust AS src, supp AS dst FROM cs
+         |  UNION ALL
+         |  SELECT supp AS src, cust AS dst FROM cs),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |ns AS (SELECT COUNT(*) AS n_seeds FROM nodes WHERE $seedCond),
+         |seeded AS (
+         |  SELECT node,
+         |    CASE WHEN $seedCond THEN 1000000 // ns.n_seeds ELSE 0 END AS pmu
+         |  FROM nodes, ns),
+         |r0 AS (SELECT node, CAST(pmu AS BIGINT) AS r FROM seeded),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, r AS ppr_micro FROM r3
+         |ORDER BY ppr_micro DESC, node LIMIT 100""".stripMargin
     },
 
     "q_pagerank" -> {

@@ -224,6 +224,43 @@ class CurationOpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Double]("value_imputed") === med))
   }
 
+  test("cusum: peak position replays sequentially for every event type") {
+    val rows = SparkEntry.queries("q_cusum_changepoint")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val events = Tables.events(spark, sf())
+      .select(col("event_type"), col("event_id"), col("ts").cast("string"),
+        round(col("value") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val xs = events.filter(_._1 == t).sortBy(e => (e._3, e._2)).map(_._4)
+      val n = xs.length.toLong
+      val total = xs.sum
+      var run = 0L; var best = -1L; var bestPos = 0L
+      xs.zipWithIndex.foreach { case (x, i) =>
+        run += x
+        val s = math.abs(n * run - (i + 1) * total)
+        if (s > best) { best = s; bestPos = i + 1 }
+      }
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("cusum_pos") === bestPos)
+      assert(r.getAs[Long]("cusum_peak_scaled") === best)
+    }
+  }
+
+  test("ppr: restart mass concentrates on and around the seed set") {
+    val rows = SparkEntry.queries("q_ppr")(spark, sf()).collect()
+    assert(rows.length === 100)
+    val scores = rows.map(_.getAs[Long]("ppr_micro"))
+    assert(scores.forall(_ >= 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    def isSeed(n: String) = n.startsWith("c") && n.drop(1).toLong % 50 == 0
+    val seedRows = rows.filter(r => isSeed(r.getAs[String]("node")))
+    assert(seedRows.nonEmpty, "seeds must hold restart mass in the top 100")
+    assert(seedRows.forall(_.getAs[Long]("ppr_micro") > 0))
+  }
+
   test("linear attribution: value conserved up to per-purchase truncation") {
     val rows = SparkEntry.queries("q_attribution_linear")(spark, sf()).collect()
       .map(r => r.getAs[String]("touch_type") ->
