@@ -127,6 +127,45 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SEARCH-RELEVANCE EVALUATION (MRR + precision@5) — the metric
+    // harness that scores a ranking function, run here over a term-
+    // frequency ranker (the BM25 query's cheap cousin). Three queries
+    // self-calibrate from the corpus: the top-6 document-frequency
+    // terms pair into query term sets (rank 1-2 → q1, 3-4 → q2,
+    // 5-6 → q3), so the query workload exists at every scale factor.
+    // Relevance labels are synthetic-deterministic (doc_id ≡ 0 mod 7),
+    // mirrored in the twin. Both metrics stay RATIONAL (reciprocal
+    // rank and P@5 in integer micro-units) — NDCG's log2 discount is
+    // exactly the transcendental the no-ln contract excludes. Scale:
+    // one tf aggregation keyed (query, doc), one per-query window
+    // rank, one metric rollup — O(tokens) end to end.
+    "q_search_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
+      val dfreq = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val top6 = dfreq
+        .orderBy(col("df").desc, col("tok")).limit(6)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("df").desc, col("tok"))))
+        .select(expr("(rn + 1) DIV 2").as("query_id"), col("tok"))
+      val tf = toks.join(broadcast(top6), Seq("tok"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      tf.withColumn("rank", row_number().over(wRank))
+        .withColumn("rel", col("doc_id") % 7 === 0)
+        .groupBy(col("query_id"))
+        .agg(
+          count(lit(1)).as("n_ranked"),
+          min(when(col("rel"), col("rank"))).as("first_rel_rank"),
+          expr("1000000 DIV min(CASE WHEN rel THEN rank END)").as("mrr_micro"),
+          (sum(when(col("rel") && col("rank") <= 5, 1L).otherwise(0L)) * 200000L)
+            .as("p_at_5_micro"))
+        .orderBy(col("query_id"))
+    }),
+
     // BPE MERGE LEARNING — the tokenizer-TRAINING step (Sennrich et al.
     // 2016): start from character segmentation of the (weighted) word
     // vocabulary, count adjacent symbol pairs, merge the most frequent
@@ -418,6 +457,35 @@ object TextQueries {
          |  $sqlClassifierMargin AS margin_micro,
          |  $sqlClassifierMargin > 0 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_search_eval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |dfreq AS (
+        |  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks)
+        |  GROUP BY tok),
+        |top6 AS (
+        |  SELECT (row_number() OVER (ORDER BY df DESC, tok) + 1) // 2 AS query_id,
+        |    tok
+        |  FROM dfreq ORDER BY df DESC, tok LIMIT 6),
+        |tf AS (
+        |  SELECT query_id, doc_id, COUNT(*) AS tf
+        |  FROM toks JOIN top6 USING (tok)
+        |  GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, tf,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY tf DESC, doc_id)
+        |      AS rank,
+        |    doc_id % 7 = 0 AS rel
+        |  FROM tf)
+        |SELECT query_id, COUNT(*) AS n_ranked,
+        |  CAST(MIN(CASE WHEN rel THEN rank END) AS BIGINT) AS first_rel_rank,
+        |  CAST(1000000 // MIN(CASE WHEN rel THEN rank END) AS BIGINT) AS mrr_micro,
+        |  CAST(SUM(CASE WHEN rel AND rank <= 5 THEN 1 ELSE 0 END) * 200000
+        |       AS BIGINT) AS p_at_5_micro
+        |FROM ranked GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "q_bpe_merges" -> {
       def pairsOf(segCte: String, i: Int) =

@@ -224,6 +224,19 @@ class CurationOpsSpec extends SparkTestBase {
       .foreach(r => assert(r.getAs[Double]("value_imputed") === med))
   }
 
+  test("search eval: metric identities hold; mrr matches first relevant rank") {
+    val rows = SparkEntry.queries("q_search_eval")(spark, sf()).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val frr = r.getAs[Int]("first_rel_rank")
+      assert(r.getAs[Long]("mrr_micro") === 1000000L / frr)
+      val p5 = r.getAs[Long]("p_at_5_micro")
+      assert(p5 % 200000L === 0 && p5 >= 0 && p5 <= 1000000L)
+      // a relevant doc inside the top 5 forces nonzero P@5 and vice versa
+      assert((frr <= 5) === (p5 > 0))
+    }
+  }
+
   test("cusum: peak position replays sequentially for every event type") {
     val rows = SparkEntry.queries("q_cusum_changepoint")(spark, sf()).collect()
     assert(rows.nonEmpty)
