@@ -545,6 +545,52 @@ object AggQueries {
           sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_high"),
           sum(dec(col("w"))).cast(DoubleType).as("winsor_sum"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov statistic: distribution-drift
+    // detection between the order-value distributions of two customer
+    // segments — the standard gate before trusting a new data slice
+    // (or a re-trained sampler) against a reference population. The
+    // statistic stays EXACT RATIONAL end to end: values are integer
+    // cents, the ECDF difference at value v is |CA(v)·n2 − CB(v)·n1| /
+    // (n1·n2), and only the BIGINT numerator is maximized; the reported
+    // ks_micro floor-divides once at the end (same DIV-vs-// contract as
+    // q_pagerank). sqrt-based significance thresholds are left to the
+    // caller (no transcendentals in gated outputs).
+    //
+    // Scale shape (100 TB): one broadcast join tags orders with their
+    // segment, one (value)-keyed hash aggregate with map-side combine,
+    // then ONE global cumulative window — safe because it runs over
+    // DISTINCT CENT VALUES, whose cardinality is bounded by the price
+    // domain (~10⁷) independent of row count: the same bounded-domain
+    // argument as the q_window_range_frame re-shape. At >1e9 rows per
+    // side route the cross-product numerator through DECIMAL(38,0) —
+    // BIGINT holds to ~3e9·3e9.
+    "q_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("v"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("v"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("a"))
+      val perV = j.groupBy(col("v")).agg(
+        sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perV.select(col("v"),
+        sum(col("ca")).over(w).as("cua"), sum(col("cb")).over(w).as("cub"))
+      val tot = j.agg(sum(col("a")).as("n1"), sum(lit(1L) - col("a")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(abs(col("cua") * col("n2") - col("cub") * col("n1")))
+          .as("ks_num"))
+        .select(col("n1"), col("n2"), col("ks_num"),
+          expr("ks_num * 1000000 DIV (n1 * n2)").as("ks_micro"))
+        .orderBy(col("n1"))
     })
   )
 
@@ -827,6 +873,36 @@ object AggQueries {
         |  CAST(SUM(CASE WHEN l.l_extendedprice > pct.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         |  CAST(SUM(CAST(least(greatest(l.l_extendedprice, pct.p05), pct.p95) AS DECIMAL(18,4))) AS DOUBLE) AS winsor_sum
         |FROM lineitem l JOIN pct ON l.l_returnflag = pct.l_returnflag
-        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    // Replays the exact-rational KS pipeline; SUM(BIGINT) widens to
+    // HUGEINT in DuckDB so every cumulative/total is cast back, and `//`
+    // floors like Spark's DIV (all operands non-negative).
+    "q_ks_test" ->
+      """WITH j AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |pv AS (
+        |  SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - a) AS BIGINT) AS cb
+        |  FROM j GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cua,
+        |    CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cub
+        |  FROM pv),
+        |tot AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(1 - a) AS BIGINT) AS n2
+        |  FROM j),
+        |m AS (
+        |  SELECT n1, n2,
+        |    CAST(MAX(abs(cua * n2 - cub * n1)) AS BIGINT) AS ks_num
+        |  FROM cum, tot GROUP BY n1, n2)
+        |SELECT n1, n2, ks_num, ks_num * 1000000 // (n1 * n2) AS ks_micro
+        |FROM m ORDER BY n1""".stripMargin
   )
 }

@@ -138,6 +138,34 @@ object GraphQueries {
       .distinct()
   }
 
+  /** Synchronous LPA rounds over any normalized undirected edge set
+    * (u < v, distinct) → final (node, lbl) — factored out so specs can
+    * drive it with known graphs. Mode of neighbor labels, ties to the
+    * smallest label, 3 fixed rounds. */
+  private[graft] def labelPropFrom(rawPairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = rawPairs.localCheckpoint()
+    val bedges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var labels = bedges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val cnt = bedges
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val pick = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("lbl"))
+      labels = cnt.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Steps 3–4 over any normalized undirected edge set (u < v, distinct)
     * — factored out so specs can drive it with known graphs. */
   private[graft] def triangleCountFrom(rawPairs: DataFrame): DataFrame = {
@@ -237,6 +265,51 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // LABEL PROPAGATION community detection (synchronous LPA, 3 rounds
+    // unrolled — the same fixed-iteration treatment as q_pagerank): every
+    // node starts in its own community; each round it adopts the MODE of
+    // its neighbors' labels, ties broken by the smallest label, which
+    // makes the classically nondeterministic LPA fully deterministic and
+    // twin-replayable. Runs on its OWN capped co-purchase projection: the
+    // shared TriCap projection orders by raw custkey, so every supplier
+    // keeps the same few globally-smallest customers and the graph
+    // degenerates to one ~70-node clique (one community — nothing to
+    // detect); here the per-supplier cap keeps a HASH-SPREAD sample
+    // keyed by the (supp, cust) PAIR — (cust·40503 + supp·2654435761)
+    // mod 65536, multiplicative hashing with identical BIGINT arithmetic
+    // in both engines; a cust-only hash re-degenerates because every
+    // supplier ranks the same global permutation of a dense bipartite
+    // graph — so each supplier keeps its own pseudo-random 16-clique and
+    // LPA resolves distinct communities where cliques genuinely overlap. Per round: one join of the O(nodes) label frame
+    // against the edge list, one (node, label) hash aggregate with
+    // map-side combine, one PER-NODE window (partition-local, never
+    // global). Output: community sizes — the segmentation primitive
+    // behind cohort discovery and graph-based dedup review.
+    "q_label_prop" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+        .distinct()
+      val capped = cs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("supp"))
+            .orderBy(expr("(cust * 40503 + supp * 2654435761) % 65536"),
+              col("cust"))))
+        .filter(col("rn") <= TriCap)
+        .drop("rn")
+      val pairs = capped.select(col("supp"), col("cust").as("ca"))
+        .join(capped.select(col("supp"), col("cust").as("cb")), Seq("supp"))
+        .filter(col("ca") < col("cb"))
+        .select(col("ca").as("u"), col("cb").as("v"))
+        .distinct()
+      labelPropFrom(pairs)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+        .select(col("lbl").as("community"), col("n_members"))
+        .orderBy(col("n_members").desc, col("community"))
+    }),
+
     // k-hop BFS frontier sizes from a seed set (every 10th supplier —
     // scale-independent and non-empty at every sf, unlike a nation
     // filter):
@@ -289,6 +362,44 @@ object GraphQueries {
       .stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Unrolls the three LPA rounds; the (c DESC, lbl) row_number tie
+    // order makes each round's pick unique, so the twin is exact.
+    "q_label_prop" -> {
+      def round(i: Int, prev: String) =
+        s"""c$i AS (
+           |  SELECT e.src, l.lbl, COUNT(*) AS c
+           |  FROM bedges e JOIN $prev l ON l.node = e.dst
+           |  GROUP BY e.src, l.lbl),
+           |l$i AS (
+           |  SELECT src AS node, lbl FROM (
+           |    SELECT src, lbl,
+           |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      s"""WITH cs AS (
+         |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |capped AS (
+         |  SELECT supp, cust FROM (
+         |    SELECT supp, cust,
+         |      row_number() OVER (PARTITION BY supp
+         |        ORDER BY (cust * 40503 + supp * 2654435761) % 65536, cust) AS rn
+         |    FROM cs) WHERE rn <= $TriCap),
+         |pairs AS (
+         |  SELECT DISTINCT a.cust AS u, b.cust AS v
+         |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust),
+         |bedges AS (
+         |  SELECT u AS src, v AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM bedges),
+         |${round(1, "l0")},
+         |${round(2, "l1")},
+         |${round(3, "l2")}
+         |SELECT lbl AS community, COUNT(*) AS n_members
+         |FROM l3 GROUP BY lbl
+         |ORDER BY n_members DESC, community""".stripMargin
+    },
+
     "q_kcore" -> {
       def round(i: Int, prev: String) =
         s"""d$i AS (

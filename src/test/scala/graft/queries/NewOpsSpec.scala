@@ -29,6 +29,46 @@ class NewOpsSpec extends SparkTestBase {
     assert(tri((1, 2), (1, 3), (2, 3), (3, 9)) === ((4L, 4L, 1L)))
   }
 
+  test("label propagation matches ground truth on known graphs") {
+    def communities(edges: (Int, Int)*): Map[Long, Long] =
+      GraphQueries.labelPropFrom(edges.toDF("u", "v"))
+        .groupBy(col("lbl")).count().collect()
+        .map(r => r.getAs[Long]("lbl") -> r.getAs[Long]("count")).toMap
+    // two disjoint triangles: each collapses to its min label
+    assert(communities((1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9))
+      === Map(1L -> 3L, 7L -> 3L))
+    // one 5-clique: a single community
+    val k5 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a, b)
+    assert(communities(k5: _*) === Map(1L -> 5L))
+    // dumbbell: two K4s + one bridge edge — the bridge cannot out-vote
+    // three internal neighbors, so both sides keep their own community
+    val dumbbell = (for (a <- 1 to 4; b <- (a + 1) to 4) yield (a, b)) ++
+      (for (a <- 5 to 8; b <- (a + 1) to 8) yield (a, b)) :+ ((4, 5))
+    assert(communities(dumbbell: _*) === Map(1L -> 4L, 5L -> 4L))
+  }
+
+  test("KS statistic replays in a sequential reference implementation") {
+    val out = SparkEntry.queries("q_ks_test")(spark, sf()).head
+    val joined = Tables.orders(spark, sf())
+      .join(Tables.customer(spark, sf()),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+        (col("c_mktsegment") === "BUILDING").as("a"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val n1 = joined.count(_._2).toLong
+    val n2 = joined.count(!_._2).toLong
+    var (cua, cub, best) = (0L, 0L, 0L)
+    joined.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      cua += rows.count(_._2); cub += rows.count(!_._2)
+      best = math.max(best, math.abs(cua * n2 - cub * n1))
+    }
+    assert(out.getAs[Long]("n1") === n1)
+    assert(out.getAs[Long]("n2") === n2)
+    assert(out.getAs[Long]("ks_num") === best)
+    assert(out.getAs[Long]("ks_micro") === best * 1000000L / (n1 * n2))
+  }
+
   test("bloom prune never drops a true match and actually prunes") {
     val li = Tables.lineitem(spark, sf())
     val selKeys = Tables.orders(spark, sf())
