@@ -280,7 +280,8 @@ object GraphQueries {
     // in both engines; a cust-only hash re-degenerates because every
     // supplier ranks the same global permutation of a dense bipartite
     // graph — so each supplier keeps its own pseudo-random 16-clique and
-    // LPA resolves distinct communities where cliques genuinely overlap. Per round: one join of the O(nodes) label frame
+    // LPA resolves distinct communities where cliques genuinely overlap.
+    // Per round: one join of the O(nodes) label frame
     // against the edge list, one (node, label) hash aggregate with
     // map-side combine, one PER-NODE window (partition-local, never
     // global). Output: community sizes — the segmentation primitive
