@@ -591,6 +591,53 @@ object AggQueries {
         .select(col("n1"), col("n2"), col("ks_num"),
           expr("ks_num * 1000000 DIV (n1 * n2)").as("ks_micro"))
         .orderBy(col("n1"))
+    }),
+
+    // Chi-square test of independence between customer segment and
+    // order priority — the categorical counterpart of q_ks_test's drift
+    // gate (is the mix of one dimension stable across another?). The
+    // statistic is Σ (O−E)²/E over the contingency table; every term is
+    // computed in EXACT integer arithmetic: dnum = O·N − rt·ct (the
+    // (O−E) numerator scaled by N), and term_centi floor-divides
+    // dnum²·100 by N·rt·ct once per cell — the products route through
+    // DECIMAL(38,0) (HUGEINT in the twin) because dnum² overflows BIGINT
+    // already at the 10× replica. Per-cell flooring bounds the error of
+    // chi2_centi at #cells·0.01 — negligible against any critical value,
+    // and bit-identical across engines (DIV truncation == // flooring on
+    // non-negative operands).
+    //
+    // Scale shape (100 TB): the contingency table is #segments×#priorities
+    // rows after ONE map-side-combined shuffle of the broadcast-tagged
+    // fact scan; margins and the statistic are computed on those ~25 rows
+    // (broadcast joins + a window over the tiny frame). The heavy input
+    // is touched exactly once.
+    "q_chi_square" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val j = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+      val cells = j.groupBy(col("seg"), col("prio"))
+        .agg(count(lit(1)).as("n_obs"))
+      val rt = cells.groupBy(col("seg")).agg(sum(col("n_obs")).as("rt"))
+      val ct = cells.groupBy(col("prio")).agg(sum(col("n_obs")).as("ct"))
+      val tot = cells.agg(sum(col("n_obs")).as("n"))
+      cells
+        .join(broadcast(rt), Seq("seg"))
+        .join(broadcast(ct), Seq("prio"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dnum", col("n_obs") * col("n") - col("rt") * col("ct"))
+        .withColumn("exp_micro",
+          expr("CAST(CAST(rt AS DECIMAL(38,0)) * ct * 1000000 DIV n AS BIGINT)"))
+        .withColumn("term_centi",
+          expr("CAST(CAST(dnum AS DECIMAL(38,0)) * dnum * 100" +
+            " DIV (CAST(n AS DECIMAL(38,0)) * rt * ct) AS BIGINT)"))
+        .withColumn("chi2_centi",
+          sum(col("term_centi")).over(Window.partitionBy()))
+        .select(col("seg"), col("prio"), col("n_obs"), col("exp_micro"),
+          col("term_centi"), col("chi2_centi"))
+        .orderBy(col("seg"), col("prio"))
     })
   )
 
@@ -903,6 +950,32 @@ object AggQueries {
         |    CAST(MAX(abs(cua * n2 - cub * n1)) AS BIGINT) AS ks_num
         |  FROM cum, tot GROUP BY n1, n2)
         |SELECT n1, n2, ks_num, ks_num * 1000000 // (n1 * n2) AS ks_micro
-        |FROM m ORDER BY n1""".stripMargin
+        |FROM m ORDER BY n1""".stripMargin,
+
+    // HUGEINT stands in for Spark's DECIMAL(38,0) wide-product route;
+    // // on non-negative HUGEINTs floors exactly like Spark's DIV.
+    "q_chi_square" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (
+        |  SELECT seg, prio, COUNT(*) AS n_obs FROM j GROUP BY seg, prio),
+        |r AS (SELECT seg, CAST(SUM(n_obs) AS BIGINT) AS rt
+        |      FROM cells GROUP BY seg),
+        |c AS (SELECT prio, CAST(SUM(n_obs) AS BIGINT) AS ct
+        |      FROM cells GROUP BY prio),
+        |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
+        |x AS (
+        |  SELECT seg, prio, n_obs, rt, ct, n, n_obs * n - rt * ct AS dnum
+        |  FROM cells JOIN r USING (seg) JOIN c USING (prio), t),
+        |y AS (
+        |  SELECT seg, prio, n_obs,
+        |    CAST(CAST(rt AS HUGEINT) * ct * 1000000 // n AS BIGINT) AS exp_micro,
+        |    CAST(CAST(dnum AS HUGEINT) * dnum * 100
+        |      // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS term_centi
+        |  FROM x)
+        |SELECT seg, prio, n_obs, exp_micro, term_centi,
+        |  CAST(SUM(term_centi) OVER () AS BIGINT) AS chi2_centi
+        |FROM y ORDER BY seg, prio""".stripMargin
   )
 }

@@ -69,6 +69,29 @@ class NewOpsSpec extends SparkTestBase {
     assert(out.getAs[Long]("ks_micro") === best * 1000000L / (n1 * n2))
   }
 
+  test("chi-square statistic replays in exact BigInt arithmetic") {
+    val out = SparkEntry.queries("q_chi_square")(spark, sf()).collect()
+    val cells = out.map(r => (r.getAs[String]("seg"), r.getAs[String]("prio"),
+      r.getAs[Long]("n_obs")))
+    val rt = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+    val ct = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+    val n = cells.map(_._3).sum
+    // margins are consistent with the cells the query itself emitted
+    assert(rt.values.sum === n && ct.values.sum === n)
+    var chi2 = BigInt(0)
+    cells.foreach { case (s0, p0, o) =>
+      val dnum = BigInt(o) * n - BigInt(rt(s0)) * ct(p0)
+      val term = dnum * dnum * 100 / (BigInt(n) * rt(s0) * ct(p0))
+      val row = out.find(r => r.getAs[String]("seg") == s0 &&
+        r.getAs[String]("prio") == p0).get
+      assert(BigInt(row.getAs[Long]("term_centi")) === term)
+      assert(BigInt(row.getAs[Long]("exp_micro")) ===
+        BigInt(rt(s0)) * ct(p0) * 1000000 / n)
+      chi2 += term
+    }
+    out.foreach(r => assert(BigInt(r.getAs[Long]("chi2_centi")) === chi2))
+  }
+
   test("bloom prune never drops a true match and actually prunes") {
     val li = Tables.lineitem(spark, sf())
     val selKeys = Tables.orders(spark, sf())
