@@ -593,6 +593,48 @@ object AggQueries {
         .orderBy(col("n1"))
     }),
 
+    // Mann–Whitney U rank-sum test on the same two-segment split as
+    // q_ks_test — the nonparametric "did the location shift?" gate that
+    // completes the drift family (KS = shape, chi-square = categorical
+    // mix, U = location). Tie-averaged ranks are half-integers, so the
+    // whole statistic is carried as DOUBLED ranks and stays BIGINT: for
+    // a tie group of cnt values after cprev earlier values, the doubled
+    // average rank is 2·cprev + cnt + 1, R2 = Σ ca·that, and
+    // u2_a = R2 − n1·(n1+1) (doubled U); u2_a + u2_b = 2·n1·n2 exactly.
+    // Same scale shape as q_ks_test: one broadcast-tagged scan, one
+    // per-cent-value hash aggregate, one cumulative window over the
+    // bounded distinct-cent domain. At >1e9 rows per side route R2
+    // through DECIMAL(38,0).
+    "q_rank_sum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast(LongType).as("v"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("v"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("a"))
+      val perV = j.groupBy(col("v")).agg(
+        sum(col("a")).as("ca"), count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = perV
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("dr", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+      val tot = j.agg(sum(col("a")).as("n1"),
+        sum(lit(1L) - col("a")).as("n2"))
+      ranked.crossJoin(broadcast(tot))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(col("ca") * col("dr")).as("r2_sum_a"))
+        .select(col("n1"), col("n2"), col("r2_sum_a"),
+          (col("r2_sum_a") - col("n1") * (col("n1") + 1L)).as("u2_a"),
+          (lit(2L) * col("n1") * col("n2") -
+            (col("r2_sum_a") - col("n1") * (col("n1") + 1L))).as("u2_b"))
+        .orderBy(col("n1"))
+    }),
+
     // Chi-square test of independence between customer segment and
     // order priority — the categorical counterpart of q_ks_test's drift
     // gate (is the mix of one dimension stable across another?). The
@@ -950,6 +992,34 @@ object AggQueries {
         |    CAST(MAX(abs(cua * n2 - cub * n1)) AS BIGINT) AS ks_num
         |  FROM cum, tot GROUP BY n1, n2)
         |SELECT n1, n2, ks_num, ks_num * 1000000 // (n1 * n2) AS ks_micro
+        |FROM m ORDER BY n1""".stripMargin,
+
+    // Doubled-rank replay of the U statistic; SUM(BIGINT) → HUGEINT
+    // widening cast back as everywhere else.
+    "q_rank_sum" ->
+      """WITH j AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |pv AS (
+        |  SELECT v, CAST(SUM(a) AS BIGINT) AS ca, COUNT(*) AS cnt
+        |  FROM j GROUP BY v),
+        |rk AS (
+        |  SELECT v, ca, cnt,
+        |    CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM pv),
+        |tot AS (
+        |  SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(1 - a) AS BIGINT) AS n2
+        |  FROM j),
+        |m AS (
+        |  SELECT n1, n2,
+        |    CAST(SUM(ca * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS r2_sum_a
+        |  FROM rk, tot GROUP BY n1, n2)
+        |SELECT n1, n2, r2_sum_a,
+        |  r2_sum_a - n1 * (n1 + 1) AS u2_a,
+        |  2 * n1 * n2 - (r2_sum_a - n1 * (n1 + 1)) AS u2_b
         |FROM m ORDER BY n1""".stripMargin,
 
     // HUGEINT stands in for Spark's DECIMAL(38,0) wide-product route;

@@ -69,6 +69,36 @@ class NewOpsSpec extends SparkTestBase {
     assert(out.getAs[Long]("ks_micro") === best * 1000000L / (n1 * n2))
   }
 
+  test("Mann-Whitney U replays sequentially and satisfies the U-sum identity") {
+    val out = SparkEntry.queries("q_rank_sum")(spark, sf()).head
+    val joined = Tables.orders(spark, sf())
+      .join(Tables.customer(spark, sf()),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+        (col("c_mktsegment") === "BUILDING").as("a"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val n1 = joined.count(_._2).toLong
+    val n2 = joined.count(!_._2).toLong
+    var (cprev, r2a) = (0L, 0L)
+    joined.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+      val (cnt, ca) = (rows.length.toLong, rows.count(_._2).toLong)
+      r2a += ca * (2 * cprev + cnt + 1)
+      cprev += cnt
+    }
+    assert(out.getAs[Long]("r2_sum_a") === r2a)
+    assert(out.getAs[Long]("u2_a") === r2a - n1 * (n1 + 1))
+    // U_a + U_b = n1*n2 (doubled: 2*n1*n2) — exact by construction
+    assert(out.getAs[Long]("u2_a") + out.getAs[Long]("u2_b") === 2 * n1 * n2)
+    // no ties ⇒ ranks 1..n: total doubled rank mass is n(n+1)
+    val n = n1 + n2
+    val allDr = joined.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft((0L, 0L)) { case ((cp, acc), (_, rows)) =>
+        (cp + rows.length, acc + rows.length * (2 * cp + rows.length + 1))
+      }._2
+    assert(allDr === n * (n + 1))
+  }
+
   test("chi-square statistic replays in exact BigInt arithmetic") {
     val out = SparkEntry.queries("q_chi_square")(spark, sf()).collect()
     val cells = out.map(r => (r.getAs[String]("seg"), r.getAs[String]("prio"),
