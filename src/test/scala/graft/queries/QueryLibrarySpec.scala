@@ -230,7 +230,9 @@ class QueryLibrarySpec extends SparkTestBase {
         "q_snapshot_diff", "q_incremental_dedup", "q_prefix_filter_join",
         "q_semdedup", "q_quality_classifier", "q_pit_join", "q_ohlc_resample",
         "q_dq_audit", "q_dedup_survivor", "q_impute_missing",
-        "q_interval_merge", "q_kcore", "q_embed_project")) {
+        "q_interval_merge", "q_kcore", "q_embed_project",
+        // final-round: LPA joins labels to edges on the node key
+        "q_label_prop")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -241,7 +243,10 @@ class QueryLibrarySpec extends SparkTestBase {
     }
     // the 1-row-broadcast exceptions: BNL against a literal 1-row stats
     // subtree is the intended shape for bm25/pmi (corpus N / avgdl)
-    for (name <- Seq("q_bm25", "q_cooccur_pmi", "q_bpe_merges", "q_hll_intersect")) {
+    for (name <- Seq("q_bm25", "q_cooccur_pmi", "q_bpe_merges", "q_hll_intersect",
+        // drift-test family: the only BNL is the 1-row (n1, n2) /
+        // contingency-total broadcast; PPR's is the 1-row seed share
+        "q_ks_test", "q_rank_sum", "q_chi_square", "q_ppr")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
