@@ -635,6 +635,56 @@ object AggQueries {
         .orderBy(col("n1"))
     }),
 
+    // Best Gini split — the decision-tree / feature-importance
+    // primitive: score EVERY distinct order-value threshold for how
+    // well it separates high-priority orders, and return the argmin
+    // weighted child impurity. The same distinct-cent cumulative window
+    // as q_ks_test yields (n_left, pos_left) for every candidate in one
+    // pass; per child the n-scaled Gini is (n² − pos² − neg²)·1e6 // n
+    // (= n·gini in micro-units — EXACT integers, wide products through
+    // DECIMAL(38,0)/HUGEINT like q_chi_square since n²·1e6 brushes the
+    // BIGINT ceiling at the 100× bench already), children summed, argmin
+    // tie-broken by smallest threshold. Root impurity rides along in the
+    // same units, so gain = root − best is directly readable.
+    //
+    // Scale shape (100 TB): one map-side-combined aggregate to the
+    // distinct-cent frame, one bounded-domain window, one tiny argmin
+    // window — the fact scan is touched once; no per-threshold re-scan
+    // (the naive split scorer re-scans per candidate).
+    "q_gini_split" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast(LongType).as("v"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("pos"))
+      val perV = o.groupBy(col("v"))
+        .agg(sum(col("pos")).as("p"), count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perV.select(col("v"),
+        sum(col("p")).over(w).as("pl"), sum(col("cnt")).over(w).as("nl"))
+      val tot = o.agg(count(lit(1)).as("n"), sum(col("pos")).as("ptot"))
+      def nGiniMicro(n: String, p: String): String =
+        s"CAST((CAST($n AS DECIMAL(38,0)) * $n - CAST($p AS DECIMAL(38,0)) * $p" +
+          s" - CAST($n - $p AS DECIMAL(38,0)) * ($n - $p)) * 1000000 DIV $n AS BIGINT)"
+      val scored = cum.crossJoin(broadcast(tot))
+        .filter(col("nl") < col("n")) // right child non-empty
+        .withColumn("nr", col("n") - col("nl"))
+        .withColumn("pr", col("ptot") - col("pl"))
+        .withColumn("wgini_micro",
+          expr(s"${nGiniMicro("nl", "pl")} + ${nGiniMicro("nr", "pr")}"))
+        .withColumn("wgini_root_micro", expr(nGiniMicro("n", "ptot")))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("wgini_micro"), col("v"))))
+        .filter(col("rn") === 1)
+        .select(col("v").as("threshold_cents"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          col("pl").as("pos_left"), col("pr").as("pos_right"),
+          col("wgini_micro"), col("wgini_root_micro"))
+        .orderBy(col("threshold_cents"))
+    }),
+
     // Chi-square test of independence between customer segment and
     // order priority — the categorical counterpart of q_ks_test's drift
     // gate (is the mix of one dimension stable across another?). The
@@ -1021,6 +1071,44 @@ object AggQueries {
         |  r2_sum_a - n1 * (n1 + 1) AS u2_a,
         |  2 * n1 * n2 - (r2_sum_a - n1 * (n1 + 1)) AS u2_b
         |FROM m ORDER BY n1""".stripMargin,
+
+    // Same candidate-threshold chain in DuckDB; n-scaled Gini terms on
+    // HUGEINTs, argmin by (wgini_micro, v) row_number.
+    "q_gini_split" -> {
+      def nGini(n: String, p: String): String =
+        s"CAST((CAST($n AS HUGEINT) * $n - CAST($p AS HUGEINT) * $p" +
+          s" - CAST($n - $p AS HUGEINT) * ($n - $p)) * 1000000 // $n AS BIGINT)"
+      s"""WITH o AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |         THEN 1 ELSE 0 END AS pos
+         |  FROM orders),
+         |pv AS (
+         |  SELECT v, CAST(SUM(pos) AS BIGINT) AS p, COUNT(*) AS cnt
+         |  FROM o GROUP BY v),
+         |cum AS (
+         |  SELECT v,
+         |    CAST(SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS pl,
+         |    CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS nl
+         |  FROM pv),
+         |tot AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS ptot FROM o),
+         |sc AS (
+         |  SELECT v, nl, n - nl AS nr, pl, ptot - pl AS pr, n, ptot
+         |  FROM cum, tot WHERE nl < n),
+         |g AS (
+         |  SELECT v, nl, nr, pl, pr,
+         |    ${nGini("nl", "pl")} + ${nGini("nr", "pr")} AS wgini_micro,
+         |    ${nGini("n", "ptot")} AS wgini_root_micro
+         |  FROM sc),
+         |best AS (
+         |  SELECT *, row_number() OVER (ORDER BY wgini_micro, v) AS rn FROM g)
+         |SELECT v AS threshold_cents, nl AS n_left, nr AS n_right,
+         |  pl AS pos_left, pr AS pos_right, wgini_micro, wgini_root_micro
+         |FROM best WHERE rn = 1 ORDER BY threshold_cents""".stripMargin
+    },
 
     // HUGEINT stands in for Spark's DECIMAL(38,0) wide-product route;
     // // on non-negative HUGEINTs floors exactly like Spark's DIV.

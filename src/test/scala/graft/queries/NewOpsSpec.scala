@@ -99,6 +99,32 @@ class NewOpsSpec extends SparkTestBase {
     assert(allDr === n * (n + 1))
   }
 
+  test("best Gini split replays against an exhaustive sequential scorer") {
+    val out = SparkEntry.queries("q_gini_split")(spark, sf()).head
+    val rows = Tables.orders(spark, sf())
+      .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val n = rows.length.toLong
+    val ptot = rows.count(_._2).toLong
+    def nGini(nn: Long, p: Long): BigInt =
+      (BigInt(nn) * nn - BigInt(p) * p - BigInt(nn - p) * (nn - p)) * 1000000 / nn
+    var (nl, pl) = (0L, 0L)
+    var best: (BigInt, Long) = (null, 0L)
+    rows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (v, g) =>
+      nl += g.length; pl += g.count(_._2)
+      if (nl < n) {
+        val wg = nGini(nl, pl) + nGini(n - nl, ptot - pl)
+        if (best._1 == null || wg < best._1) best = (wg, v)
+      }
+    }
+    assert(out.getAs[Long]("threshold_cents") === best._2)
+    assert(BigInt(out.getAs[Long]("wgini_micro")) === best._1)
+    assert(BigInt(out.getAs[Long]("wgini_root_micro")) === nGini(n, ptot))
+    // splitting can never increase weighted impurity
+    assert(out.getAs[Long]("wgini_micro") <= out.getAs[Long]("wgini_root_micro"))
+  }
+
   test("chi-square statistic replays in exact BigInt arithmetic") {
     val out = SparkEntry.queries("q_chi_square")(spark, sf()).collect()
     val cells = out.map(r => (r.getAs[String]("seg"), r.getAs[String]("prio"),

@@ -246,7 +246,7 @@ class QueryLibrarySpec extends SparkTestBase {
     for (name <- Seq("q_bm25", "q_cooccur_pmi", "q_bpe_merges", "q_hll_intersect",
         // drift-test family: the only BNL is the 1-row (n1, n2) /
         // contingency-total broadcast; PPR's is the 1-row seed share
-        "q_ks_test", "q_rank_sum", "q_chi_square", "q_ppr")) {
+        "q_ks_test", "q_rank_sum", "q_chi_square", "q_ppr", "q_gini_split")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
