@@ -308,7 +308,8 @@ object AggQueries {
           |  'nonpos_price', nonpos_price,
           |  'null_custkey', null_custkey,
           |  'row_count', row_count) AS (check_name, value)""".stripMargin)
-      val orphans = o.join(Tables.customer(s, d)
+      val orphans = o.filter(col("o_custkey").isNotNull)
+        .join(Tables.customer(s, d)
           .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
         .agg(count(lit(1)).as("value"))
         .select(lit("orphan_custkey").as("check_name"), col("value"))
@@ -560,14 +561,15 @@ object AggQueries {
     //
     // Scale shape (100 TB): one broadcast join tags orders with their
     // segment, one (value)-keyed hash aggregate with map-side combine,
-    // then ONE global cumulative window — safe because it runs over
-    // DISTINCT CENT VALUES, whose cardinality is bounded by the price
-    // domain (~10⁷) independent of row count: the same bounded-domain
-    // argument as the q_window_range_frame re-shape. At >1e9 rows per
-    // side route the cross-product numerator through DECIMAL(38,0) —
-    // BIGINT holds to ~3e9·3e9.
+    // then a TWO-PASS range-partitioned cumsum ([[QueryUtil.rangeCumsum]])
+    // over the distinct cent values — bucket-partitioned within-bucket
+    // windows plus broadcast per-bucket offsets, so no single-task
+    // global sort remains even at tens of millions of distinct cents.
+    // The final ·1e6 micro-scaling routes through DECIMAL(38,0)/HUGEINT
+    // (it overflows BIGINT already at ~3e6 rows per side); the max'd
+    // numerator itself is bounded by n1·n2, so BIGINT holds it to ~3e9
+    // rows per side — beyond that route the numerator wide too.
     "q_ks_test" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val o = Tables.orders(s, d)
         .select(col("o_custkey"),
           round(col("o_totalprice") * 100).cast(LongType).as("v"))
@@ -579,17 +581,16 @@ object AggQueries {
           when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("a"))
       val perV = j.groupBy(col("v")).agg(
         sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = perV.select(col("v"),
-        sum(col("ca")).over(w).as("cua"), sum(col("cb")).over(w).as("cub"))
+      val cum = rangeCumsum(perV, "v", Seq("ca", "cb"), 1L << 20)
+        .select(col("v"), col("cum_ca").as("cua"), col("cum_cb").as("cub"))
       val tot = j.agg(sum(col("a")).as("n1"), sum(lit(1L) - col("a")).as("n2"))
       cum.crossJoin(broadcast(tot))
         .groupBy(col("n1"), col("n2"))
         .agg(max(abs(col("cua") * col("n2") - col("cub") * col("n1")))
           .as("ks_num"))
         .select(col("n1"), col("n2"), col("ks_num"),
-          expr("ks_num * 1000000 DIV (n1 * n2)").as("ks_micro"))
+          expr("CAST(CAST(ks_num AS DECIMAL(38,0)) * 1000000" +
+            " DIV (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("ks_micro"))
         .orderBy(col("n1"))
     }),
 
@@ -602,11 +603,11 @@ object AggQueries {
     // average rank is 2·cprev + cnt + 1, R2 = Σ ca·that, and
     // u2_a = R2 − n1·(n1+1) (doubled U); u2_a + u2_b = 2·n1·n2 exactly.
     // Same scale shape as q_ks_test: one broadcast-tagged scan, one
-    // per-cent-value hash aggregate, one cumulative window over the
-    // bounded distinct-cent domain. At >1e9 rows per side route R2
+    // per-cent-value hash aggregate, then the two-pass range-partitioned
+    // cumsum ([[QueryUtil.rangeCumsum]]) over the bounded distinct-cent
+    // domain — no single-task window. At >1e9 rows per side route R2
     // through DECIMAL(38,0).
     "q_rank_sum" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val o = Tables.orders(s, d)
         .select(col("o_custkey"),
           round(col("o_totalprice") * 100).cast(LongType).as("v"))
@@ -618,11 +619,9 @@ object AggQueries {
           when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("a"))
       val perV = j.groupBy(col("v")).agg(
         sum(col("a")).as("ca"), count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = perV
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn("dr", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+      val ranked = rangeCumsum(perV, "v", Seq("cnt"), 1L << 20)
+        .withColumn("dr",
+          lit(2L) * (col("cum_cnt") - col("cnt")) + col("cnt") + 1L)
       val tot = j.agg(sum(col("a")).as("n1"),
         sum(lit(1L) - col("a")).as("n2"))
       ranked.crossJoin(broadcast(tot))
@@ -638,7 +637,7 @@ object AggQueries {
     // Best Gini split — the decision-tree / feature-importance
     // primitive: score EVERY distinct order-value threshold for how
     // well it separates high-priority orders, and return the argmin
-    // weighted child impurity. The same distinct-cent cumulative window
+    // weighted child impurity. The same two-pass distinct-cent cumsum
     // as q_ks_test yields (n_left, pos_left) for every candidate in one
     // pass; per child the n-scaled Gini is (n² − pos² − neg²)·1e6 // n
     // (= n·gini in micro-units — EXACT integers, wide products through
@@ -648,21 +647,21 @@ object AggQueries {
     // same units, so gain = root − best is directly readable.
     //
     // Scale shape (100 TB): one map-side-combined aggregate to the
-    // distinct-cent frame, one bounded-domain window, one tiny argmin
-    // window — the fact scan is touched once; no per-threshold re-scan
-    // (the naive split scorer re-scans per candidate).
+    // distinct-cent frame, the range-partitioned cumsum
+    // ([[QueryUtil.rangeCumsum]]), then the argmin as a lexicographic
+    // min(struct(score, v, …)) AGGREGATE — map-side-combinable, no
+    // global row_number sort. The fact scan is touched once; no
+    // per-threshold re-scan (the naive split scorer re-scans per
+    // candidate), and no unpartitioned window anywhere in the plan.
     "q_gini_split" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val o = Tables.orders(s, d).select(
         round(col("o_totalprice") * 100).cast(LongType).as("v"),
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L).as("pos"))
       val perV = o.groupBy(col("v"))
         .agg(sum(col("pos")).as("p"), count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = perV.select(col("v"),
-        sum(col("p")).over(w).as("pl"), sum(col("cnt")).over(w).as("nl"))
+      val cum = rangeCumsum(perV, "v", Seq("p", "cnt"), 1L << 20)
+        .select(col("v"), col("cum_p").as("pl"), col("cum_cnt").as("nl"))
       val tot = o.agg(count(lit(1)).as("n"), sum(col("pos")).as("ptot"))
       def nGiniMicro(n: String, p: String): String =
         s"CAST((CAST($n AS DECIMAL(38,0)) * $n - CAST($p AS DECIMAL(38,0)) * $p" +
@@ -675,13 +674,12 @@ object AggQueries {
           expr(s"${nGiniMicro("nl", "pl")} + ${nGiniMicro("nr", "pr")}"))
         .withColumn("wgini_root_micro", expr(nGiniMicro("n", "ptot")))
       scored
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("wgini_micro"), col("v"))))
-        .filter(col("rn") === 1)
-        .select(col("v").as("threshold_cents"),
-          col("nl").as("n_left"), col("nr").as("n_right"),
-          col("pl").as("pos_left"), col("pr").as("pos_right"),
-          col("wgini_micro"), col("wgini_root_micro"))
+        .agg(min(struct(col("wgini_micro"), col("v"), col("nl"), col("nr"),
+          col("pl"), col("pr"), col("wgini_root_micro"))).as("b"))
+        .select(col("b.v").as("threshold_cents"),
+          col("b.nl").as("n_left"), col("b.nr").as("n_right"),
+          col("b.pl").as("pos_left"), col("b.pr").as("pos_right"),
+          col("b.wgini_micro"), col("b.wgini_root_micro"))
         .orderBy(col("threshold_cents"))
     }),
 
@@ -870,7 +868,8 @@ object AggQueries {
         |  UNION ALL SELECT 'row_count', CAST(row_count AS BIGINT) FROM s
         |  UNION ALL
         |  SELECT 'orphan_custkey', COUNT(*) FROM orders
-        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
         |SELECT check_name, value FROM m ORDER BY check_name""".stripMargin,
 
     "q_conditional_agg" ->
@@ -1041,7 +1040,9 @@ object AggQueries {
         |  SELECT n1, n2,
         |    CAST(MAX(abs(cua * n2 - cub * n1)) AS BIGINT) AS ks_num
         |  FROM cum, tot GROUP BY n1, n2)
-        |SELECT n1, n2, ks_num, ks_num * 1000000 // (n1 * n2) AS ks_micro
+        |SELECT n1, n2, ks_num,
+        |  CAST(CAST(ks_num AS HUGEINT) * 1000000
+        |       // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_micro
         |FROM m ORDER BY n1""".stripMargin,
 
     // Doubled-rank replay of the U statistic; SUM(BIGINT) → HUGEINT

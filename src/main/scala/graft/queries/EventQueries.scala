@@ -346,9 +346,14 @@ object EventQueries {
     // tier deeper than the pointwise q_zscore_outliers. ALL-INTEGER
     // contract: instead of Σ(x_j − T/n) in doubles, track the
     // n-SCALED statistic S_i = n·Σx_j − i·T (identical argmax, zero
-    // rounding anywhere). One (type)-keyed window pass for the running
-    // sum, one more for the argmax — same shuffle partitioning; group
-    // totals ride in via a broadcast O(types) join.
+    // rounding anywhere). The n·running / i·T products grow ~n²·avg
+    // and overflow BIGINT long before 100 TB, so they route through
+    // DECIMAL(38,0) (HUGEINT in the twin); only the final reported peak
+    // casts back to BIGINT — that cast holds to ~3e9 events/type at
+    // $100 avg (peak ≤ n·T), beyond which report in a coarser unit.
+    // One (type)-keyed window pass for the running sum, one more for
+    // the argmax — same shuffle partitioning; group totals ride in via
+    // a broadcast O(types) join.
     "q_cusum_changepoint" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d).select(col("event_type"), col("event_id"),
@@ -361,7 +366,8 @@ object EventQueries {
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("running", sum(col("cents")).over(
           wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("s_scaled", col("n") * col("running") - col("rn") * col("t_cents"))
+        .withColumn("s_scaled", expr(
+          "CAST(n AS DECIMAL(38,0)) * running - CAST(rn AS DECIMAL(38,0)) * t_cents"))
       val wBest = Window.partitionBy(col("event_type"))
         .orderBy(abs(col("s_scaled")).desc, col("rn"))
       scored
@@ -369,7 +375,7 @@ object EventQueries {
         .filter(col("rb") === 1)
         .select(col("event_type"), col("n"),
           col("rn").as("cusum_pos"),
-          abs(col("s_scaled")).as("cusum_peak_scaled"),
+          abs(col("s_scaled")).cast("long").as("cusum_peak_scaled"),
           col("event_id").as("change_event_id"))
         .orderBy(col("event_type"))
     }),
@@ -501,9 +507,10 @@ object EventQueries {
         |  FROM e JOIN tot ON tot.event_type = e.event_type),
         |best AS (
         |  SELECT event_type, n, rn, event_id,
-        |    abs(n * running - rn * t_cents) AS s_abs,
+        |    abs(CAST(n AS HUGEINT) * running - CAST(rn AS HUGEINT) * t_cents) AS s_abs,
         |    row_number() OVER (PARTITION BY event_type
-        |                       ORDER BY abs(n * running - rn * t_cents) DESC, rn)
+        |                       ORDER BY abs(CAST(n AS HUGEINT) * running
+        |                                    - CAST(rn AS HUGEINT) * t_cents) DESC, rn)
         |      AS rb
         |  FROM scored)
         |SELECT event_type, n, rn AS cusum_pos,

@@ -53,6 +53,47 @@ object QueryUtil {
     sum((round(price * 100) * (lit(100) - round(disc * 100)))
       .cast(DecimalType(38, 0))).cast(DoubleType) / 10000.0
 
+  /** Two-pass exact cumulative sums over a per-distinct-key frame —
+    * the scale-safe replacement for a single-task global
+    * `Window.orderBy(key)` cumsum. Keys range-bucket by a FIXED width
+    * (`key DIV bucketWidth`; keys must be non-negative so DIV == floor):
+    * pass 1 cumsums WITHIN each bucket through a window PARTITIONED on
+    * the bucket (parallel across B = domain/width buckets); pass 2 adds
+    * each bucket's offset — the sum of every earlier bucket's total —
+    * computed WINDOW-FREE by exploding each bucket total onto all later
+    * buckets (O(B²/2) rows; B is a domain constant, ~60 for the cent
+    * domains here, independent of row count) and broadcast-joined back.
+    * The 1-row max-bucket broadcast is the same named crossJoin shape as
+    * the drift family's (n1,n2) totals frame; the `bkt < maxbkt` filter
+    * guards Spark's sequence(a,b) DESCENDING-when-a>b trap for the last
+    * bucket. Identical exchanges under the three uses of the input
+    * (within / totals / max) collapse via ReuseExchange, so the fact
+    * scan below the per-key aggregate still runs once.
+    * Output = the input columns + `cum_<c>` for each requested column. */
+  def rangeCumsum(perKey: DataFrame, key: String, sumCols: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = perKey.withColumn("_rc_bkt", expr(s"$key DIV $bucketWidth"))
+    val wIn = Window.partitionBy(col("_rc_bkt")).orderBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = sumCols.foldLeft(b) { (df, c) =>
+      df.withColumn(s"cum_$c", sum(col(c)).over(wIn))
+    }
+    val tAggs = sumCols.map(c => sum(col(c)).as(s"_rc_t_$c"))
+    val totals = b.groupBy(col("_rc_bkt")).agg(tAggs.head, tAggs.tail: _*)
+    val mx = b.agg(max(col("_rc_bkt")).as("_rc_maxbkt"))
+    val oAggs = sumCols.map(c => sum(col(s"_rc_t_$c")).as(s"_rc_o_$c"))
+    val offs = totals.crossJoin(broadcast(mx))
+      .filter(col("_rc_bkt") < col("_rc_maxbkt"))
+      .select(explode(sequence(col("_rc_bkt") + 1, col("_rc_maxbkt")))
+        .as("_rc_bkt") +: sumCols.map(c => col(s"_rc_t_$c")): _*)
+      .groupBy(col("_rc_bkt")).agg(oAggs.head, oAggs.tail: _*)
+    val outCols = perKey.columns.toSeq.map(col) ++
+      sumCols.map(c =>
+        (col(s"cum_$c") + coalesce(col(s"_rc_o_$c"), lit(0L))).as(s"cum_$c"))
+    within.join(broadcast(offs), Seq("_rc_bkt"), "left").select(outCols: _*)
+  }
+
   /** SQL-side twin fragments (kept next to the Scala forms above). */
   def sqlDsum(x: String): String =
     s"(CAST(SUM(CAST(round(($x) * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0)"

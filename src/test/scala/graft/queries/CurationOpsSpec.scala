@@ -28,9 +28,11 @@ class CurationOpsSpec extends SparkTestBase {
     assert(byType.getOrElse("changed", Set.empty) === changed)
     // delta completeness: nothing else leaks out of the join
     assert(rows.length === added.size + removed.size + changed.size)
-    // changed rows carry both prices, differing by exactly the bump
+    // changed rows carry both prices, differing by the bump (ulp-tolerant:
+    // old/new round onto different binary-exponent grids near powers of 2)
     rows.filter(_.getAs[String]("change_type") == "changed").foreach { r =>
-      assert(r.getAs[Double]("new_price") - r.getAs[Double]("old_price") === 25.0)
+      val diff = r.getAs[Double]("new_price") - r.getAs[Double]("old_price")
+      assert(math.abs(diff - 25.0) < 1e-9)
     }
   }
 

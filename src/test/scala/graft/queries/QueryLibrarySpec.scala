@@ -253,6 +253,21 @@ class QueryLibrarySpec extends SparkTestBase {
     }
   }
 
+  test("explain: drift/split family plans no unpartitioned window (two-pass cumsum)") {
+    // The round-4 single-task risk: a global Window.orderBy(v) cumsum
+    // funnels every distinct cent through one task. rangeCumsum replaces
+    // it with bucket-partitioned windows + broadcast offsets, and
+    // q_gini_split's argmin row_number became a min(struct) aggregate —
+    // so NO window in these plans may have an empty partition spec.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("q_ks_test", "q_rank_sum", "q_gini_split")) {
+      val lp = SparkEntry.queries(name)(spark, sf()).queryExecution.optimizedPlan
+      val unpart = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(unpart.isEmpty,
+        s"$name plans ${unpart.size} unpartitioned window(s):\n$lp")
+    }
+  }
+
   test("explain: partitioned scan prunes partitions; range-agg re-shape broadcasts") {
     val part = SparkEntry.queries("q_partitioned_scan")(spark, sf())
       .queryExecution.executedPlan.toString
