@@ -235,6 +235,12 @@ object SimilarityQueries {
 
     "q_ivf_ann" -> ((s, d) => ivfAnn(s, d)),
 
+    // Within-bound recall gates for the TRAINED ANN variants (see
+    // [[annRecallGate]]): the Lloyd-refined IVF quantizer vs the exact
+    // cosine top-k, and the Lloyd-trained PQ codebooks vs exact L2.
+    "q_ivf_lloyd_recall" -> ((s, d) => annRecallGate(s, d, "ivf_lloyd")),
+    "q_pq_lloyd_recall" -> ((s, d) => annRecallGate(s, d, "pq_lloyd")),
+
     // Product-quantization ANN with asymmetric distance (ADC): the
     // corpus is encoded once to 8 one-byte codes per vector (a 64-byte
     // embedding becomes 8 bytes — the memory trick that lets a billion
@@ -639,6 +645,69 @@ object SimilarityQueries {
     rerankTopK(s, d, cand)
   }
 
+  /** Exact squared-L2 top-K for a bounded probe table — the ground
+    * truth metric for the PQ/ADC family (same metric space), broadcast
+    * probes x one linear corpus scan like [[cosineTopK]]. */
+  private def exactL2TopK(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val q = probes.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val d2 = aggregate(
+      zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("d2"), col("id_b"))
+    b.join(broadcast(q), col("id_a") =!= col("id_b"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("id_a"), col("rn"), col("id_b"))
+  }
+
+  /** Recall floors (micro-units) for the within-bound gates below —
+    * set ~25% under the weakest measured recall so Lloyd's benign
+    * last-ulp mean nondeterminism can never flip the gated boolean.
+    * Measured recall@5 (micro): ivf_lloyd 564k/608k/732k and pq_lloyd
+    * 192k/168k/1000k at sf0.001/sf0.01/the 10x replica. */
+  private[graft] val IVF_LLOYD_FLOOR = 450000L
+  private[graft] val PQ_LLOYD_FLOOR = 120000L
+
+  /** The within-bound gate for the TRAINED (Lloyd) ANN variants — the
+    * q_hll_intersect pattern applied to recall: the variant's recall@K
+    * over the bounded probe sample is compared against a fixed floor
+    * INSIDE the query, and the boolean (plus the exact-side row count
+    * the twin recomputes independently) is what the oracle hashes. The
+    * trained variants' raw neighbor lists are not oracle-stable (double
+    * mean summation order is partitioning-dependent), but the recall
+    * CLAIM is — this closes the last un-gated surface.
+    *
+    * Scale shape (100 TB): the approx side is the capped IVF/PQ path;
+    * the exact side is broadcast(|Q|) x one linear corpus scan — the
+    * standard sampled recall audit, NOT the O(n²) brute force. */
+  private def annRecallGate(s: SparkSession, d: String, variant: String)
+      : DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < N_QUERIES)
+    val (approx, exact, floor) = variant match {
+      case "ivf_lloyd" =>
+        (ivfAnnLloyd(s, d).filter(col("id_a") < N_QUERIES),
+          cosineTopK(e, probes), IVF_LLOYD_FLOOR)
+      case "pq_lloyd" =>
+        (pqAnnTrained(s, d), exactL2TopK(e, probes), PQ_LLOYD_FLOOR)
+    }
+    val hits = approx.select(col("id_a"), col("id_b"))
+      .join(exact.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val nEx = exact.agg(count(lit(1)).as("n_exact"))
+    hits.crossJoin(broadcast(nEx))
+      .select(lit(variant).as("variant"), col("n_exact"),
+        lit(floor).as("floor_micro"),
+        (col("n_hit") * lit(1000000L) >= lit(floor) * col("n_exact"))
+          .as("within_floor"))
+      .orderBy(col("variant"))
+  }
+
   private val sqlCosine =
     "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6)"
 
@@ -717,6 +786,38 @@ object SimilarityQueries {
          |  FROM pairs)
          |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
          |ORDER BY id_a, rn""".stripMargin,
+
+    // The recall gates' twins recompute the EXACT side independently
+    // (n_exact from DuckDB's own top-k) and pin the floor + the recall
+    // claim as literals — the q_hll_intersect within-bound pattern.
+    "q_ivf_lloyd_recall" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCosine AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $N_QUERIES),
+         |ranked AS (
+         |  SELECT id_a, id_b,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+         |  FROM pairs)
+         |SELECT 'ivf_lloyd' AS variant, COUNT(*) AS n_exact,
+         |  CAST($IVF_LLOYD_FLOOR AS BIGINT) AS floor_micro, true AS within_floor
+         |FROM ranked WHERE rn <= $K ORDER BY variant""".stripMargin,
+
+    "q_pq_lloyd_recall" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_sum(list_transform(range(1, ${DIM + 1}), i ->
+         |      (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE))
+         |      * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))) AS d2
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $N_QUERIES),
+         |ranked AS (
+         |  SELECT id_a, id_b,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY d2, id_b) AS rn
+         |  FROM pairs)
+         |SELECT 'pq_lloyd' AS variant, COUNT(*) AS n_exact,
+         |  CAST($PQ_LLOYD_FLOOR AS BIGINT) AS floor_micro, true AS within_floor
+         |FROM ranked WHERE rn <= $K ORDER BY variant""".stripMargin,
 
     "q_cosine_pairs" ->
       s"""WITH $sqlLshCandidates,
