@@ -55,6 +55,7 @@ object Bench {
     // Fixture setup out of the timed path (and out of query builders).
     queries.ClinicalQueries.fixturePath
     sources.DicomFixtures.ensure()
+    try Tables.documentsSpread(spark, sfDir) catch { case _: Throwable => () }
     // Warm-up pass at the smallest SF: compiles every query's codegen
     // units and JITs the hot paths, so the timed pass measures the
     // engine rather than first-call classloading. Costs seconds; the

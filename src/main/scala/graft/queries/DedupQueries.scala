@@ -69,13 +69,27 @@ object DedupQueries {
   private def minhash(shh: Column, j: Int): Column =
     array_min(transform(shh, h => (lit(hashA(j)) * (h % P) + hashB(j)) % P))
 
-  /** documents spread across cores: the table is one small parquet file
-    * (one scan partition), and shingling/hashing are higher-order
-    * expressions evaluated per doc — without a repartition the whole map
-    * stage runs on one thread. At 100 TB the input is many files and
-    * this is a no-op to remove. */
+  /** The corpus through the fixture-level multi-file layout
+    * ([[graft.Tables.documentsSpread]]) — a plain parquet scan that
+    * parallelizes locally; no repartition operator in any gated plan. */
   private def docsSpread(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+    Tables.documentsSpread(s, d)
+
+  /** Exact-duplicate collapse to min-id class representatives, keyed on
+    * sha2(text) so the collapse's pre-aggregate SHUFFLES 32-BYTE DIGESTS
+    * instead of full documents (the q_containment 100 TB note, now
+    * applied at every scale); the representative row (with its text)
+    * re-attaches through a narrow doc_id equi-join. Output: the input
+    * columns + n_members, one row per distinct text (per source when
+    * `bySource`). */
+  private def dupCollapsedReps(docs: DataFrame, bySource: Boolean): DataFrame = {
+    val keys = (if (bySource) Seq(col("source")) else Nil) :+
+      sha2(col("text"), 256).as("dg")
+    val classes = docs.groupBy(keys: _*)
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+      .select(col("doc_id"), col("n_members"))
+    docs.join(classes, Seq("doc_id"))
+  }
 
   /** (doc_id, source, sh) — the per-doc shingle-hash map stage. */
   private[queries] def docShinglesOf(docs: DataFrame): DataFrame =
@@ -217,15 +231,14 @@ object DedupQueries {
     // threshold), so the work is proportional to actual overlap — the
     // textbook scalable shape vs the dense per-bucket cross join, which
     // benched 6× slower at sf0.1 and degrades quadratically.
-    // Exact-duplicate texts COLLAPSE to their min-id rep first (class
-    // size rides as n_mem_*), like q_simhash_near and q_containment:
+    // Exact-duplicate texts COLLAPSE to their min-id rep first via the
+    // digest-keyed [[dupCollapsedReps]] (class size rides as n_mem_*),
+    // like q_simhash_near and q_containment:
     // replicated boilerplate is the input that makes true overlap —
     // and with it this join's work — quadratic (measured at 100×;
     // SCALE.md). Pairs are then between distinct texts only.
     "q_ngram_jaccard" -> ((s, d) => {
-      val reps = docsSpread(s, d)
-        .groupBy(col("source"), col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+      val reps = dupCollapsedReps(docsSpread(s, d), bySource = true)
       val docs = docShinglesOf(reps)
         .join(reps.select(col("doc_id"), col("n_members")), Seq("doc_id"))
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
@@ -344,12 +357,11 @@ object DedupQueries {
     // makes overlap itself quadratic — measured 13 s → >10 min going
     // sf0.1 → 100× on the 100-deep duplicate corpus before the
     // collapse (SCALE.md), linear after. At 100 TB the group key is
-    // sha2(text), not the text (identical semantics; the text column
-    // here doubles as its own digest at test scale).
+    // sha2(text), not the text — implemented for every scale via
+    // [[dupCollapsedReps]] (digest-keyed collapse, text re-attached by
+    // id join).
     "q_containment" -> ((s, d) => {
-      val reps = docsSpread(s, d)
-        .groupBy(col("source"), col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+      val reps = dupCollapsedReps(docsSpread(s, d), bySource = true)
       val docs = docShinglesOf(reps)
         .join(reps.select(col("doc_id"), col("n_members")), Seq("doc_id"))
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"),
@@ -498,9 +510,7 @@ object DedupQueries {
     // the candidate join exploded: 37 s at sf0.1 vs 7 s with the
     // frequency order, identical output by construction.)
     "q_prefix_filter_join" -> ((s, d) => {
-      val reps = docsSpread(s, d)
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_members"))
+      val reps = dupCollapsedReps(docsSpread(s, d), bySource = false)
       val sized = reps.select(col("doc_id"), col("n_members"),
         hashedShingles(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
