@@ -176,6 +176,30 @@ object DedupQueries {
         .orderBy(col("survivor_id"))
     }),
 
+    // Sketch-accuracy audit: for every verified near-dup pair, the
+    // 8-hash MinHash signature AGREEMENT (the streaming estimate of
+    // Jaccard) rides next to the exact shingle Jaccard — est = m/8 is
+    // an exact binary double, so sketch quality is a HASH-GATED fact
+    // per pair, not a test-only claim (the q_approx_count_distinct
+    // philosophy applied to MinHash). Scale: signatures are the same
+    // O(doc) map-side pass the LSH index already pays; the agreement
+    // join touches only the verified pair list.
+    "q_minhash_jaccard_est" -> ((s, d) => {
+      val docs = docsSpread(s, d)
+      val sig = docShinglesOf(docs).select(col("doc_id"),
+        array((0 until NUM_HASHES).map(j => minhash(col("sh"), j)): _*).as("sig"))
+      verifiedPairsOf(docs)
+        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .withColumn("n_sig_match",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
+            x => x)))
+        .select(col("id_a"), col("id_b"), col("n_sig_match"),
+          (col("n_sig_match").cast(DoubleType) / NUM_HASHES).as("jaccard_est"),
+          col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // MinHash signatures (the map-side stage of LSH, fully oracle-checked).
     "q_minhash_signature" -> ((s, d) => {
       val docs = docShingles(s, d)
@@ -696,6 +720,20 @@ object DedupQueries {
          |SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_shingles,
          |$cols
          |FROM t WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "q_minhash_jaccard_est" -> {
+      val agree = (0 until NUM_HASHES)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $sqlVerifiedPairs,
+         |est AS (
+         |  SELECT v.id_a, v.id_b, ($agree) AS n_sig_match, v.jaccard
+         |  FROM verified v JOIN sigs a ON a.doc_id = v.id_a
+         |                  JOIN sigs b ON b.doc_id = v.id_b
+         |  WHERE v.jaccard >= 0.2)
+         |SELECT id_a, id_b, CAST(n_sig_match AS INTEGER) AS n_sig_match,
+         |  CAST(n_sig_match AS DOUBLE) / $NUM_HASHES AS jaccard_est, jaccard
+         |FROM est ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_minhash_lsh_pairs" ->

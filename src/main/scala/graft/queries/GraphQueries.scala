@@ -33,6 +33,8 @@ import QueryUtil._
 object GraphQueries {
 
   private val Iters = 3
+  /** Exposed for BucketingSpec's exchange-count plan assertion. */
+  private[graft] def ItersForTest: Int = Iters
   private val Unit = 1000000L // 1.0 in micro-units
   private val Base = 150000L  // 0.15 * Unit
 
@@ -67,6 +69,57 @@ object GraphQueries {
     // the both-directions edge set appears as a source) — reuse it as
     // the node list instead of paying a second distinct over edges.
     val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.withColumn("r", lit(Unit))
+    for (_ <- 0 until Iters) {
+      val contrib = ew
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))
+        .groupBy(col("node"))
+        .agg(sum(col("share")).as("inflow"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(Base) + expr(s"85 * coalesce(inflow, 0L) DIV 100")).as("r"))
+    }
+    ranks
+      .select(col("node"), col("r").as("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("node"))
+      .limit(100)
+  }
+
+  /** PageRank over a PRE-BUCKETED edge layout — the production lever
+    * named in [[pagerank]]'s scale note, demonstrated end to end: the
+    * derived (src, dst, outdeg) edge list persists ONCE as a parquet
+    * table bucketed AND sorted on `src` (32 buckets, idempotent per sf
+    * dir), so each iteration's ranks⋈edges join reads the edge side
+    * straight from its buckets — NO per-iteration Exchange (or sort) of
+    * the 100 TB-class side; only the O(nodes) ranks frame moves. The
+    * remaining per-iteration shuffle (contributions grouped by dst) is
+    * the irreducible Pregel collect step. Identical integer arithmetic
+    * and output to q_pagerank — same oracle; BucketingSpec asserts the
+    * plan diff (edge-side Exchange present unbucketed, absent here). */
+  private[graft] def pagerankBucketed(s: SparkSession, d: String): DataFrame = {
+    val tbl = "graft_edges_b_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    synchronized {
+      if (!s.catalog.tableExists(tbl)) {
+        // The in-memory catalog forgets tables across JVMs but the
+        // warehouse directory survives — clear any stale location from
+        // an interrupted earlier run so the CTAS can't collide.
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val e = edges(s, d)
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        e.join(deg, Seq("src"))
+          .write.bucketBy(32, "src").sortBy("src")
+          .format("parquet").mode("overwrite").saveAsTable(tbl)
+      }
+    }
+    val ew = s.table(tbl)
+    // bucket-aware distinct: the node list derives from the bucketed
+    // src column, so even this aggregate plans without an exchange.
+    val nodes = ew.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("r", lit(Unit))
     for (_ <- 0 until Iters) {
       val contrib = ew
@@ -168,20 +221,27 @@ object GraphQueries {
 
   /** Steps 3–4 over any normalized undirected edge set (u < v, distinct)
     * — factored out so specs can drive it with known graphs. */
+  /** Degree-oriented edge list (each undirected edge points from its
+    * (deg, id)-smaller endpoint) — shared by the triangle count and the
+    * clustering-coefficient query. */
+  private def orientedOf(pairs: DataFrame, deg: DataFrame): DataFrame = {
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    pairs
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("a"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("b"))
+  }
+
   private[graft] def triangleCountFrom(rawPairs: DataFrame): DataFrame = {
     val pairs = rawPairs
       .localCheckpoint() // reused 4×: degree + orientation + 3-way close
     val deg = pairs.select(col("u").as("n"))
       .unionAll(pairs.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-    val lowFirst = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = pairs
-      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
-      .select(
-        when(lowFirst, col("u")).otherwise(col("v")).as("a"),
-        when(lowFirst, col("v")).otherwise(col("u")).as("b"))
+    val oriented = orientedOf(pairs, deg)
       .localCheckpoint() // pivot of the 3-way closing join below
     val tri = oriented
       .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
@@ -195,7 +255,73 @@ object GraphQueries {
 
   val defs: Map[String, Q] = Map(
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
+    "q_pagerank_bucketed" -> ((s, d) => pagerankBucketed(s, d)),
     "q_triangle_count" -> ((s, d) => triangles(s, d)),
+
+    // Local clustering coefficient over the co-purchase projection:
+    // per-node closed-wedge fraction cc = 2·tri / (deg·(deg−1)), the
+    // community-density profile of the graph family. The oriented
+    // closing join yields each triangle ONCE as (a, b, c); exploding
+    // the three corners + one hash aggregate credits every node —
+    // no per-node neighborhood re-scan. cc is EXACT micro-units with
+    // the wide products through DECIMAL(38,0)/HUGEINT; the output is
+    // the decile histogram (bounded 11 rows at any scale).
+    "q_clustering_coeff" -> ((s, d) => {
+      val pairs = copurchasePairs(s, d).localCheckpoint()
+      val deg = pairs.select(col("u").as("n"))
+        .unionAll(pairs.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val oriented = orientedOf(pairs, deg).localCheckpoint()
+      val corners = oriented
+        .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(oriented.select(col("a").as("wa"), col("b").as("wc")),
+          col("a") === col("wa") && col("c") === col("wc"), "left_semi")
+        .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+      deg.join(corners, Seq("n"), "left")
+        .filter(col("dg") >= 2)
+        .select(expr(
+          "CAST(2 * CAST(coalesce(tri, 0L) AS DECIMAL(38,0)) * 1000000" +
+            " DIV (CAST(dg AS DECIMAL(38,0)) * (dg - 1)) AS BIGINT)")
+          .as("cc_micro"))
+        .groupBy(expr("cc_micro DIV 100000").as("cc_decile"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("cc_decile"))
+    }),
+
+    // Degree assortativity (Newman's r): Pearson correlation of the
+    // endpoint degrees over the DIRECTED edge list (both directions,
+    // so the statistic is symmetric). Same exact-moments contract as
+    // q_correlation: integer degree sums through DECIMAL(38,0), one
+    // IEEE-double closed form at the end with identical op order in
+    // the twin. One degree aggregate + two id-keyed joins + one
+    // map-side-combined moment aggregate — the fact scan shape.
+    "q_assortativity" -> ((s, d) => {
+      val pairs = copurchasePairs(s, d).localCheckpoint()
+      val deg = pairs.select(col("u").as("n"))
+        .unionAll(pairs.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val dir = pairs.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(pairs.select(col("v").as("x"), col("u").as("y")))
+      val j = dir
+        .join(deg.select(col("n").as("x"), col("dg").as("dx")), Seq("x"))
+        .join(deg.select(col("n").as("y"), col("dg").as("dy")), Seq("y"))
+      j.agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(col("dx").cast(DecimalType(38, 0))).cast(DoubleType).as("sx"),
+          sum(col("dy").cast(DecimalType(38, 0))).cast(DoubleType).as("sy"),
+          sum((col("dx") * col("dy")).cast(DecimalType(38, 0)))
+            .cast(DoubleType).as("sxy"),
+          sum((col("dx") * col("dx")).cast(DecimalType(38, 0)))
+            .cast(DoubleType).as("sxx"),
+          sum((col("dy") * col("dy")).cast(DecimalType(38, 0)))
+            .cast(DoubleType).as("syy"))
+        .select(col("n").cast(LongType).as("n_directed_edges"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("assortativity"))
+    }),
 
     // PERSONALIZED PageRank (random walk with restart to a seed set) —
     // the recsys/influence form: restart mass goes only to the seeds
@@ -362,7 +488,12 @@ object GraphQueries {
        |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust)"""
       .stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** q_pagerank_bucketed computes the identical result through the
+    * bucketed layout, so it shares q_pagerank's twin verbatim. */
+  lazy val oracle: Map[String, String] = baseOracle +
+    ("q_pagerank_bucketed" -> baseOracle("q_pagerank"))
+
+  private val baseOracle: Map[String, String] = Map(
     // Unrolls the three LPA rounds; the (c DESC, lbl) row_number tie
     // order makes each round's pick unique, so the twin is exact.
     "q_label_prop" -> {
@@ -519,6 +650,82 @@ object GraphQueries {
          |       (SELECT COUNT(*) FROM pairs) AS n_edges,
          |       n_triangles
          |FROM tri""".stripMargin,
+
+    "q_clustering_coeff" ->
+      s"""WITH cs AS (
+         |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |capped AS (
+         |  SELECT supp, cust FROM (
+         |    SELECT supp, cust,
+         |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
+         |    FROM cs) WHERE rn <= $TriCap),
+         |pairs AS (
+         |  SELECT DISTINCT a.cust AS u, b.cust AS v
+         |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust),
+         |deg AS (
+         |  SELECT n, COUNT(*) AS dg FROM (
+         |    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+         |  GROUP BY n),
+         |ori AS (
+         |  SELECT
+         |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+         |         THEN u ELSE v END AS a,
+         |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+         |         THEN v ELSE u END AS b
+         |  FROM pairs JOIN deg du ON du.n = pairs.u
+         |             JOIN deg dv ON dv.n = pairs.v),
+         |tri3 AS (
+         |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+         |  FROM ori e1 JOIN ori e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM ori e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |corners AS (
+         |  SELECT n, COUNT(*) AS tri FROM (
+         |    SELECT a AS n FROM tri3
+         |    UNION ALL SELECT b FROM tri3
+         |    UNION ALL SELECT c FROM tri3)
+         |  GROUP BY n),
+         |cc AS (
+         |  SELECT CAST(2 * CAST(COALESCE(corners.tri, 0) AS HUGEINT) * 1000000
+         |    // (CAST(deg.dg AS HUGEINT) * (deg.dg - 1)) AS BIGINT) AS cc_micro
+         |  FROM deg LEFT JOIN corners ON corners.n = deg.n
+         |  WHERE deg.dg >= 2)
+         |SELECT cc_micro // 100000 AS cc_decile,
+         |  COUNT(*) AS n_nodes
+         |FROM cc GROUP BY cc_decile ORDER BY cc_decile""".stripMargin,
+
+    "q_assortativity" ->
+      s"""WITH cs AS (
+         |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |capped AS (
+         |  SELECT supp, cust FROM (
+         |    SELECT supp, cust,
+         |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
+         |    FROM cs) WHERE rn <= $TriCap),
+         |pairs AS (
+         |  SELECT DISTINCT a.cust AS u, b.cust AS v
+         |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust),
+         |deg AS (
+         |  SELECT n, COUNT(*) AS dg FROM (
+         |    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
+         |  GROUP BY n),
+         |dir AS (
+         |  SELECT u AS x, v AS y FROM pairs
+         |  UNION ALL SELECT v AS x, u AS y FROM pairs),
+         |m AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(dx.dg AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(dy.dg AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(dx.dg * dy.dg AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(dx.dg * dx.dg AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(dy.dg * dy.dg AS DECIMAL(38,0))) AS DOUBLE) AS syy
+         |  FROM dir JOIN deg dx ON dx.n = dir.x JOIN deg dy ON dy.n = dir.y)
+         |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+         |  (n * sxy - sx * sy) /
+         |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS assortativity
+         |FROM m""".stripMargin,
 
     "q_khop_frontier" ->
       """WITH RECURSIVE cs AS (

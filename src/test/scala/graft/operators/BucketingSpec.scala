@@ -47,4 +47,40 @@ class BucketingSpec extends SparkTestBase {
     val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
+
+  test("bucketed-edge PageRank: edge side joins from buckets with no Exchange; ranks match") {
+    // Locally AQE broadcasts the tiny ranks side, which would hide the
+    // layout difference this test demonstrates — force the shuffle-join
+    // shape the 1000-executor case takes (ranks too big to broadcast).
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = graft.queries.GraphQueries.pagerankBucketed(spark, sf())
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), s"no bucketed scan:\n$plan")
+      // Every per-iteration ranks⋈edges join consumes the edge table
+      // straight from its buckets: the ONLY src-keyed exchanges are the
+      // O(nodes) ranks side — one per iteration, none above a FileScan.
+      val srcExchanges =
+        "Exchange hashpartitioning\\(src".r.findAllIn(plan).size
+      assert(srcExchanges <= graft.queries.GraphQueries.ItersForTest,
+        s"edge side still shuffles ($srcExchanges src exchanges):\n$plan")
+      // The unbucketed plan over the same data shuffles the edge side
+      // too — strictly more src exchanges than the bucketed layout.
+      val flat = graft.queries.GraphQueries.pagerank(spark, sf())
+        .queryExecution.executedPlan.toString
+      val flatSrcExchanges =
+        "Exchange hashpartitioning\\(src".r.findAllIn(flat).size
+      assert(flatSrcExchanges > srcExchanges,
+        s"expected the unbucketed plan to carry more src exchanges " +
+          s"($flatSrcExchanges vs $srcExchanges)")
+      // identical ranks, row for row
+      val want = graft.queries.GraphQueries.pagerank(spark, sf())
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val gotB = bucketed.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(gotB === want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
+  }
 }

@@ -363,4 +363,58 @@ class EventStreamsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("transformWithState: RocksDB state survives a stop + checkpoint restart") {
+    // The crash-recovery contract: kill the query after batch 1, start a
+    // FRESH query from the same checkpoint, and the ValueState counters
+    // must continue from the persisted RocksDB snapshot — batch-2
+    // outputs carry batch-1 history, not reset counters.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+    val stream = MemoryStream[(Long, Double)]
+    // The memory sink refuses checkpoint recovery by design; foreachBatch
+    // is the recoverable sink shape, collecting updates into a shared
+    // buffer the way a real job would upsert into a store.
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def start() = EventStreams.userStatsTws(stream.toDS())
+      .toDF("user_id", "n_events", "total_cents")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        out.synchronized { out ++= rows; () }
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    val q1 = start()
+    try {
+      stream.addData(Seq((1L, 1.25), (1L, 2.50), (2L, 5.00)))
+      q1.processAllAvailable()
+    } finally q1.stop() // the "crash": query gone, state only in ckpt
+    val q2 = start()
+    try {
+      stream.addData(Seq((1L, 3.25), (2L, 0.75)))
+      q2.processAllAvailable()
+      val last = out.synchronized {
+        out.groupBy(_._1).map { case (u, rs) =>
+          u -> rs.map(r => (r._2, r._3)).max
+        }
+      }
+      // (3, 700) and (2, 575) are only reachable THROUGH recovered state:
+      // a reset store would report (1, 325) / (1, 75)
+      assert(last.get(1L).contains((3L, 700L)),
+        s"user 1 state not recovered: $last")
+      assert(last.get(2L).contains((2L, 575L)),
+        s"user 2 state not recovered: $last")
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
