@@ -449,19 +449,19 @@ object AggQueries {
     // count — same re-shape as q_window_range_agg), the window runs
     // over that small domain, and rows sharing a grid cell stay in one
     // bucket. Depths are equal up to grid-tie granularity,
-    // deterministically. All integer arithmetic.
+    // deterministically. All integer arithmetic. The cumsum runs
+    // through [[QueryUtil.rangeCumsum]] (two-pass, range-partitioned
+    // on 16384-dollar buckets) and the total through a 1-row broadcast
+    // — no single-task window anywhere, same re-shape as the drift
+    // family (q_ks_test/q_rank_sum/q_gini_split).
     "q_equidepth_hist" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val dom = Tables.orders(s, d)
         .groupBy(floor(col("o_totalprice")).cast(LongType).as("price_d"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("price_d"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy(lit(0))
-      dom
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn("total", sum(col("cnt")).over(wAll))
-        .withColumn("bucket", expr("((cum - 1) * 10) DIV total"))
+      val tot = dom.agg(sum(col("cnt")).as("total"))
+      rangeCumsum(dom, "price_d", Seq("cnt"), 1L << 14)
+        .crossJoin(broadcast(tot))
+        .withColumn("bucket", expr("((cum_cnt - 1) * 10) DIV total"))
         .groupBy(col("bucket"))
         .agg(sum(col("cnt")).as("n"),
           min(col("price_d")).as("lo_dollars"),

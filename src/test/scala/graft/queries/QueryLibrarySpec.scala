@@ -260,7 +260,8 @@ class QueryLibrarySpec extends SparkTestBase {
     // q_gini_split's argmin row_number became a min(struct) aggregate —
     // so NO window in these plans may have an empty partition spec.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    for (name <- Seq("q_ks_test", "q_rank_sum", "q_gini_split")) {
+    for (name <- Seq("q_ks_test", "q_rank_sum", "q_gini_split",
+        "q_equidepth_hist")) {
       val lp = SparkEntry.queries(name)(spark, sf()).queryExecution.optimizedPlan
       val unpart = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
       assert(unpart.isEmpty,
