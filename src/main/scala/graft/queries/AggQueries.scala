@@ -469,6 +469,41 @@ object AggQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Market-basket association rules over order baskets: for part
+    // pairs co-purchased in one order, support count, both conditional
+    // confidences, and lift — all in exact micro-units (integer DIV;
+    // the lift product n_ab·n_orders·1e6 routes through
+    // DECIMAL(38,0)/HUGEINT since it brushes ~1e24 at 100 TB, and the
+    // confidences ride the same route for uniformity). Scale shape:
+    // the within-order self-join is keyed on l_orderkey and a TPC-H
+    // basket holds ≤7 parts, so pairs ∝ rows·basket² with no cap
+    // needed; supports join keyed on part; the 1-row order count is a
+    // broadcast. Top-100 under a total order (support desc, pa, pb).
+    "q_basket_rules" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
+      val nOrders = items.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val co = items.select(col("ok"), col("pk").as("pa"))
+        .join(items.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .filter(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      co.join(supp.select(col("pk").as("pa"), col("n_one").as("n_a")), Seq("pa"))
+        .join(supp.select(col("pk").as("pb"), col("n_one").as("n_b")), Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000" +
+            " DIV CAST(n_a AS DECIMAL(38,0)) AS BIGINT)").as("conf_ab_micro"),
+          expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000" +
+            " DIV CAST(n_b AS DECIMAL(38,0)) AS BIGINT)").as("conf_ba_micro"),
+          expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000" +
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_micro"))
+        .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+        .limit(100)
+    }),
+
     // Order-independent whole-table fingerprint: one map-side pass
     // computes a canonical per-row hash (integer/string/date fields
     // only — float columns go through exact cents so no float
@@ -967,6 +1002,27 @@ object AggQueries {
         |  CAST(SUM(cnt) AS BIGINT) AS n,
         |  MIN(price_d) AS lo_dollars, MAX(price_d) AS hi_dollars
         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |supp AS (SELECT pk, COUNT(*) AS n_one FROM items GROUP BY pk),
+        |no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+        |co AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY a.pk, b.pk)
+        |SELECT pa, pb, n_ab, sa.n_one AS n_a, sb.n_one AS n_b,
+        |  CAST(CAST(n_ab AS HUGEINT) * 1000000
+        |       // CAST(sa.n_one AS HUGEINT) AS BIGINT) AS conf_ab_micro,
+        |  CAST(CAST(n_ab AS HUGEINT) * 1000000
+        |       // CAST(sb.n_one AS HUGEINT) AS BIGINT) AS conf_ba_micro,
+        |  CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000
+        |       // (CAST(sa.n_one AS HUGEINT) * sb.n_one) AS BIGINT) AS lift_micro
+        |FROM co JOIN supp sa ON sa.pk = co.pa
+        |        JOIN supp sb ON sb.pk = co.pb
+        |        CROSS JOIN no
+        |ORDER BY n_ab DESC, pa, pb LIMIT 100""".stripMargin,
 
     // The twin recomputes the same canonical row hash; all sums CAST
     // back from DuckDB's HUGEINT widening.

@@ -200,6 +200,36 @@ object DedupQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Paragraph/chunk-level dedup (the RefinedWeb/Dolma sub-document
+    // signal): docs cut into NON-overlapping 32-token windows, each
+    // chunk keyed by its sha256 — the occurrence count and per-doc
+    // duplicated-chunk ratio (exact micro-units, integer DIV) fall out
+    // of one digest aggregate joined back to the chunk frame. The
+    // shuffle carries 32-byte digests, never chunk text (the
+    // q_dedup_exact contract at sub-document grain); work is O(tokens)
+    // map-side plus two digest-keyed exchanges.
+    "q_chunk_dedup" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val chunks = docsSpread(s, d)
+        .select(col("doc_id"), toks.as("toks"), size(toks).as("n_tok"))
+        .select(col("doc_id"), col("toks"), col("n_tok"),
+          explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)),
+            lit(32))).as("st"))
+        .filter(col("st") < col("n_tok"))
+        .select(col("doc_id"),
+          sha2(array_join(slice(col("toks"), col("st") + 1, lit(32)), " "),
+            256).as("dg"))
+      val occ = chunks.groupBy(col("dg")).agg(count(lit(1)).as("n_occ"))
+      chunks.join(occ, Seq("dg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("n_occ") > 1, lit(1))).as("n_dup_chunks"))
+        .filter(col("n_dup_chunks") > 0)
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          expr("n_dup_chunks * 1000000 DIV n_chunks").as("dup_ratio_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash signatures (the map-side stage of LSH, fully oracle-checked).
     "q_minhash_signature" -> ((s, d) => {
       val docs = docShingles(s, d)
@@ -721,6 +751,23 @@ object DedupQueries {
          |$cols
          |FROM t WHERE len(sh) > 0 ORDER BY doc_id""".stripMargin
     },
+
+    "q_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ch AS (
+        |  SELECT doc_id, sha256(array_to_string(
+        |    list_slice(toks, s1, least(s1 + 31, len(toks))), ' ')) AS dg
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks), 32)) AS s1 FROM t)),
+        |occ AS (SELECT dg, COUNT(*) AS n_occ FROM ch GROUP BY dg),
+        |per AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks,
+        |    COUNT(CASE WHEN n_occ > 1 THEN 1 END) AS n_dup_chunks
+        |  FROM ch JOIN occ USING (dg) GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_dup_chunks,
+        |  n_dup_chunks * 1000000 // n_chunks AS dup_ratio_micro
+        |FROM per WHERE n_dup_chunks > 0 ORDER BY doc_id""".stripMargin,
 
     "q_minhash_jaccard_est" -> {
       val agree = (0 until NUM_HASHES)

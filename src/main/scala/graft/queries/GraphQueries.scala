@@ -143,6 +143,12 @@ object GraphQueries {
     * contributes at most TriCap·(TriCap−1)/2 pairs. */
   private[queries] val TriCap = 16
 
+  /** Per-center neighbor cap for wedge enumeration (link prediction) —
+    * a hub contributes at most WedgeCap·(WedgeCap−1)/2 candidate pairs,
+    * so wedge work is ≤ nodes·WedgeCap², never Σdeg². Deterministic:
+    * the cap keeps the WedgeCap smallest neighbor ids. */
+  private[queries] val WedgeCap = 64
+
   /** Triangle count over the customer co-purchase graph.
     *
     * The raw trade graph is BIPARTITE (customer↔supplier) and so
@@ -321,6 +327,39 @@ object GraphQueries {
             sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))))
             .as("assortativity"))
+    }),
+
+    // Link prediction over the co-purchase graph: for every
+    // NON-adjacent pair sharing ≥1 neighbor, the common-neighbor count
+    // plus the resource-allocation index (Zhou et al. 2009: Σ over
+    // shared neighbors w of 1/deg(w)) in exact micro-units
+    // (1000000 DIV dg — integer both engines, no float parity risk).
+    // Wedge enumeration is degree-capped per center ([[WedgeCap]],
+    // smallest neighbor ids) so hub wedges are bounded; the RA
+    // denominator is the TRUE degree, not the capped one. Candidates
+    // aggregate BEFORE the anti-join against existing edges, so the
+    // anti-join touches the O(candidate-pairs) frame only.
+    "q_link_predict" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = copurchasePairs(s, d).localCheckpoint()
+      val adj = pairs.select(col("u").as("w"), col("v").as("n"))
+        .unionAll(pairs.select(col("v").as("w"), col("u").as("n")))
+      val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
+      val capped = adj
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("w")).orderBy(col("n"))))
+        .filter(col("rn") <= WedgeCap).drop("rn")
+      val cand = capped.select(col("w"), col("n").as("x"))
+        .join(capped.select(col("w"), col("n").as("y")), Seq("w"))
+        .filter(col("x") < col("y"))
+        .join(deg, Seq("w"))
+        .groupBy(col("x").as("u"), col("y").as("v"))
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000 DIV dg")).as("ra_micro"))
+      cand.join(pairs, Seq("u", "v"), "left_anti")
+        .orderBy(col("n_common").desc, col("ra_micro").desc,
+          col("u"), col("v"))
+        .limit(100)
     }),
 
     // PERSONALIZED PageRank (random walk with restart to a seed set) —
@@ -726,6 +765,28 @@ object GraphQueries {
          |  (n * sxy - sx * sy) /
          |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS assortativity
          |FROM m""".stripMargin,
+
+    "q_link_predict" ->
+      s"""WITH $sqlCopurchasePairs,
+         |adj AS (
+         |  SELECT u AS w, v AS n FROM pairs
+         |  UNION ALL SELECT v AS w, u AS n FROM pairs),
+         |deg AS (SELECT w, COUNT(*) AS dg FROM adj GROUP BY w),
+         |cap AS (
+         |  SELECT w, n FROM (
+         |    SELECT w, n,
+         |      row_number() OVER (PARTITION BY w ORDER BY n) AS rn
+         |    FROM adj) WHERE rn <= $WedgeCap),
+         |cand AS (
+         |  SELECT a.n AS u, b.n AS v, COUNT(*) AS n_common,
+         |    CAST(SUM(1000000 // dg) AS BIGINT) AS ra_micro
+         |  FROM cap a JOIN cap b ON a.w = b.w AND a.n < b.n
+         |       JOIN deg ON deg.w = a.w
+         |  GROUP BY a.n, b.n)
+         |SELECT u, v, n_common, ra_micro FROM cand
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM pairs p WHERE p.u = cand.u AND p.v = cand.v)
+         |ORDER BY n_common DESC, ra_micro DESC, u, v LIMIT 100""".stripMargin,
 
     "q_khop_frontier" ->
       """WITH RECURSIVE cs AS (

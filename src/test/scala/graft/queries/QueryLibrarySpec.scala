@@ -232,7 +232,13 @@ class QueryLibrarySpec extends SparkTestBase {
         "q_dq_audit", "q_dedup_survivor", "q_impute_missing",
         "q_interval_merge", "q_kcore", "q_embed_project",
         // final-round: LPA joins labels to edges on the node key
-        "q_label_prop")) {
+        "q_label_prop",
+        // round-5: wedge/pair enumeration blocks on the center node,
+        // chunk dedup on the chunk digest, basket pairs on l_orderkey,
+        // sketch-audit on the verified pair ids, bucketed pagerank on
+        // the bucketed src key
+        "q_link_predict", "q_chunk_dedup", "q_minhash_jaccard_est",
+        "q_clustering_coeff", "q_pagerank_bucketed")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -246,7 +252,11 @@ class QueryLibrarySpec extends SparkTestBase {
     for (name <- Seq("q_bm25", "q_cooccur_pmi", "q_bpe_merges", "q_hll_intersect",
         // drift-test family: the only BNL is the 1-row (n1, n2) /
         // contingency-total broadcast; PPR's is the 1-row seed share
-        "q_ks_test", "q_rank_sum", "q_chi_square", "q_ppr", "q_gini_split")) {
+        "q_ks_test", "q_rank_sum", "q_chi_square", "q_ppr", "q_gini_split",
+        // round-5 1-row broadcasts: basket rules' order count,
+        // equi-depth's total + rangeCumsum max-bucket, assortativity's
+        // single moments row feeding the closed form
+        "q_basket_rules", "q_equidepth_hist", "q_assortativity")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
