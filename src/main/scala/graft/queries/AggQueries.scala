@@ -480,17 +480,31 @@ object AggQueries {
     // needed; supports join keyed on part; the 1-row order count is a
     // broadcast. Top-100 under a total order (support desc, pa, pb).
     "q_basket_rules" -> ((s, d) => {
+      // materialized once (localCheckpoint, the graph-family pattern):
+      // the basket frame feeds four consumers — both pair-join sides,
+      // the supports, and the order count — and would otherwise
+      // re-derive its distinct per consumer in the static plan.
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint()
       val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_one"))
       val nOrders = items.select(col("ok")).distinct()
         .agg(count(lit(1)).as("n_orders"))
+      // top-100 CUT BEFORE the support joins: the ranking key (n_ab)
+      // needs no support data, so the cut happens on the pair frame
+      // (TakeOrderedAndProject — partial top-k per partition, no full
+      // sort shuffle) and the confidence/lift joins touch a 100-row
+      // broadcast side instead of re-shuffling the whole pair frame by
+      // pa and again by pb. Identical rows to cutting last.
       val co = items.select(col("ok"), col("pk").as("pa"))
         .join(items.select(col("ok"), col("pk").as("pb")), Seq("ok"))
         .filter(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
-      co.join(supp.select(col("pk").as("pa"), col("n_one").as("n_a")), Seq("pa"))
+        .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+        .limit(100)
+      broadcast(broadcast(co)
+        .join(supp.select(col("pk").as("pa"), col("n_one").as("n_a")), Seq("pa")))
         .join(supp.select(col("pk").as("pb"), col("n_one").as("n_b")), Seq("pb"))
         .crossJoin(broadcast(nOrders))
         .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Shuffle-count regression guard: every Exchange in a plan is a full
+  * re-partition of its input — at 100 TB the dominant cost — so each
+  * headline query carries an explicit BUDGET of shuffle exchanges (the
+  * number its design needs, not merely "few"). A refactor that slips an
+  * extra repartition/groupBy into one of these plans fails here with
+  * the offending plan printed, the same way the no-cartesian gate
+  * catches a lost blocking key. Broadcast exchanges are NOT counted:
+  * they move the small side only, which is the point of broadcasting.
+  *
+  * Budgets are exact counts observed from the intended plan shape at
+  * the time the query was tuned (AQE coalesces partitions inside a
+  * shuffle but does not add or remove exchanges for these fixed-shape
+  * plans; the assert is `<=` so plan IMPROVEMENTS don't fail the gate).
+  */
+class ExchangeBudgetSpec extends SparkTestBase {
+
+  private def shuffleCount(name: String): (Int, String) = {
+    val plan = SparkEntry.queries(name)(spark, sf())
+      .queryExecution.executedPlan.toString
+    // shuffle exchanges print as "Exchange hashpartitioning(...)" /
+    // "Exchange rangepartitioning(...)" / "Exchange SinglePartition";
+    // BroadcastExchange deliberately not matched.
+    ("(?m)(?<!Broadcast)Exchange (hash|range|Single)".r
+      .findAllIn(plan).size, plan)
+  }
+
+  // (query, budget, why that number)
+  private val budgets: Seq[(String, Int, String)] = Seq(
+    ("q1_pricing_summary", 2,
+      "one hash partial->final agg + the output range sort"),
+    ("q_join_broadcast", 2,
+      "broadcast lookup joins shuffle nothing; one agg + the output sort"),
+    ("q_dedup_exact", 2,
+      "one digest hash agg + the output sort"),
+    ("q_topk_per_group", 2,
+      "one grouped window (WindowGroupLimit) + the output sort"),
+    ("q_chunk_dedup", 4,
+      "digest agg + digest join-back + doc agg + output sort"),
+    ("q_window_running_sum", 2,
+      "one user-keyed window partition + the output sort"),
+    ("q_basket_rules", 5,
+      "items distinct + ok-keyed pair self-join + pair agg + supp agg; " +
+        "the top-100 cut precedes the support joins, so those are " +
+        "100-row broadcasts, not pair-frame re-shuffles"),
+    ("q_equidepth_hist", 10,
+      "only the orders-scan dollar-domain agg carries data volume; the " +
+        "other nine (rangeCumsum's bucket window/totals/offsets, the " +
+        "total, bucket agg, output sort) all move the tiny domain frame"))
+
+  for ((name, budget, why) <- budgets)
+    test(s"$name stays within its shuffle budget of $budget ($why)") {
+      val (n, plan) = shuffleCount(name)
+      assert(n <= budget,
+        s"$name plans $n shuffle exchanges, budget $budget:\n$plan")
+    }
+}
