@@ -373,6 +373,54 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Welch's two-sample t-test (order value, BUILDING vs MACHINERY
+    // segments) — the q_correlation parity contract: per-group moments
+    // are EXACT (integer cents summed through DECIMAL(38,0)/HUGEINT),
+    // and the t statistic + Welch–Satterthwaite df are one IEEE-double
+    // closed form over the 1-row moments frame with the identical
+    // operation tree in the twin (explicit se1/se2/sesum stages pin the
+    // association order; x*x instead of pow). Scale: one broadcast dim
+    // join + one map-side-combined moment aggregate; everything after
+    // is a 2-row frame.
+    "q_t_test" -> ((s, d) => {
+      val j = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_mktsegment").as("seg"),
+          round(col("o_totalprice") * 100).cast(LongType).as("c"))
+      val m = j.groupBy(col("seg")).agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast(DecimalType(38, 0))).cast(DoubleType).as("sx"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0)))
+          .cast(DoubleType).as("sxx"))
+      val a = m.filter(col("seg") === "BUILDING")
+        .select(col("n").as("n1"), col("sx").as("sx1"), col("sxx").as("sxx1"))
+      val b = m.filter(col("seg") === "MACHINERY")
+        .select(col("n").as("n2"), col("sx").as("sx2"), col("sxx").as("sxx2"))
+      a.crossJoin(broadcast(b))
+        .withColumn("m1", col("sx1") / col("n1").cast(DoubleType))
+        .withColumn("m2", col("sx2") / col("n2").cast(DoubleType))
+        .withColumn("v1",
+          (col("sxx1") - col("sx1") * col("sx1") / col("n1").cast(DoubleType))
+            / (col("n1").cast(DoubleType) - 1.0))
+        .withColumn("v2",
+          (col("sxx2") - col("sx2") * col("sx2") / col("n2").cast(DoubleType))
+            / (col("n2").cast(DoubleType) - 1.0))
+        .withColumn("se1", col("v1") / col("n1").cast(DoubleType))
+        .withColumn("se2", col("v2") / col("n2").cast(DoubleType))
+        .withColumn("sesum", col("se1") + col("se2"))
+        .select(col("n1"), col("n2"),
+          (col("m1") / 100.0).as("mean1_dollars"),
+          (col("m2") / 100.0).as("mean2_dollars"),
+          ((col("m1") - col("m2")) / sqrt(col("sesum"))).as("t_stat"),
+          ((col("sesum") * col("sesum")) /
+            (col("se1") * col("se1") / (col("n1").cast(DoubleType) - 1.0) +
+             col("se2") * col("se2") / (col("n2").cast(DoubleType) - 1.0)))
+            .as("welch_df"))
+    }),
+
     // Fixed-width histogram of order value: width_bucket over exact
     // integer cents (bucket edges exact in double, so the floor cannot
     // ride a rounding error). DuckDB has no width_bucket — the twin
@@ -1016,6 +1064,43 @@ object AggQueries {
         |  CAST(SUM(cnt) AS BIGINT) AS n,
         |  MIN(price_d) AS lo_dollars, MAX(price_d) AS hi_dollars
         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_t_test" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |m AS (
+        |  SELECT seg, COUNT(*) AS n,
+        |    CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(c * c AS HUGEINT)) AS DOUBLE) AS sxx
+        |  FROM j GROUP BY seg),
+        |ab AS (
+        |  SELECT a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
+        |         b.n AS n2, b.sx AS sx2, b.sxx AS sxx2
+        |  FROM (SELECT * FROM m WHERE seg = 'BUILDING') a
+        |  CROSS JOIN (SELECT * FROM m WHERE seg = 'MACHINERY') b),
+        |s AS (
+        |  SELECT n1, n2,
+        |    sx1 / CAST(n1 AS DOUBLE) AS m1, sx2 / CAST(n2 AS DOUBLE) AS m2,
+        |    (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |    (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        |  FROM ab),
+        |se AS (
+        |  SELECT n1, n2, m1, m2,
+        |    v1 / CAST(n1 AS DOUBLE) AS se1, v2 / CAST(n2 AS DOUBLE) AS se2,
+        |    v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS sesum
+        |  FROM s)
+        |SELECT n1, n2,
+        |  m1 / 100.0 AS mean1_dollars, m2 / 100.0 AS mean2_dollars,
+        |  (m1 - m2) / sqrt(sesum) AS t_stat,
+        |  (sesum * sesum) /
+        |    (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0) +
+        |     se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
+        |FROM se""".stripMargin,
 
     "q_basket_rules" ->
       """WITH items AS (

@@ -256,7 +256,9 @@ class QueryLibrarySpec extends SparkTestBase {
         // round-5 1-row broadcasts: basket rules' order count,
         // equi-depth's total + rangeCumsum max-bucket, assortativity's
         // single moments row feeding the closed form
-        "q_basket_rules", "q_equidepth_hist", "q_assortativity")) {
+        "q_basket_rules", "q_equidepth_hist", "q_assortativity",
+        // Welch t: the two 1-row moment frames cross-joined
+        "q_t_test")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
