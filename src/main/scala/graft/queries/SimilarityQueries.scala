@@ -180,6 +180,57 @@ object SimilarityQueries {
       cosineTopK(e, e.filter(col("vec_id") < N_QUERIES))
     }),
 
+    // MMR (maximal-marginal-relevance) re-ranking — the retrieval
+    // diversity pass: top-20 candidates by exact cosine to the probe,
+    // then 5 greedy picks maximizing λ·rel − (1−λ)·max-sim-to-selected
+    // with λ=0.7. ALL-INTEGER contract: cosines become micro-units
+    // (round(cos·1e6), the proven bit-parity double → one rounding),
+    // scores are 7·rel − 3·maxsim in BIGINT, ties broken by id — so
+    // the greedy argmax sequence is hash-exact and the twin unrolls
+    // the same 5 picks as CTEs. Scale shape: the corpus scan reduces
+    // to 20 rows via TakeOrdered (partial top-k, no global sort); the
+    // 20×20 sim matrix and every greedy step run on checkpointed
+    // 20-row frames (deliberate tiny BNLs, the q_cosine_topk class).
+    "q_mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id").as("id"), col("embedding"),
+          round(cosine(col("embedding"), col("q_emb")) * 1000000)
+            .cast(LongType).as("rel"))
+        .orderBy(col("rel").desc, col("id")).limit(20)
+        .localCheckpoint()
+      val sims = cand.select(col("id").as("ia"), col("embedding").as("ea"))
+        .crossJoin(cand.select(col("id").as("ib"), col("embedding").as("eb")))
+        .filter(col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          round(cosine(col("ea"), col("eb")) * 1000000)
+            .cast(LongType).as("sim"))
+        .localCheckpoint()
+      var sel = cand
+        .orderBy(col("rel").desc, col("id")).limit(1)
+        .select(col("id"), col("rel"), lit(1).as("pick"),
+          (col("rel") * 7).as("mmr_score"))
+        .localCheckpoint()
+      for (k <- 2 to 5) {
+        val pick = cand.select(col("id"), col("rel"))
+          .join(sel.select(col("id")), Seq("id"), "left_anti")
+          .join(sims.withColumnRenamed("ia", "id"), Seq("id"))
+          .join(sel.select(col("id").as("ib")), Seq("ib"))
+          .groupBy(col("id"), col("rel")).agg(max(col("sim")).as("maxsim"))
+          .select(col("id"), col("rel"),
+            (col("rel") * 7 - col("maxsim") * 3).as("mmr_score"))
+          .orderBy(col("mmr_score").desc, col("id")).limit(1)
+          .select(col("id"), col("rel"), lit(k).as("pick"), col("mmr_score"))
+        sel = sel.unionByName(pick).localCheckpoint()
+      }
+      sel.select(col("pick"), col("id").as("vec_id"),
+          col("rel").as("rel_micro"), col("mmr_score"))
+        .orderBy(col("pick"))
+    }),
+
     // Pairwise cosine above a threshold through the capped LSH index
     // (candidates only where some table buckets them together; exact
     // cosine verifies) — the scale shape for similarity pair search.
@@ -786,6 +837,44 @@ object SimilarityQueries {
          |  FROM pairs)
          |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
          |ORDER BY id_a, rn""".stripMargin,
+
+    // The greedy MMR argmax sequence is all-integer (micro cosines,
+    // 7·rel − 3·maxsim scores, id tie-break), so the twin just unrolls
+    // the 5 picks as CTE stages over the same 20-candidate frame.
+    "q_mmr_rerank" -> {
+      val micro = (x: String, y: String) =>
+        s"CAST(round(list_cosine_similarity(CAST($x AS DOUBLE[]), " +
+          s"CAST($y AS DOUBLE[])) * 1000000) AS BIGINT)"
+      val steps = (2 to 5).map { k =>
+        val prev = if (k == 2) "s1" else s"sel${k - 1}"
+        s"""p$k AS (
+           |  SELECT id, rel, $k AS pick, mmr_score FROM (
+           |    SELECT c.id, c.rel, c.rel * 7 - 3 * MAX(s.sim) AS mmr_score
+           |    FROM cand c JOIN sims s ON s.ia = c.id
+           |    WHERE s.ib IN (SELECT id FROM $prev)
+           |      AND c.id NOT IN (SELECT id FROM $prev)
+           |    GROUP BY c.id, c.rel)
+           |  ORDER BY mmr_score DESC, id LIMIT 1),
+           |sel$k AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH cand AS (
+         |  SELECT b.vec_id AS id, b.embedding,
+         |    ${micro("b.embedding", "q.embedding")} AS rel
+         |  FROM embeddings b, embeddings q
+         |  WHERE q.vec_id = 0 AND b.vec_id <> 0
+         |  ORDER BY rel DESC, id LIMIT 20),
+         |sims AS (
+         |  SELECT a.id AS ia, b.id AS ib,
+         |    ${micro("a.embedding", "b.embedding")} AS sim
+         |  FROM cand a JOIN cand b ON a.id <> b.id),
+         |s1 AS (
+         |  SELECT id, rel, 1 AS pick, rel * 7 AS mmr_score
+         |  FROM cand ORDER BY rel DESC, id LIMIT 1),
+         |$steps
+         |SELECT pick, id AS vec_id, rel AS rel_micro, mmr_score
+         |FROM sel5 ORDER BY pick""".stripMargin
+    },
 
     // The recall gates' twins recompute the EXACT side independently
     // (n_exact from DuckDB's own top-k) and pin the floor + the recall

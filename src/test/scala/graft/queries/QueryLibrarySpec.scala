@@ -257,8 +257,9 @@ class QueryLibrarySpec extends SparkTestBase {
         // equi-depth's total + rangeCumsum max-bucket, assortativity's
         // single moments row feeding the closed form
         "q_basket_rules", "q_equidepth_hist", "q_assortativity",
-        // Welch t: the two 1-row moment frames cross-joined
-        "q_t_test")) {
+        // Welch t: the two 1-row moment frames cross-joined; MMR: the
+        // probe broadcast + the 20-row candidate sim matrix
+        "q_t_test", "q_mmr_rerank")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
