@@ -98,7 +98,9 @@ object GraphQueries {
     * the irreducible Pregel collect step. Identical integer arithmetic
     * and output to q_pagerank — same oracle; BucketingSpec asserts the
     * plan diff (edge-side Exchange present unbucketed, absent here). */
-  private[graft] def pagerankBucketed(s: SparkSession, d: String): DataFrame = {
+  /** The shared bucketed (src, dst, outdeg) edge table — written once
+    * per sf dir, read bucket-aligned by every bucketed graph variant. */
+  private def bucketedEdges(s: SparkSession, d: String): DataFrame = {
     val tbl = "graft_edges_b_" + d.replaceAll("[^0-9a-zA-Z]", "_")
     synchronized {
       if (!s.catalog.tableExists(tbl)) {
@@ -116,7 +118,11 @@ object GraphQueries {
           .format("parquet").mode("overwrite").saveAsTable(tbl)
       }
     }
-    val ew = s.table(tbl)
+    s.table(tbl)
+  }
+
+  private[graft] def pagerankBucketed(s: SparkSession, d: String): DataFrame = {
+    val ew = bucketedEdges(s, d)
     // bucket-aware distinct: the node list derives from the bucketed
     // src column, so even this aggregate plans without an exchange.
     val nodes = ew.select(col("src").as("node")).distinct()
@@ -135,6 +141,40 @@ object GraphQueries {
     ranks
       .select(col("node"), col("r").as("rank_micro"))
       .orderBy(col("rank_micro").desc, col("node"))
+      .limit(100)
+  }
+
+  /** PPR over the SAME bucketed edge table [[bucketedEdges]] — the
+    * second heavy fixed-point query moved onto the layout (identical
+    * integer arithmetic and output to q_ppr, shared twin). The
+    * seed-mass frame (pmu) rides in the ranks frame exactly as in
+    * q_ppr; only the edge side changes, from a per-iteration shuffle
+    * to bucket-aligned reads. */
+  private[graft] def pprBucketed(s: SparkSession, d: String): DataFrame = {
+    val ew = bucketedEdges(s, d)
+    val nodes = ew.select(col("src").as("node")).distinct()
+    val isSeed = col("node").startsWith("c") &&
+      expr("CAST(substring(node, 2) AS BIGINT) % 50 = 0")
+    val nSeeds = nodes.filter(isSeed).agg(count(lit(1)).as("ns"))
+    var ranks = nodes.crossJoin(broadcast(nSeeds))
+      .select(col("node"),
+        when(isSeed, expr("1000000 DIV ns")).otherwise(0L).as("pmu"))
+      .withColumn("r", col("pmu"))
+      .localCheckpoint()
+    for (_ <- 0 until 3) {
+      val contrib = ew
+        .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))
+        .groupBy(col("node"))
+        .agg(sum(col("share")).as("inflow"))
+      ranks = ranks.select(col("node"), col("pmu"))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), col("pmu"),
+          expr("(15 * pmu + 85 * coalesce(inflow, 0L)) DIV 100").as("r"))
+    }
+    ranks
+      .select(col("node"), col("r").as("ppr_micro"))
+      .orderBy(col("ppr_micro").desc, col("node"))
       .limit(100)
   }
 
@@ -262,6 +302,7 @@ object GraphQueries {
   val defs: Map[String, Q] = Map(
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_pagerank_bucketed" -> ((s, d) => pagerankBucketed(s, d)),
+    "q_ppr_bucketed" -> ((s, d) => pprBucketed(s, d)),
     "q_triangle_count" -> ((s, d) => triangles(s, d)),
 
     // Local clustering coefficient over the co-purchase projection:
@@ -527,10 +568,11 @@ object GraphQueries {
        |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust)"""
       .stripMargin
 
-  /** q_pagerank_bucketed computes the identical result through the
-    * bucketed layout, so it shares q_pagerank's twin verbatim. */
+  /** The bucketed variants compute identical results through the
+    * bucketed layout, so they share the flat twins verbatim. */
   lazy val oracle: Map[String, String] = baseOracle +
-    ("q_pagerank_bucketed" -> baseOracle("q_pagerank"))
+    ("q_pagerank_bucketed" -> baseOracle("q_pagerank")) +
+    ("q_ppr_bucketed" -> baseOracle("q_ppr"))
 
   private val baseOracle: Map[String, String] = Map(
     // Unrolls the three LPA rounds; the (c DESC, lbl) row_number tie

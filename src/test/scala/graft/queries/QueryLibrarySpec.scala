@@ -259,7 +259,9 @@ class QueryLibrarySpec extends SparkTestBase {
         "q_basket_rules", "q_equidepth_hist", "q_assortativity",
         // Welch t: the two 1-row moment frames cross-joined; MMR: the
         // probe broadcast + the 20-row candidate sim matrix
-        "q_t_test", "q_mmr_rerank")) {
+        "q_t_test", "q_mmr_rerank",
+        // same 1-row seed-share broadcast as q_ppr
+        "q_ppr_bucketed")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
