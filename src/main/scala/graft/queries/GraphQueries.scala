@@ -365,8 +365,10 @@ object GraphQueries {
             .cast(DoubleType).as("syy"))
         .select(col("n").cast(LongType).as("n_directed_edges"),
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy"))))
+            nullif(
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))),
+              lit(0d)))
             .as("assortativity"))
     }),
 
@@ -805,7 +807,8 @@ object GraphQueries {
          |  FROM dir JOIN deg dx ON dx.n = dir.x JOIN deg dy ON dy.n = dir.y)
          |SELECT CAST(n AS BIGINT) AS n_directed_edges,
          |  (n * sxy - sx * sy) /
-         |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS assortativity
+         |    NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)
+         |    AS assortativity
          |FROM m""".stripMargin,
 
     "q_link_predict" ->

@@ -231,6 +231,48 @@ object SimilarityQueries {
         .orderBy(col("pick"))
     }),
 
+    // Reciprocal-rank fusion (hybrid retrieval): the embedding ranking
+    // (cosine to the probe) and the lexical ranking (frequency of the
+    // 3 highest-df query terms) fuse as Σ 1e6 DIV (60 + rank) — the
+    // standard RRF k=60, all-integer so the fused order is hash-exact.
+    // vec_id and doc_id share the id space by construction, making
+    // this the engine's hybrid-search shape. Scale: both rankings cut
+    // to top-50 via TakeOrdered BEFORE their rank windows, so the
+    // windows see 50 rows; the fusion is a 50×50 full outer on the id.
+    "q_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val probe = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb")))
+      val ra = e.filter(col("vec_id") =!= 0)
+        .crossJoin(probe)
+        .select(col("vec_id").as("id"),
+          round(cosine(col("embedding"), col("q_emb")) * 1000000)
+            .cast(LongType).as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("id")).limit(50)
+        .withColumn("rank_a", row_number()
+          .over(Window.orderBy(col("cos_micro").desc, col("id")))
+          .cast(LongType))
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
+      val top3 = toks.distinct().groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("tok")).limit(3)
+      val rb = toks.join(broadcast(top3.select(col("tok"))), Seq("tok"))
+        .groupBy(col("doc_id").as("id")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("id")).limit(50)
+        .withColumn("rank_b", row_number()
+          .over(Window.orderBy(col("tf").desc, col("id")))
+          .cast(LongType))
+      ra.select(col("id"), col("rank_a"))
+        .join(rb.select(col("id"), col("rank_b")), Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"), col("rank_a"), col("rank_b"),
+          (coalesce(expr("1000000 DIV (60 + rank_a)"), lit(0L)) +
+            coalesce(expr("1000000 DIV (60 + rank_b)"), lit(0L)))
+            .as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
+    }),
+
     // Pairwise cosine above a threshold through the capped LSH index
     // (candidates only where some table buckets them together; exact
     // cosine verifies) — the scale shape for similarity pair search.
@@ -837,6 +879,39 @@ object SimilarityQueries {
          |  FROM pairs)
          |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
          |ORDER BY id_a, rn""".stripMargin,
+
+    "q_rrf_fusion" -> {
+      val micro = "CAST(round(list_cosine_similarity(CAST(b.embedding AS " +
+        "DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 1000000) AS BIGINT)"
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |ra AS (
+         |  SELECT id, row_number() OVER (ORDER BY cos_micro DESC, id)
+         |    AS rank_a
+         |  FROM (
+         |    SELECT b.vec_id AS id, $micro AS cos_micro
+         |    FROM embeddings b, q WHERE b.vec_id <> 0
+         |    ORDER BY cos_micro DESC, id LIMIT 50)),
+         |toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    t -> len(t) > 0)) AS tok
+         |  FROM documents),
+         |top3 AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS df
+         |    FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok)
+         |  ORDER BY df DESC, tok LIMIT 3),
+         |rb AS (
+         |  SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS rank_b
+         |  FROM (
+         |    SELECT t.doc_id AS id, COUNT(*) AS tf
+         |    FROM toks t JOIN top3 USING (tok)
+         |    GROUP BY t.doc_id ORDER BY tf DESC, id LIMIT 50))
+         |SELECT COALESCE(ra.id, rb.id) AS doc_id, rank_a, rank_b,
+         |  COALESCE(1000000 // (60 + rank_a), 0)
+         |    + COALESCE(1000000 // (60 + rank_b), 0) AS rrf_micro
+         |FROM ra FULL OUTER JOIN rb ON ra.id = rb.id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     // The greedy MMR argmax sequence is all-integer (micro cosines,
     // 7·rel − 3·maxsim scores, id tie-break), so the twin just unrolls
