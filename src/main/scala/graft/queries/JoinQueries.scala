@@ -46,6 +46,43 @@ object JoinQueries {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // TPC-H Q5 shape: the full 6-table star traversal in one plan —
+    // lineitem ⋈ orders ⋈ customer shuffle on their keys, supplier
+    // joined on BOTH l_suppkey AND the local-nation constraint
+    // c_nationkey = s_nationkey, nation/region broadcast. Revenue per
+    // nation in exact cents×percent units ([[QueryUtil.dsumRev]]).
+    // Scale: the three fact-side joins shuffle on their natural keys
+    // (bucketing lineitem+orders on orderkey would drop the first);
+    // supplier scales with SF so it shuffles too rather than pretending
+    // broadcast; only the fixed-cardinality nation/region broadcast.
+    // The date filter pushes to the orders scan before any join.
+    "q_multijoin_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")).between(1996, 1998))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val su = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsumRev(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Fact-to-fact shuffle join (sort-merge hinted): revenue per priority.
     "q_join_sortmerge" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -297,6 +334,22 @@ object JoinQueries {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_multijoin_revenue" ->
+      s"""SELECT n_name,
+         |  ${sqlDsumRev("l_extendedprice", "l_discount")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |              AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+         |  AND r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_join_sortmerge" ->
       s"""SELECT o_orderpriority,
