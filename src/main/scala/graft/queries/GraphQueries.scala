@@ -372,6 +372,36 @@ object GraphQueries {
             .as("assortativity"))
     }),
 
+    // Bounded Bellman-Ford single-source shortest paths over the
+    // co-purchase graph. Edge weights are a deterministic integer
+    // function of the endpoints ((u+v) % 97 + 1 — identical arithmetic
+    // in both engines on non-negative keys), source = the smallest
+    // node id, 4 relaxation rounds. Each round is ONE shuffle join of
+    // the current distance frame against the edge list plus a min
+    // re-aggregate; no per-path state ever materializes, so a 10⁹-edge
+    // graph costs two bounded shuffles per round. Unreached nodes stay
+    // ABSENT (no infinity sentinel to overflow). Output: the 25
+    // nearest nodes under a total (dist, node) order.
+    "q_sssp" -> ((s, d) => {
+      val pairs = copurchasePairs(s, d).localCheckpoint()
+      val edgesW = pairs
+        .select(col("u").as("src"), col("v").as("dst"),
+          expr("(u + v) % 97 + 1").as("w"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst"),
+          expr("(u + v) % 97 + 1").as("w")))
+        .localCheckpoint()
+      var dist = pairs.agg(min(col("u")).as("node"))
+        .select(col("node"), lit(0L).as("dist"))
+      for (_ <- 0 until 4) {
+        val relax = edgesW
+          .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionAll(relax)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      }
+      dist.orderBy(col("dist"), col("node")).limit(25)
+    }),
+
     // Link prediction over the co-purchase graph: for every
     // NON-adjacent pair sharing ≥1 neighbor, the common-neighbor count
     // plus the resource-allocation index (Zhou et al. 2009: Σ over
@@ -810,6 +840,30 @@ object GraphQueries {
          |    NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)
          |    AS assortativity
          |FROM m""".stripMargin,
+
+    // Unrolls the 4 Bellman-Ford rounds as CTEs; weights and min
+    // re-aggregation are pure BIGINT arithmetic in both engines.
+    "q_sssp" -> {
+      def round(i: Int): String = {
+        val p = s"d${i - 1}"
+        s"""d$i AS (
+           |  SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM $p
+           |    UNION ALL
+           |    SELECT e.dst AS node, $p.dist + e.w AS dist
+           |    FROM $p JOIN e ON $p.node = e.src)
+           |  GROUP BY node)""".stripMargin
+      }
+      s"""WITH $sqlCopurchasePairs,
+         |e AS (
+         |  SELECT u AS src, v AS dst, (u + v) % 97 + 1 AS w FROM pairs
+         |  UNION ALL
+         |  SELECT v AS src, u AS dst, (u + v) % 97 + 1 AS w FROM pairs),
+         |d0 AS (
+         |  SELECT MIN(u) AS node, CAST(0 AS BIGINT) AS dist FROM pairs),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, dist FROM d4 ORDER BY dist, node LIMIT 25""".stripMargin
+    },
 
     "q_link_predict" ->
       s"""WITH $sqlCopurchasePairs,
