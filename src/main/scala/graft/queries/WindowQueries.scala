@@ -28,6 +28,29 @@ import QueryUtil._
 object WindowQueries {
 
   val defs: Map[String, Q] = Map(
+    // Exact rolling LOWER median of daily revenue over a 7-day row
+    // frame: collect_list over the frame → array_sort → pick position
+    // (n+1) DIV 2 — all-integer cents, no interpolation, so both
+    // engines agree bit-for-bit. The global window is CALENDAR-bounded,
+    // not data-bounded: the frame input is the per-day pre-aggregate
+    // (one shuffle, map-side combined), so a 100 TB corpus still feeds
+    // the window O(distinct days) rows — the same pre-aggregate-then-
+    // window shape as q_ohlc_resample, not a q_gini_split-style
+    // per-value window.
+    "q_rolling_median" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .groupBy(col("l_shipdate").cast(DateType).as("ship_date"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast(LongType))
+          .as("cents"))
+      val w = Window.orderBy(col("ship_date")).rowsBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+        .select(col("ship_date"), col("cents"),
+          expr("element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))")
+            .as("med_cents"))
+        .orderBy(col("ship_date"))
+    }),
+
     // Ranking family over price buckets (ties exercised deliberately).
     "q_window_rank" -> ((s, d) => {
       val bucket = floor(col("o_totalprice") / 50000).cast(IntegerType)
@@ -204,6 +227,21 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ship_date, cents,
+        |  arr[(len(arr) + 1) // 2] AS med_cents
+        |FROM (
+        |  SELECT ship_date, cents,
+        |    list_sort(list(cents) OVER (ORDER BY ship_date
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily)
+        |ORDER BY ship_date""".stripMargin,
+
     "q_window_rank" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_orderstatus,
