@@ -372,6 +372,45 @@ object GraphQueries {
             .as("assortativity"))
     }),
 
+    // K-TRUSS (K=4) peeling, 2 rounds unrolled — the EDGE-level
+    // analogue of q_kcore's node peeling: each round enumerates
+    // triangles once through the same degree-oriented closing join as
+    // q_triangle_count, explodes each triangle's 3 edges, counts
+    // per-edge support with one hash aggregate, and drops edges in
+    // fewer than K−2 triangles. Degrees (and hence the orientation)
+    // are recomputed per round over the SURVIVING subgraph. Output is
+    // the bounded support histogram of the final truss — O(distinct
+    // support values) rows at any scale. Per round: one O(√m)-fan-out
+    // closing join + two ids-only shuffles; nothing quadratic.
+    "q_ktruss" -> ((s, d) => {
+      def supportOf(edges: DataFrame): DataFrame = {
+        val pairs = edges.localCheckpoint()
+        val deg = pairs.select(col("u").as("n"))
+          .unionAll(pairs.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+        val or = orientedOf(pairs, deg).localCheckpoint()
+        val triEdges = or
+          .join(or.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .join(or.select(col("a").as("wa"), col("b").as("wc")),
+            col("a") === col("wa") && col("c") === col("wc"))
+          .select(explode(array(
+            array(col("a"), col("b")),
+            array(col("b"), col("c")),
+            array(col("a"), col("c")))).as("e"))
+          .select(least(col("e")(0), col("e")(1)).as("u"),
+            greatest(col("e")(0), col("e")(1)).as("v"))
+        pairs.join(
+          triEdges.groupBy(col("u"), col("v"))
+            .agg(count(lit(1)).as("sup")),
+          Seq("u", "v"))
+      }
+      val round1 = supportOf(copurchasePairs(s, d))
+        .filter(col("sup") >= 2).select(col("u"), col("v"))
+      supportOf(round1).filter(col("sup") >= 2)
+        .groupBy(col("sup")).agg(count(lit(1)).as("n_edges"))
+        .orderBy(col("sup"))
+    }),
+
     // Bounded Bellman-Ford single-source shortest paths over the
     // co-purchase graph. Edge weights are a deterministic integer
     // function of the endpoints ((u+v) % 97 + 1 — identical arithmetic
@@ -840,6 +879,47 @@ object GraphQueries {
          |    NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0)
          |    AS assortativity
          |FROM m""".stripMargin,
+
+    // Unrolls the two truss-peel rounds as CTEs; each round mirrors
+    // the Scala shape exactly: subgraph degrees → orientation →
+    // closing join → 3-edge explode → support count → filter.
+    "q_ktruss" -> {
+      // AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by
+      // default, which re-executes the whole oriented-triangle chain
+      // once per reference (observed: minutes instead of seconds).
+      def round(i: Int, in: String): String =
+        s"""dg$i AS MATERIALIZED (
+           |  SELECT n, COUNT(*) AS dg FROM (
+           |    SELECT u AS n FROM $in UNION ALL SELECT v AS n FROM $in)
+           |  GROUP BY n),
+           |ori$i AS MATERIALIZED (
+           |  SELECT
+           |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+           |         THEN u ELSE v END AS a,
+           |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+           |         THEN v ELSE u END AS b
+           |  FROM $in JOIN dg$i du ON du.n = $in.u
+           |           JOIN dg$i dv ON dv.n = $in.v),
+           |t$i AS MATERIALIZED (
+           |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+           |  FROM ori$i e1 JOIN ori$i e2 ON e1.b = e2.a
+           |  JOIN ori$i e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |s$i AS MATERIALIZED (
+           |  SELECT u, v, COUNT(*) AS sup FROM (
+           |    SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM t$i
+           |    UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM t$i
+           |    UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM t$i)
+           |  GROUP BY u, v)""".stripMargin
+      s"""WITH $sqlCopurchasePairs,
+         |${round(1, "pairs")},
+         |e1 AS MATERIALIZED (
+         |  SELECT pairs.u, pairs.v FROM pairs JOIN s1 USING (u, v)
+         |  WHERE sup >= 2),
+         |${round(2, "e1")}
+         |SELECT sup, COUNT(*) AS n_edges
+         |FROM e1 JOIN s2 USING (u, v) WHERE sup >= 2
+         |GROUP BY sup ORDER BY sup""".stripMargin
+    },
 
     // Unrolls the 4 Bellman-Ford rounds as CTEs; weights and min
     // re-aggregation are pure BIGINT arithmetic in both engines.
