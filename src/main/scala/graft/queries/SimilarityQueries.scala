@@ -170,7 +170,47 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("rn"))
   }
 
+  /** Per-customer fan-out cap for the item-item co-occurrence join —
+    * same hub-skew treatment as GraphQueries.TriCap (smallest ids,
+    * mirrored in the twin). */
+  private[queries] val CoCap = 16
+
   val defs: Map[String, Q] = Map(
+    // Item-item collaborative-filtering cosine over the supplier ×
+    // customer bipartite purchase matrix (binary vectors): candidate
+    // pairs come from the CUSTOMER-keyed inverted index — quadratic
+    // only within the per-customer cap, the AllPairs shape — then one
+    // hash aggregate counts co-occurrence and the true set sizes join
+    // back. cos = common / √(na·nb): both operands are exact BIGINTs,
+    // sqrt and the division are correctly-rounded IEEE ops, so the
+    // micro-rounded value is bit-identical in both engines (the
+    // library-wide cosine precedent). Output: top-30 supplier pairs.
+    "q_item_cosine" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+        .distinct()
+        .localCheckpoint()
+      val n = cs.groupBy(col("supp")).agg(count(lit(1)).as("nv"))
+      val capped = cs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cust")).orderBy(col("supp"))))
+        .filter(col("rn") <= CoCap).drop("rn")
+      capped.select(col("cust"), col("supp").as("sa"))
+        .join(capped.select(col("cust"), col("supp").as("sb")), Seq("cust"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("common"))
+        .join(n.select(col("supp").as("sa"), col("nv").as("na")), Seq("sa"))
+        .join(n.select(col("supp").as("sb"), col("nv").as("nb")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("common"),
+          expr("CAST(round(common * 1000000 / " +
+            "sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS BIGINT)")
+            .as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("sa"), col("sb")).limit(30)
+    }),
+
     // Exact cosine top-k (k=5) for a BOUNDED probe set. The gated
     // default uses the first N_QUERIES ids as the probe table so the
     // DuckDB twin can name the same set; production callers pass their
@@ -868,6 +908,29 @@ object SimilarityQueries {
       |  FROM cscored)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_item_cosine" ->
+      s"""WITH cs AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |n AS (SELECT supp, COUNT(*) AS nv FROM cs GROUP BY supp),
+         |capped AS MATERIALIZED (
+         |  SELECT supp, cust FROM (
+         |    SELECT supp, cust,
+         |      row_number() OVER (PARTITION BY cust ORDER BY supp) AS rn
+         |    FROM cs) WHERE rn <= $CoCap),
+         |co AS (
+         |  SELECT a.supp AS sa, b.supp AS sb, COUNT(*) AS common
+         |  FROM capped a JOIN capped b
+         |    ON a.cust = b.cust AND a.supp < b.supp
+         |  GROUP BY sa, sb)
+         |SELECT sa, sb, common,
+         |  CAST(round(common * 1000000 /
+         |    sqrt(CAST(na.nv AS DOUBLE) * CAST(nb.nv AS DOUBLE)))
+         |    AS BIGINT) AS cos_micro
+         |FROM co JOIN n na ON na.supp = co.sa
+         |        JOIN n nb ON nb.supp = co.sb
+         |ORDER BY cos_micro DESC, sa, sb LIMIT 30""".stripMargin,
+
     "q_cosine_topk" ->
       s"""WITH pairs AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCosine AS cos
