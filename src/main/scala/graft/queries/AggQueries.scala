@@ -25,6 +25,35 @@ import QueryUtil._
 object AggQueries {
 
   val defs: Map[String, Q] = Map(
+    // Key-skew profiler — the diagnostic an engineer runs BEFORE
+    // choosing a join/partition strategy at 100 TB: per-key counts of
+    // the fact key (one map-side-combined aggregate), the top-10 heavy
+    // hitters (TakeOrdered, then a 10-row window for the rank), and a
+    // one-row global skew summary (max/avg ratio in exact micro-units,
+    // wide product through DECIMAL(38,0)/HUGEINT) broadcast onto every
+    // output row. Nothing here touches more than O(distinct keys).
+    "q_skew_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnts = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val stats = cnts.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"),
+          min(col("cnt")).as("min_cnt"))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          col("min_cnt"),
+          expr("CAST(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000" +
+            " DIV n_rows AS BIGINT)").as("skew_micro"))
+      cnts.orderBy(col("cnt").desc, col("l_suppkey")).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("l_suppkey"))))
+        .crossJoin(broadcast(stats))
+        .select(col("rk"), col("l_suppkey"), col("cnt"), col("n_keys"),
+          col("n_rows"), col("max_cnt"), col("min_cnt"), col("skew_micro"))
+        .orderBy(col("rk"))
+    }),
+
     // Flagship: TPC-H-Q1-style pricing summary (scan→filter→agg→sort).
     "q1_pricing_summary" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -829,6 +858,25 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_skew_profile" ->
+      """WITH cnts AS MATERIALIZED (
+        |  SELECT l_suppkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_keys,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    MAX(cnt) AS max_cnt, MIN(cnt) AS min_cnt,
+        |    CAST(CAST(MAX(cnt) AS HUGEINT) * COUNT(*) * 1000000
+        |      // CAST(SUM(cnt) AS HUGEINT) AS BIGINT) AS skew_micro
+        |  FROM cnts),
+        |top AS (
+        |  SELECT l_suppkey, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rk
+        |  FROM cnts ORDER BY cnt DESC, l_suppkey LIMIT 10)
+        |SELECT rk, l_suppkey, cnt, n_keys, n_rows, max_cnt, min_cnt,
+        |  skew_micro
+        |FROM top, stats ORDER BY rk""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlDsum("l_quantity")} AS sum_qty,

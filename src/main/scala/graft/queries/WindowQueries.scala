@@ -28,6 +28,25 @@ import QueryUtil._
 object WindowQueries {
 
   val defs: Map[String, Q] = Map(
+    // Cumulative unique customers by first-purchase day — the growth-
+    // analytics "new vs returning" curve. Exact distinct-so-far WITHOUT
+    // a running distinct state: first-seen dates come from one hash
+    // aggregate (min date per customer), the daily-new histogram from a
+    // second, and the running total is a window over the CALENDAR-
+    // bounded per-day frame (same pre-aggregate-then-window scale
+    // argument as q_rolling_median).
+    "q_cumulative_uniques" -> ((s, d) => {
+      val first = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate").cast(DateType)).as("first_date"))
+      val daily = first.groupBy(col("first_date"))
+        .agg(count(lit(1)).as("new_cust"))
+      val w = Window.orderBy(col("first_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_uniques", sum(col("new_cust")).over(w))
+        .orderBy(col("first_date"))
+    }),
+
     // Exact rolling LOWER median of daily revenue over a 7-day row
     // frame: collect_list over the frame → array_sort → pick position
     // (n+1) DIV 2 — all-integer cents, no interpolation, so both
@@ -227,6 +246,19 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cumulative_uniques" ->
+      """WITH firstseen AS (
+        |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_date
+        |  FROM orders GROUP BY o_custkey),
+        |daily AS (
+        |  SELECT first_date, COUNT(*) AS new_cust
+        |  FROM firstseen GROUP BY first_date)
+        |SELECT first_date, new_cust,
+        |  CAST(SUM(new_cust) OVER (ORDER BY first_date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_uniques
+        |FROM daily ORDER BY first_date""".stripMargin,
+
     "q_rolling_median" ->
       """WITH daily AS (
         |  SELECT CAST(l_shipdate AS DATE) AS ship_date,
