@@ -25,6 +25,90 @@ import QueryUtil._
 object AggQueries {
 
   val defs: Map[String, Q] = Map(
+    // Lag-1 autocorrelation of the daily revenue series — the
+    // time-series persistence diagnostic. The (x_t, x_{t+1}) pair frame
+    // comes from one lead() over the per-day aggregate (O(distinct
+    // days) — the bounded-domain pre-aggregate-then-window argument of
+    // q_rolling_median); the moments are EXACT — cents promoted to
+    // DECIMAL(38,0)/HUGEINT BEFORE the cross products, so no double
+    // product ever exceeds 2^53 — and the closed form runs in IEEE
+    // double with the identical op order in the twin (q_correlation
+    // parity contract).
+    "q_autocorr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = DecimalType(38, 0)
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("x"))
+      val pairs = daily
+        .withColumn("y", lead(col("x"), 1).over(Window.orderBy(col("day"))))
+        .filter(col("y").isNotNull)
+      val m = pairs.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x").cast(dd)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(dd)).cast(DoubleType).as("sy"),
+        sum(col("x").cast(dd) * col("y").cast(dd)).cast(DoubleType).as("sxy"),
+        sum(col("x").cast(dd) * col("x").cast(dd)).cast(DoubleType).as("sxx"),
+        sum(col("y").cast(dd) * col("y").cast(dd)).cast(DoubleType).as("syy"))
+      m.select(col("n").cast(LongType).as("n_pairs"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("autocorr_lag1"))
+    }),
+
+    // Day-of-week seasonal-baseline anomaly detection over the orders
+    // revenue series: daily exact-cents totals (ONE date-keyed
+    // aggregate over the fact table), per-weekday baseline mean in
+    // exact micro-cents (integer DIV over the 7-row dow frame), then
+    // residual = day − baseline via a 7-row broadcast join back; top-10
+    // days by |residual|. Nothing after the first aggregate exceeds
+    // O(distinct days). The ×1e6 product routes through DECIMAL(38,0)
+    // so the all-integer contract holds to ~9e12 daily cents ($90 B/day)
+    // before the final BIGINT narrows — far past any real series.
+    "q_dow_anomaly" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast(LongType))
+          .as("cents"))
+        .withColumn("dow", expr("weekday(day)"))
+      val base = daily.groupBy(col("dow"))
+        .agg(expr("CAST(CAST(sum(cents) AS DECIMAL(38,0)) * 1000000" +
+            " DIV count(*) AS BIGINT)").as("baseline_micro"),
+          count(lit(1)).as("n_days"))
+      daily.join(broadcast(base), Seq("dow"))
+        .withColumn("resid_micro",
+          expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000" +
+            " - baseline_micro AS BIGINT)"))
+        .orderBy(abs(col("resid_micro")).desc, col("day")).limit(10)
+        .select(col("day"), col("dow"), col("cents"), col("n_days"),
+          col("baseline_micro"), col("resid_micro"))
+        .orderBy(abs(col("resid_micro")).desc, col("day"))
+    }),
+
+    // Exact weighted LOWER median (extendedprice weighted by quantity)
+    // through the two-pass range-partitioned cumulative sum
+    // (QueryUtil.rangeCumsum) — no single-task global window anywhere:
+    // per-cent weights live on the bounded dollar domain (~50 buckets
+    // of $2,000), cumsums run parallel within buckets, bucket offsets
+    // arrive by broadcast, and the answer is the smallest cent whose
+    // cumulative weight reaches ⌈W/2⌉ (1-row broadcast of the total).
+    "q_weighted_median" -> ((s, d) => {
+      val perCent = Tables.lineitem(s, d)
+        .select(round(col("l_extendedprice") * 100).cast(LongType)
+            .as("cents"),
+          round(col("l_quantity")).cast(LongType).as("qty"))
+        .groupBy(col("cents")).agg(sum(col("qty")).as("w"))
+      val cum = rangeCumsum(perCent, "cents", Seq("w"), 200000L)
+      val tot = perCent.agg(sum(col("w")).as("total_w"))
+        .select(col("total_w"), expr("(total_w + 1) DIV 2").as("half"))
+      cum.crossJoin(broadcast(tot))
+        .filter(col("cum_w") >= col("half"))
+        .groupBy(col("total_w"), col("half"))
+        .agg(min(col("cents")).as("median_cents"))
+        .select(col("total_w"), col("half"), col("median_cents"))
+    }),
+
     // Key-skew profiler — the diagnostic an engineer runs BEFORE
     // choosing a join/partition strategy at 100 TB: per-key counts of
     // the fact key (one map-side-combined aggregate), the top-10 heavy
@@ -858,6 +942,59 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT x, lead(x) OVER (ORDER BY day) AS y FROM daily),
+        |p AS (SELECT * FROM pairs WHERE y IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+        |  FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_pairs,
+        |  (n * sxy - sx * sy) /
+        |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS autocorr_lag1
+        |FROM m""".stripMargin,
+
+    "q_dow_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER) AS dow
+        |  FROM orders GROUP BY 1, 3),
+        |base AS (
+        |  SELECT dow,
+        |    CAST(CAST(SUM(cents) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT) AS baseline_micro,
+        |    COUNT(*) AS n_days
+        |  FROM daily GROUP BY dow)
+        |SELECT d.day, d.dow, d.cents, b.n_days, b.baseline_micro,
+        |  CAST(CAST(d.cents AS HUGEINT) * 1000000 - b.baseline_micro AS BIGINT) AS resid_micro
+        |FROM daily d JOIN base b USING (dow)
+        |ORDER BY abs(CAST(CAST(d.cents AS HUGEINT) * 1000000 - b.baseline_micro AS BIGINT)) DESC, d.day
+        |LIMIT 10""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH pc AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, CAST(SUM(w) OVER (ORDER BY cents) AS BIGINT) AS cum_w
+        |  FROM pc),
+        |tot AS (
+        |  SELECT CAST(SUM(w) AS BIGINT) AS total_w,
+        |    (CAST(SUM(w) AS BIGINT) + 1) // 2 AS half FROM pc)
+        |SELECT t.total_w, t.half, MIN(c.cents) AS median_cents
+        |FROM cum c, tot t WHERE c.cum_w >= t.half
+        |GROUP BY t.total_w, t.half""".stripMargin,
+
     "q_skew_profile" ->
       """WITH cnts AS MATERIALIZED (
         |  SELECT l_suppkey, COUNT(*) AS cnt

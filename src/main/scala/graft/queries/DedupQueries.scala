@@ -168,6 +168,51 @@ object DedupQueries {
   }
 
   val defs: Map[String, Q] = Map(
+    // Multi-field entity-resolution scoring (Fellegi–Sunter shape with
+    // fixed integer agreement weights): candidates come from the same
+    // (nationkey, name-prefix) blocking as q_fuzzy_match — never
+    // all-pairs — then each candidate pair is scored field-by-field:
+    // bounded-band levenshtein on the name (+40), matching market
+    // segment (+20), account balance within $100 (+15). Pairs scoring
+    // ≥ 55 are links (name agreement is necessary but not sufficient).
+    // All-integer contract; the per-block serve-side cap bounds the
+    // worst block. Work ∝ Σ block² (capped), not n².
+    "q_er_multifield" -> ((s, d) => {
+      val cap = graft.queries.JoinQueries.ER_BLOCK_CAP
+      val ents = Tables.customer(s, d)
+        .groupBy(col("c_name"), col("c_nationkey"))
+        .agg(min(col("c_custkey")).as("id"),
+          min(round(col("c_acctbal") * 100).cast(LongType)).as("bal_cents"),
+          min(col("c_mktsegment")).as("seg"))
+      val block = struct(col("c_nationkey").as("bk_nat"),
+        substring(col("c_name"), 1, 15).as("bk_prefix"))
+      val a = ents.select(col("id").as("id_a"), col("c_name").as("name_a"),
+        col("bal_cents").as("bal_a"), col("seg").as("seg_a"), block.as("blk"))
+      val wBlk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("blk")).orderBy(col("id_b"))
+      val b = ents.select(col("id").as("id_b"), col("c_name").as("name_b"),
+        col("bal_cents").as("bal_b"), col("seg").as("seg_b"), block.as("blk"))
+        .withColumn("brn", row_number().over(wBlk))
+        .filter(col("brn") <= cap)
+        .drop("brn")
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("lev") >= 0)
+        .withColumn("w_name", lit(40L))
+        .withColumn("w_seg",
+          when(col("seg_a") === col("seg_b"), 20L).otherwise(0L))
+        .withColumn("w_bal",
+          when(abs(col("bal_a") - col("bal_b")) <= 10000L, 15L)
+            .otherwise(0L))
+        .withColumn("score", col("w_name") + col("w_seg") + col("w_bal"))
+        .filter(col("score") >= 55)
+        .select(col("id_a"), col("id_b"), col("lev"), col("w_seg"),
+          col("w_bal"), col("score"))
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Exact dedup on a content digest (sha256; min-id survivor policy).
     "q_dedup_exact" -> ((s, d) => {
       Tables.documents(s, d)
@@ -667,6 +712,33 @@ object DedupQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_er_multifield" ->
+      s"""WITH ents AS (
+         |  SELECT c_name, c_nationkey, MIN(c_custkey) AS id,
+         |    MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents,
+         |    MIN(c_mktsegment) AS seg
+         |  FROM customer GROUP BY c_name, c_nationkey),
+         |b AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY c_nationkey, substring(c_name, 1, 15)
+         |      ORDER BY id) AS brn
+         |  FROM ents),
+         |pairs AS (
+         |  SELECT a.id AS id_a, bb.id AS id_b,
+         |    levenshtein(a.c_name, bb.c_name) AS lev,
+         |    CASE WHEN a.seg = bb.seg THEN 20 ELSE 0 END AS w_seg,
+         |    CASE WHEN abs(a.bal_cents - bb.bal_cents) <= 10000
+         |         THEN 15 ELSE 0 END AS w_bal
+         |  FROM ents a JOIN b bb
+         |    ON a.c_nationkey = bb.c_nationkey
+         |   AND substring(a.c_name, 1, 15) = substring(bb.c_name, 1, 15)
+         |   AND a.id < bb.id AND bb.brn <= ${JoinQueries.ER_BLOCK_CAP})
+         |SELECT DISTINCT id_a, id_b, CAST(lev AS INTEGER) AS lev,
+         |  CAST(w_seg AS BIGINT) AS w_seg, CAST(w_bal AS BIGINT) AS w_bal,
+         |  CAST(40 + w_seg + w_bal AS BIGINT) AS score
+         |FROM pairs WHERE lev <= 2 AND 40 + w_seg + w_bal >= 55
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q_dedup_survivor" ->
       s"""WITH RECURSIVE $sqlVerifiedPairs,
          |edges AS (

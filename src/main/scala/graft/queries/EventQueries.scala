@@ -26,6 +26,83 @@ object EventQueries {
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   val defs: Map[String, Q] = Map(
+    // Source-freshness / watermark-lag profiler — the observability
+    // query an ingestion fleet runs per source at 100 TB: newest event
+    // per type (one map-side-combined max), lag behind the global
+    // high-water mark in exact seconds, staleness tier by fixed
+    // thresholds. The global mark is a 1-row broadcast; everything
+    // after the first aggregate is O(sources).
+    "q_freshness_lag" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts").cast("timestamp"))).as("max_us"),
+          count(lit(1)).as("n"))
+      val global = perType.agg(max(col("max_us")).as("wm_us"))
+      perType.crossJoin(broadcast(global))
+        .withColumn("lag_s", expr("(wm_us - max_us) DIV 1000000"))
+        .withColumn("tier", when(col("lag_s") < 60, "fresh")
+          .when(col("lag_s") < 3600, "lagging").otherwise("stale"))
+        .select(col("event_type"), col("n"), col("max_us"), col("lag_s"),
+          col("tier"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Exact 7-day rolling distinct active users per day — the DAU/WAU
+    // family's hard case: COUNT(DISTINCT) over a sliding frame can't be
+    // expressed as a window aggregate (distinct state isn't
+    // subtractable as the frame slides). Shape: dedup to (day, user)
+    // grain FIRST (one hash aggregate over the raw events), then fan
+    // each pair out to the ≤7 window-end days it contributes to — a
+    // bounded ×7 explode of the small deduped frame, not of the raw
+    // events — dedup (end, user), count per end. Work is
+    // O(7 · |distinct (day,user)|) regardless of raw event volume; the
+    // event-grain range self-join this replaces shuffles the fact table
+    // twice and fans out at row grain.
+    "q_sliding_distinct" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val ends = du
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"), col("user_id"))
+        .distinct()
+      val days = du.select(col("day")).distinct()
+      ends.join(days, "day")
+        .groupBy(col("day")).agg(count(lit(1)).as("n_active_7d"))
+        .orderBy(col("day"))
+    }),
+
+    // Incremental materialized-view maintenance — the nightly-batch
+    // contract at 100 TB: the standing per-type aggregate (count +
+    // exact cents sum) is NOT recomputed from full history. The new
+    // partition's delta is aggregated alone (O(delta) — here the tail
+    // of the month behind a pushed-down ts predicate) and MERGED with
+    // the stored base partials (O(keys)) — the same partial-merge
+    // algebra Spark's partial aggregation uses within a job, applied
+    // across runs. The oracle recomputes from scratch, so the gate
+    // proves merge == recompute.
+    "q_mv_maintain" -> ((s, d) => {
+      val cutoff = lit("2024-01-25 00:00:00").cast(TimestampType)
+      def part(df: org.apache.spark.sql.DataFrame, tag: String) = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast(DecimalType(38, 0)))
+            .as("cents"))
+        .withColumn("part", lit(tag))
+      val ev = Tables.events(s, d)
+      val base = part(ev.filter(col("ts") < cutoff), "base")
+      val delta = part(ev.filter(col("ts") >= cutoff), "delta")
+      base.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(
+          coalesce(sum(when(col("part") === "base", col("n"))), lit(0L))
+            .as("base_n"),
+          coalesce(sum(when(col("part") === "delta", col("n"))), lit(0L))
+            .as("delta_n"),
+          sum(col("n")).as("total_n"),
+          (sum(col("cents")).cast(DoubleType) / 100.0).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Tumbling 15-minute windows per event type.
     "q_window_tumbling" -> ((s, d) => {
       Tables.events(s, d)
@@ -451,6 +528,48 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_freshness_lag" ->
+      """WITH pt AS (
+        |  SELECT event_type, MAX(epoch_us(ts)) AS max_us, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT MAX(max_us) AS wm_us FROM pt)
+        |SELECT event_type, n, max_us,
+        |  (g.wm_us - max_us) // 1000000 AS lag_s,
+        |  CASE WHEN (g.wm_us - max_us) // 1000000 < 60 THEN 'fresh'
+        |       WHEN (g.wm_us - max_us) // 1000000 < 3600 THEN 'lagging'
+        |       ELSE 'stale' END AS tier
+        |FROM pt, g ORDER BY event_type""".stripMargin,
+
+    "q_sliding_distinct" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, COUNT(DISTINCT u.user_id) AS n_active_7d
+        |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
+
+    "q_mv_maintain" ->
+      """WITH base AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(round(value * 100) AS DECIMAL(38,0))) AS cents
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+        |  GROUP BY event_type),
+        |delta AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(round(value * 100) AS DECIMAL(38,0))) AS cents
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+        |  GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, cents, 'base' AS part FROM base
+        |  UNION ALL
+        |  SELECT event_type, n, cents, 'delta' AS part FROM delta)
+        |SELECT event_type,
+        |  CAST(COALESCE(SUM(CASE WHEN part = 'base' THEN n END), 0) AS BIGINT) AS base_n,
+        |  CAST(COALESCE(SUM(CASE WHEN part = 'delta' THEN n END), 0) AS BIGINT) AS delta_n,
+        |  CAST(SUM(n) AS BIGINT) AS total_n,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_window_tumbling" ->
       s"""SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value

@@ -64,6 +64,42 @@ object TextQueries {
     "es" -> Seq("el", "los", "y", "en", "de"))
 
   val defs: Map[String, Q] = Map(
+    // Bigram-novelty quality score — the OOV/rare-ngram signal an LLM
+    // data pipeline uses to rank documents against the corpus LM:
+    // corpus frequency of every word bigram (one token-grain aggregate
+    // over the exploded corpus), a bigram is "rare" when its corpus
+    // count ≤ 2, per-doc novelty = rare-bigram occurrences per million
+    // bigram tokens (exact integer DIV — no log-prob doubles, so the
+    // score itself is hash-gated). Inverted-index shape: work is
+    // O(total bigram tokens); the rare-flag join keys on the bigram
+    // string at the (doc, bigram) grain, never on raw text.
+    "q_bigram_novelty" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      // size(a) > 1 guards sequence()'s descending-when-start>stop trap.
+      val bg = toks.filter(size(col("a")) > 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(a) - 1)," +
+            " i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+          .as("bigram"))
+      val occ = bg.groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("k"))
+      val corpus = occ.groupBy(col("bigram")).agg(sum(col("k")).as("cf"))
+      val perDoc = occ.join(corpus, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(when(col("cf") <= 2, col("k")).otherwise(lit(0L)))
+            .as("n_rare"))
+        .withColumn("novelty_micro", expr("n_rare * 1000000 DIV n_bigrams"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+          coalesce(col("novelty_micro"), lit(0L)).as("novelty_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID: stopword-hit scoring with deterministic argmax.
     "q_lang_id" -> ((s, d) => {
       val toks = split(col("text"), " ")
@@ -418,6 +454,31 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_bigram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |bgidx AS (
+        |  SELECT doc_id, a, unnest(range(1, len(a))) AS i
+        |  FROM toks WHERE len(a) > 1),
+        |bg AS (
+        |  SELECT doc_id,
+        |    a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS bigram
+        |  FROM bgidx),
+        |occ AS (
+        |  SELECT doc_id, bigram, COUNT(*) AS k FROM bg GROUP BY 1, 2),
+        |corpus AS (
+        |  SELECT bigram, CAST(SUM(k) AS BIGINT) AS cf FROM occ GROUP BY 1),
+        |per AS (
+        |  SELECT o.doc_id, CAST(SUM(o.k) AS BIGINT) AS n_bigrams,
+        |    CAST(COALESCE(SUM(CASE WHEN c.cf <= 2 THEN o.k END), 0) AS BIGINT) AS n_rare
+        |  FROM occ o JOIN corpus c USING (bigram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(p.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  COALESCE(p.n_rare, CAST(0 AS BIGINT)) AS n_rare,
+        |  COALESCE(p.n_rare * 1000000 // p.n_bigrams, CAST(0 AS BIGINT)) AS novelty_micro
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH scored AS (
          |  SELECT lang,

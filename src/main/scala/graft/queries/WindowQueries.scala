@@ -28,6 +28,26 @@ import QueryUtil._
 object WindowQueries {
 
   val defs: Map[String, Q] = Map(
+    // Month-over-month rank movers: per-(month, priority) exact-cents
+    // revenue, rank within the month, then each priority's rank shift
+    // vs the previous month via lag. Both windows run over the
+    // O(months × priorities) aggregate — two tiny-frame exchanges above
+    // the single fact-table shuffle.
+    "q_rank_shift" -> ((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderpriority").as("prio"))
+        .agg(sum(round(col("o_totalprice") * 100).cast(LongType))
+          .as("cents"))
+      val wRank = Window.partitionBy(col("month"))
+        .orderBy(col("cents").desc, col("prio"))
+      val wLag = Window.partitionBy(col("prio")).orderBy(col("month"))
+      m.withColumn("rk", row_number().over(wRank))
+        .withColumn("prev_rk", lag(col("rk"), 1).over(wLag))
+        .withColumn("shift", coalesce(col("prev_rk") - col("rk"), lit(0)))
+        .orderBy(col("month"), col("prio"))
+    }),
+
     // Cumulative unique customers by first-purchase day — the growth-
     // analytics "new vs returning" curve. Exact distinct-so-far WITHOUT
     // a running distinct state: first-seen dates come from one hash
@@ -246,6 +266,25 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rank_shift" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_orderpriority AS prio,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT month, prio, cents,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY month ORDER BY cents DESC, prio) AS INTEGER) AS rk
+        |  FROM m),
+        |l AS (
+        |  SELECT month, prio, cents, rk,
+        |    CAST(lag(rk) OVER (PARTITION BY prio ORDER BY month) AS INTEGER) AS prev_rk
+        |  FROM r)
+        |SELECT month, prio, cents, rk, prev_rk,
+        |  CAST(COALESCE(prev_rk - rk, 0) AS INTEGER) AS shift
+        |FROM l ORDER BY month, prio""".stripMargin,
+
     "q_cumulative_uniques" ->
       """WITH firstseen AS (
         |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_date

@@ -238,7 +238,12 @@ class QueryLibrarySpec extends SparkTestBase {
         // sketch-audit on the verified pair ids, bucketed pagerank on
         // the bucketed src key
         "q_link_predict", "q_chunk_dedup", "q_minhash_jaccard_est",
-        "q_clustering_coeff", "q_pagerank_bucketed")) {
+        "q_clustering_coeff", "q_pagerank_bucketed",
+        // round-5b: sliding distinct joins on the window-end day,
+        // bigram novelty on the bigram string, ER on the block key,
+        // dow-anomaly's baseline is a 7-row broadcast HASH join on dow
+        "q_sliding_distinct", "q_bigram_novelty", "q_er_multifield",
+        "q_dow_anomaly")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -261,7 +266,10 @@ class QueryLibrarySpec extends SparkTestBase {
         // probe broadcast + the 20-row candidate sim matrix
         "q_t_test", "q_mmr_rerank",
         // same 1-row seed-share broadcast as q_ppr
-        "q_ppr_bucketed")) {
+        "q_ppr_bucketed",
+        // round-5b 1-row broadcasts: weighted median's ⌈W/2⌉ threshold,
+        // freshness's global high-water mark
+        "q_weighted_median", "q_freshness_lag")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
