@@ -629,12 +629,12 @@ object GraphQueries {
     s"""cs AS (
        |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |capped AS (
+       |capped AS MATERIALIZED (
        |  SELECT supp, cust FROM (
        |    SELECT supp, cust,
        |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
        |    FROM cs) WHERE rn <= $TriCap),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.cust AS u, b.cust AS v
        |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust)"""
       .stripMargin
@@ -924,9 +924,14 @@ object GraphQueries {
     // Unrolls the 4 Bellman-Ford rounds as CTEs; weights and min
     // re-aggregation are pure BIGINT arithmetic in both engines.
     "q_sssp" -> {
+      // AS MATERIALIZED on e and every relax round: DuckDB inlines
+      // CTEs by default, and d4 references d3 references d2 … each
+      // JOINing e (itself 2× pairs) — inlined, the relax tree
+      // re-evaluates the co-purchase self-join exponentially in the
+      // round count (observed as a stall at the 10× replica gate).
       def round(i: Int): String = {
         val p = s"d${i - 1}"
-        s"""d$i AS (
+        s"""d$i AS MATERIALIZED (
            |  SELECT node, MIN(dist) AS dist FROM (
            |    SELECT node, dist FROM $p
            |    UNION ALL
@@ -935,7 +940,7 @@ object GraphQueries {
            |  GROUP BY node)""".stripMargin
       }
       s"""WITH $sqlCopurchasePairs,
-         |e AS (
+         |e AS MATERIALIZED (
          |  SELECT u AS src, v AS dst, (u + v) % 97 + 1 AS w FROM pairs
          |  UNION ALL
          |  SELECT v AS src, u AS dst, (u + v) % 97 + 1 AS w FROM pairs),
