@@ -25,6 +25,62 @@ import QueryUtil._
 object AggQueries {
 
   val defs: Map[String, Q] = Map(
+    // RFM customer segmentation with FIXED business tiers — the
+    // quantile (ntile) scoring variant would funnel every customer
+    // through one global sort task, so tiers are fixed thresholds
+    // applied map-side after ONE customer-keyed aggregate: recency vs
+    // the global high-water date (1-row broadcast), frequency and
+    // exact-cents monetary tiers by CASE. Output is the tier lattice
+    // with counts and revenue: one O(customers) shuffle, everything
+    // after is O(segments).
+    "q_rfm_segments" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_date"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast(LongType))
+            .as("cents"))
+      val wm = per.agg(max(col("last_date")).as("wm_date"))
+      per.crossJoin(broadcast(wm))
+        .withColumn("rec_days", datediff(col("wm_date"), col("last_date")))
+        .withColumn("r_tier", when(col("rec_days") <= 180, 4)
+          .when(col("rec_days") <= 365, 3)
+          .when(col("rec_days") <= 730, 2).otherwise(1))
+        .withColumn("f_tier", when(col("freq") >= 20, 4)
+          .when(col("freq") >= 15, 3)
+          .when(col("freq") >= 10, 2).otherwise(1))
+        .withColumn("m_tier", when(col("cents") >= 300000000L, 4)
+          .when(col("cents") >= 200000000L, 3)
+          .when(col("cents") >= 100000000L, 2).otherwise(1))
+        .groupBy(col("r_tier"), col("f_tier"), col("m_tier"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("r_tier"), col("f_tier"), col("m_tier"))
+    }),
+
+    // New-vs-returning monthly revenue split: first-order date per
+    // customer (one key aggregate), each order tagged by comparing to
+    // its customer's first date (key join — co-partitioned with the
+    // aggregate, so AQE reuses the exchange), monthly rollup. Two
+    // fact-keyed shuffles, O(months) output.
+    "q_new_vs_returning" -> ((s, d) => {
+      val first = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_date"))
+      Tables.orders(s, d).join(first, "o_custkey")
+        .withColumn("is_new",
+          (to_date(col("o_orderdate")) === col("first_date")).cast("int"))
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(col("is_new")).as("n_new"),
+          sum(lit(1) - col("is_new")).as("n_returning"),
+          sum(when(col("is_new") === 1,
+            round(col("o_totalprice") * 100).cast(LongType))
+            .otherwise(0L)).as("new_cents"),
+          sum(when(col("is_new") === 0,
+            round(col("o_totalprice") * 100).cast(LongType))
+            .otherwise(0L)).as("ret_cents"))
+        .orderBy(col("month"))
+    }),
+
     // Lag-1 autocorrelation of the daily revenue series — the
     // time-series persistence diagnostic. The (x_t, x_{t+1}) pair frame
     // comes from one lead() over the per-day aggregate (O(distinct
@@ -942,6 +998,46 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_date,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |wm AS (SELECT MAX(last_date) AS wm_date FROM per),
+        |t AS (
+        |  SELECT p.*, date_diff('day', p.last_date, w.wm_date) AS rec_days
+        |  FROM per p, wm w),
+        |s AS (
+        |  SELECT
+        |    CASE WHEN rec_days <= 180 THEN 4 WHEN rec_days <= 365 THEN 3
+        |         WHEN rec_days <= 730 THEN 2 ELSE 1 END AS r_tier,
+        |    CASE WHEN freq >= 20 THEN 4 WHEN freq >= 15 THEN 3
+        |         WHEN freq >= 10 THEN 2 ELSE 1 END AS f_tier,
+        |    CASE WHEN cents >= 300000000 THEN 4 WHEN cents >= 200000000 THEN 3
+        |         WHEN cents >= 100000000 THEN 2 ELSE 1 END AS m_tier,
+        |    cents
+        |  FROM t)
+        |SELECT r_tier, f_tier, m_tier, COUNT(*) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH f AS (
+        |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_date
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+        |  CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE) = f.first_date
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE) = f.first_date
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_returning,
+        |  CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE) = f.first_date
+        |    THEN CAST(round(o.o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS new_cents,
+        |  CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE) = f.first_date
+        |    THEN 0 ELSE CAST(round(o.o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS ret_cents
+        |FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_autocorr" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,

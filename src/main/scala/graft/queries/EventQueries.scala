@@ -26,6 +26,43 @@ object EventQueries {
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
   val defs: Map[String, Q] = Map(
+    // Sequential-pattern mining: the top-10 3-step event-type paths
+    // inside 30-minute-gap sessions. Sessionization is the lag/running-
+    // sum island trick (one user-keyed window); the 3-grams come from
+    // two lead()s over the SAME (user, session) window partition — the
+    // planner runs all three window functions in one exchange — and the
+    // path count is a plain hash aggregate on the path string.
+    // Event-id tiebreaks make every step deterministic. O(events) work,
+    // two shuffles total (user window, path agg).
+    "q_session_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("gap_us", us - lag(us, 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val w2 = Window.partitionBy(col("user_id"), col("sess_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tri = sess
+        .withColumn("e2", lead(col("event_type"), 1).over(w2))
+        .withColumn("e3", lead(col("event_type"), 2).over(w2))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+      val top = tri.groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+      top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("path"))))
+        .select(col("rk"), col("path"), col("n"))
+        .orderBy(col("rk"))
+    }),
+
     // Source-freshness / watermark-lag profiler — the observability
     // query an ingestion fleet runs per source at 100 TB: newest event
     // per type (one map-side-combined max), lag behind the global
@@ -528,6 +565,34 @@ object EventQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT *, us - lag(us) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |      THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |t AS (
+        |  SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |    || '>' || lead(event_type, 2) OVER w AS path
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT path, COUNT(*) AS n FROM t
+        |  WHERE path IS NOT NULL GROUP BY path),
+        |top AS (
+        |  SELECT path, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, path) AS INTEGER) AS rk
+        |  FROM c ORDER BY n DESC, path LIMIT 10)
+        |SELECT rk, path, n FROM top ORDER BY rk""".stripMargin,
+
     "q_freshness_lag" ->
       """WITH pt AS (
         |  SELECT event_type, MAX(epoch_us(ts)) AS max_us, COUNT(*) AS n

@@ -64,6 +64,26 @@ object TextQueries {
     "es" -> Seq("el", "los", "y", "en", "de"))
 
   val defs: Map[String, Q] = Map(
+    // Readability profiling — sentence counts from punctuation runs,
+    // exact integer words-per-sentence / chars-per-word micro ratios,
+    // fixed complexity tiers. The doc-quality signal that sits next to
+    // q_quality_score; no log/float readability constant, so the score
+    // is hash-gated. Pure map-side expression work + the output sort.
+    "q_readability" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+          lit(0))), lit(1)).cast(LongType).as("n_sents"),
+        length(col("text")).cast(LongType).as("n_chars"))
+        .withColumn("wps_micro", expr("n_words * 1000000 DIV n_sents"))
+        .withColumn("cpw_micro", expr("n_chars * 1000000 DIV n_words"))
+        .withColumn("tier", when(col("wps_micro") <= 12000000L, "simple")
+          .when(col("wps_micro") <= 20000000L, "medium")
+          .otherwise("complex"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram-novelty quality score — the OOV/rare-ngram signal an LLM
     // data pipeline uses to rank documents against the corpus LM:
     // corpus frequency of every word bigram (one token-grain aggregate
@@ -454,6 +474,21 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sents,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_chars,
+        |  n_words * 1000000 // n_sents AS wps_micro,
+        |  n_chars * 1000000 // n_words AS cpw_micro,
+        |  CASE WHEN n_words * 1000000 // n_sents <= 12000000 THEN 'simple'
+        |       WHEN n_words * 1000000 // n_sents <= 20000000 THEN 'medium'
+        |       ELSE 'complex' END AS tier
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q_bigram_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),

@@ -28,6 +28,37 @@ import QueryUtil._
 object WindowQueries {
 
   val defs: Map[String, Q] = Map(
+    // Pareto 80%-coverage per brand: how many parts cover 80% of each
+    // brand's revenue. Revenue per (brand, part) comes off one fact
+    // shuffle with the part dim broadcast; the rank/cumsum window
+    // partitions by brand over the PART-dimension frame (O(parts per
+    // brand) — dimension-bound, not fact-bound); the 80% threshold is
+    // exact integers (5·cum ≥ 4·total), no ratio doubles.
+    "q_pareto_coverage" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast(LongType))
+          .as("cents"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("cents").desc, col("l_partkey"))
+      val cum = rev.withColumn("rk", row_number().over(w))
+        .withColumn("cum_cents", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = rev.groupBy(col("p_brand"))
+        .agg(sum(col("cents")).as("total_cents"),
+          count(lit(1)).as("n_parts"))
+      cum.join(tot, "p_brand")
+        .filter(col("cum_cents") * 5 >= col("total_cents") * 4)
+        .groupBy(col("p_brand"), col("total_cents"), col("n_parts"))
+        .agg(min(col("rk")).as("n_parts_80"))
+        .select(col("p_brand"), col("n_parts"), col("total_cents"),
+          col("n_parts_80"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Month-over-month rank movers: per-(month, priority) exact-cents
     // revenue, rank within the month, then each priority's rank shift
     // vs the previous month via lag. Both windows run over the
@@ -266,6 +297,31 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pareto_coverage" ->
+      """WITH rev AS (
+        |  SELECT p.p_brand, l.l_partkey,
+        |    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT p_brand, l_partkey, cents,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY p_brand ORDER BY cents DESC, l_partkey) AS INTEGER) AS rk,
+        |    CAST(SUM(cents) OVER (
+        |      PARTITION BY p_brand ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM rev),
+        |tot AS (
+        |  SELECT p_brand, CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |    COUNT(*) AS n_parts
+        |  FROM rev GROUP BY 1)
+        |SELECT c.p_brand, t.n_parts, t.total_cents,
+        |  CAST(MIN(c.rk) AS INTEGER) AS n_parts_80
+        |FROM cum c JOIN tot t USING (p_brand)
+        |WHERE c.cum_cents * 5 >= t.total_cents * 4
+        |GROUP BY c.p_brand, t.n_parts, t.total_cents
+        |ORDER BY c.p_brand""".stripMargin,
+
     "q_rank_shift" ->
       """WITH m AS (
         |  SELECT strftime(o_orderdate, '%Y-%m') AS month,

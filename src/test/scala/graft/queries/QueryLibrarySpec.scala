@@ -243,7 +243,12 @@ class QueryLibrarySpec extends SparkTestBase {
         // bigram novelty on the bigram string, ER on the block key,
         // dow-anomaly's baseline is a 7-row broadcast HASH join on dow
         "q_sliding_distinct", "q_bigram_novelty", "q_er_multifield",
-        "q_dow_anomaly")) {
+        "q_dow_anomaly",
+        // round-5c: pareto joins brand totals on p_brand, new-vs-
+        // returning on o_custkey; session paths/readability are
+        // window/map-side only
+        "q_pareto_coverage", "q_new_vs_returning", "q_session_paths",
+        "q_readability")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -268,8 +273,8 @@ class QueryLibrarySpec extends SparkTestBase {
         // same 1-row seed-share broadcast as q_ppr
         "q_ppr_bucketed",
         // round-5b 1-row broadcasts: weighted median's ⌈W/2⌉ threshold,
-        // freshness's global high-water mark
-        "q_weighted_median", "q_freshness_lag")) {
+        // freshness's global high-water mark; RFM's high-water date
+        "q_weighted_median", "q_freshness_lag", "q_rfm_segments")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
