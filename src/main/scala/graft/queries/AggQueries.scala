@@ -25,6 +25,71 @@ import QueryUtil._
 object AggQueries {
 
   val defs: Map[String, Q] = Map(
+    // Exact per-group p90 through the GROUPED two-pass cumulative sum —
+    // the per-group generalization of q_weighted_median's rangeCumsum
+    // shape, inlined with the group key carried through every stage:
+    // per-(group, cent) weights on the bounded dollar domain, cumsums
+    // partitioned by (group, bucket), bucket offsets exploded per group
+    // and broadcast back, then the smallest cent whose cumulative count
+    // reaches ⌈9n/10⌉. No global sort, no per-group single task: the
+    // widest window partition is one (group, $2000-bucket) slice.
+    "q_group_p90" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perKey = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
+        .groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("w"))
+        .withColumn("bkt", expr("cents DIV 200000"))
+      val wIn = Window.partitionBy(col("grp"), col("bkt"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val within = perKey.withColumn("cw_in", sum(col("w")).over(wIn))
+      val totals = perKey.groupBy(col("grp"), col("bkt"))
+        .agg(sum(col("w")).as("bt"))
+      val mx = perKey.groupBy(col("grp")).agg(max(col("bkt")).as("maxbkt"))
+      val offs = totals.join(broadcast(mx), "grp")
+        .filter(col("bkt") < col("maxbkt"))
+        .select(col("grp"), explode(sequence(col("bkt") + 1,
+          col("maxbkt"))).as("bkt"), col("bt"))
+        .groupBy(col("grp"), col("bkt")).agg(sum(col("bt")).as("off"))
+      val cum = within.join(broadcast(offs), Seq("grp", "bkt"), "left")
+        .withColumn("cw", col("cw_in") + coalesce(col("off"), lit(0L)))
+      val tot = perKey.groupBy(col("grp"))
+        .agg(sum(col("w")).as("n_rows"))
+        .withColumn("thresh", expr("(9 * n_rows + 9) DIV 10"))
+      cum.join(broadcast(tot), "grp")
+        .filter(col("cw") >= col("thresh"))
+        .groupBy(col("grp"), col("n_rows"))
+        .agg(min(col("cents")).as("p90_cents"))
+        .select(col("grp"), col("n_rows"), col("p90_cents"))
+        .orderBy(col("grp"))
+    }),
+
+    // Benford first-digit deviation — the data-quality / fraud signal
+    // over the order-total distribution: first significant digit from
+    // the exact-cents BIGINT rendered as a string (no log10 doubles),
+    // observed per-mille share vs the Benford expectation as FIXED
+    // integer constants, absolute deviation per digit. One
+    // map-side-combined 9-group aggregate + a 1-row total broadcast.
+    "q_benford_deviation" -> ((s, d) => {
+      val benford = "CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176" +
+        " WHEN 3 THEN 125 WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67" +
+        " WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END"
+      val digits = Tables.orders(s, d)
+        .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100)" +
+          " AS BIGINT) AS STRING), 1, 1) AS INT)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("permille", expr("n * 1000 DIV total"))
+        .withColumn("benford_permille", expr(benford))
+        .withColumn("dev_permille",
+          abs(col("permille") - col("benford_permille")))
+        .select(col("digit"), col("n"), col("permille"),
+          col("benford_permille"), col("dev_permille"))
+        .orderBy(col("digit"))
+    }),
+
     // RFM customer segmentation with FIXED business tiers — the
     // quantile (ntile) scoring variant would funnel every customer
     // through one global sort task, so tiers are fixed thresholds
@@ -998,6 +1063,43 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_group_p90" ->
+      """WITH pc AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    COUNT(*) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, cents,
+        |    CAST(SUM(w) OVER (PARTITION BY grp ORDER BY cents) AS BIGINT) AS cw
+        |  FROM pc),
+        |tot AS (
+        |  SELECT grp, CAST(SUM(w) AS BIGINT) AS n_rows,
+        |    (9 * CAST(SUM(w) AS BIGINT) + 9) // 10 AS thresh
+        |  FROM pc GROUP BY 1)
+        |SELECT t.grp, t.n_rows, MIN(c.cents) AS p90_cents
+        |FROM cum c JOIN tot t USING (grp)
+        |WHERE c.cw >= t.thresh
+        |GROUP BY t.grp, t.n_rows ORDER BY t.grp""".stripMargin,
+
+    "q_benford_deviation" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT g.digit, g.n,
+        |  g.n * 1000 // t.total AS permille,
+        |  CAST(CASE g.digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+        |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+        |    WHEN 8 THEN 51 ELSE 46 END AS INTEGER) AS benford_permille,
+        |  abs(g.n * 1000 // t.total - CASE g.digit WHEN 1 THEN 301
+        |    WHEN 2 THEN 176 WHEN 3 THEN 125 WHEN 4 THEN 97 WHEN 5 THEN 79
+        |    WHEN 6 THEN 67 WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END)
+        |    AS dev_permille
+        |FROM g, t ORDER BY g.digit""".stripMargin,
+
     "q_rfm_segments" ->
       """WITH per AS (
         |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_date,

@@ -63,6 +63,28 @@ object EventQueries {
         .orderBy(col("rk"))
     }),
 
+    // Weekly cohort retention matrix — cohort = the user's first active
+    // week, offset = weeks since, cell = users active at (cohort,
+    // offset) with per-mille retention vs the cohort size. Three hash
+    // aggregates at (user) / (user, week) grain plus one cohort-keyed
+    // broadcast join — no event-grain fan-out, O(weeks²) output.
+    "q_cohort_matrix" -> ((s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk")).distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cw"))
+      val sizes = first.groupBy(col("cw")).agg(count(lit(1)).as("cohort_n"))
+      uw.join(first, "user_id")
+        .withColumn("offset_w", expr("datediff(wk, cw) DIV 7"))
+        .groupBy(col("cw"), col("offset_w"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cw")
+        .withColumn("permille", expr("n_active * 1000 DIV cohort_n"))
+        .select(col("cw").as("cohort_week"), col("offset_w"),
+          col("n_active"), col("cohort_n"), col("permille"))
+        .orderBy(col("cohort_week"), col("offset_w"))
+    }),
+
     // Source-freshness / watermark-lag profiler — the observability
     // query an ingestion fleet runs per source at 100 TB: newest event
     // per type (one map-side-combined max), lag behind the global
@@ -592,6 +614,24 @@ object EventQueries {
         |    CAST(row_number() OVER (ORDER BY n DESC, path) AS INTEGER) AS rk
         |  FROM c ORDER BY n DESC, path LIMIT 10)
         |SELECT rk, path, n FROM top ORDER BY rk""".stripMargin,
+
+    "q_cohort_matrix" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY 1),
+        |sizes AS (SELECT cw, COUNT(*) AS cohort_n FROM f GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cw,
+        |    CAST(date_diff('day', f.cw, u.wk) // 7 AS INTEGER) AS offset_w,
+        |    COUNT(*) AS n_active
+        |  FROM uw u JOIN f ON u.user_id = f.user_id
+        |  GROUP BY 1, 2)
+        |SELECT c.cw AS cohort_week, c.offset_w, c.n_active, s.cohort_n,
+        |  c.n_active * 1000 // s.cohort_n AS permille
+        |FROM cells c JOIN sizes s ON c.cw = s.cw
+        |ORDER BY cohort_week, c.offset_w""".stripMargin,
 
     "q_freshness_lag" ->
       """WITH pt AS (

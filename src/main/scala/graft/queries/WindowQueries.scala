@@ -28,6 +28,34 @@ import QueryUtil._
 object WindowQueries {
 
   val defs: Map[String, Q] = Map(
+    // Trailing 7-day regression trend of daily revenue, as the EXACT
+    // integer slope numerator/denominator (n·Σxy−ΣxΣy, n·Σxx−Σx²) —
+    // no double division, so the trend itself is hash-gated. x is the
+    // epoch-day index, y exact cents; the five frame sums run over ONE
+    // calendar-bounded 7-row frame on the O(distinct days) pre-
+    // aggregate (q_rolling_median's scale argument). Products route
+    // through DECIMAL(38,0)/HUGEINT before summing, so the contract
+    // holds past 1e12 daily cents.
+    "q_trend_slope" -> ((s, d) => {
+      val dd = DecimalType(38, 0)
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("y"))
+        .withColumn("x", expr("datediff(day, DATE'1970-01-01')")
+          .cast(LongType))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x").cast(dd)).over(w))
+        .withColumn("sy", sum(col("y").cast(dd)).over(w))
+        .withColumn("sxy", sum(col("x").cast(dd) * col("y").cast(dd)).over(w))
+        .withColumn("sxx", sum(col("x").cast(dd) * col("x").cast(dd)).over(w))
+        .select(col("day"), col("y"), col("n"),
+          expr("CAST(n * sxy - sx * sy AS BIGINT)").as("slope_num"),
+          expr("CAST(n * sxx - sx * sx AS BIGINT)").as("slope_den"))
+        .orderBy(col("day"))
+    }),
+
     // Pareto 80%-coverage per brand: how many parts cover 80% of each
     // brand's revenue. Revenue per (brand, part) comes off one fact
     // shuffle with the part dim broadcast; the rank/cumsum window
@@ -297,6 +325,27 @@ object WindowQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1, 3),
+        |f AS (
+        |  SELECT day, y,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+        |    SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) OVER w AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER w AS sxx
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day, y, n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+        |FROM f ORDER BY day""".stripMargin,
+
     "q_pareto_coverage" ->
       """WITH rev AS (
         |  SELECT p.p_brand, l.l_partkey,

@@ -248,7 +248,10 @@ class QueryLibrarySpec extends SparkTestBase {
         // returning on o_custkey; session paths/readability are
         // window/map-side only
         "q_pareto_coverage", "q_new_vs_returning", "q_session_paths",
-        "q_readability")) {
+        "q_readability",
+        // round-5d: group-p90 joins its offsets/totals on (grp, bkt),
+        // the cohort matrix on user_id / cohort week
+        "q_group_p90", "q_cohort_matrix", "q_trend_slope")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -274,7 +277,9 @@ class QueryLibrarySpec extends SparkTestBase {
         "q_ppr_bucketed",
         // round-5b 1-row broadcasts: weighted median's ⌈W/2⌉ threshold,
         // freshness's global high-water mark; RFM's high-water date
-        "q_weighted_median", "q_freshness_lag", "q_rfm_segments")) {
+        "q_weighted_median", "q_freshness_lag", "q_rfm_segments",
+        // Benford's 1-row digit-total broadcast
+        "q_benford_deviation")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
