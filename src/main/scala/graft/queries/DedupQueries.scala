@@ -642,6 +642,48 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
           col("n_common"), col("jac_micro"), col("n_mem_a"), col("n_mem_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Blocking-quality audit — the record-linkage evaluation that turns
+    // "we use LSH banding" into a measured claim: pair completeness
+    // (recall of the candidate generator against EXACT ground truth),
+    // pairs quality (precision), and the candidate ratio vs all C(n,2)
+    // pairs (the reduction the blocking buys). Ground truth = exact
+    // shingle-Jaccard >= 0.2 pairs over dup-collapsed reps via the
+    // inverted-index intersection (work ∝ true overlap, never all
+    // pairs; the predicate cross-multiplies to 6·|∩| >= |A|+|B| so the
+    // whole audit is integer-exact). Candidates = the SAME capped
+    // banded-LSH generator the dedup pipeline runs ([[cappedBucketPairs]]).
+    // At 100 TB both sides are the existing bucketed shapes; the audit
+    // adds two count aggregates and a pair-keyed semi-join. The C(n,2)
+    // denominator routes through DECIMAL(38,0): n² passes BIGINT at
+    // ~3e9 docs, well inside a 100 TB corpus.
+    "q_blocking_quality" -> ((s, d) => {
+      val reps = dupCollapsedReps(docsSpread(s, d), bySource = false)
+      val sh = docShinglesOf(reps).select(col("doc_id"), col("sh"))
+      val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      val truth = inv.toDF("id_a", "h")
+        .join(inv.toDF("id_b", "h"), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+        .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+        .filter(col("n_common") * 6 >= col("n_a") + col("n_b"))
+        .select(col("id_a"), col("id_b"))
+      val cand = cappedBucketPairs(bandedSignaturesOf(reps))
+      val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      val counts = sizes.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      counts.select(col("n_docs"), col("n_true"), col("n_cand"), col("n_hit"),
+        expr("n_hit * 1000000 DIV NULLIF(n_true, 0)").as("recall_micro"),
+        expr("n_hit * 1000000 DIV NULLIF(n_cand, 0)").as("precision_micro"),
+        expr("CAST(CAST(n_cand AS DECIMAL(38,0)) * 2000000" +
+          " DIV (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)")
+          .as("cand_ppm"))
     })
   )
 
@@ -997,6 +1039,50 @@ object DedupQueries {
          |SELECT doc_id, n_grams, n_shared_grams,
          |  CAST(n_shared_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS shared_ratio
          |FROM per ORDER BY doc_id""".stripMargin
+    },
+
+    "q_blocking_quality" -> {
+      val sigCols = (0 until NUM_HASHES)
+        .map(j => s"${sqlMinhash(j)} AS mh$j").mkString(", ")
+      val bandStructs = (0 until BANDS)
+        .map(b => s"(${b}, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR))")
+        .mkString(", ")
+      s"""WITH reps AS (
+         |  SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+         |t AS (SELECT doc_id, $sqlHashedShingles AS sh FROM reps),
+         |f AS (SELECT * FROM t WHERE len(sh) > 0),
+         |truth AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |  WHERE 6 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh)),
+         |sigs AS (SELECT doc_id, $sigCols FROM f),
+         |banded AS (SELECT doc_id, unnest([$bandStructs]) AS bk FROM sigs),
+         |sized AS (
+         |  SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bsz,
+         |    MIN(doc_id) OVER (PARTITION BY bk) AS rep
+         |  FROM banded),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |    FROM sized a JOIN sized b ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |    WHERE a.bsz <= $BUCKET_CAP
+         |    UNION ALL
+         |    SELECT rep AS id_a, doc_id AS id_b FROM sized
+         |    WHERE bsz > $BUCKET_CAP AND doc_id <> rep) u),
+         |hit AS (
+         |  SELECT id_a, id_b FROM truth
+         |  INTERSECT SELECT id_a, id_b FROM cand),
+         |c AS (SELECT
+         |  (SELECT COUNT(*) FROM f) AS n_docs,
+         |  (SELECT COUNT(*) FROM truth) AS n_true,
+         |  (SELECT COUNT(*) FROM cand) AS n_cand,
+         |  (SELECT COUNT(*) FROM hit) AS n_hit)
+         |SELECT n_docs, n_true, n_cand, n_hit,
+         |  n_hit * 1000000 // NULLIF(n_true, 0) AS recall_micro,
+         |  n_hit * 1000000 // NULLIF(n_cand, 0) AS precision_micro,
+         |  CAST(CAST(n_cand AS HUGEINT) * 2000000
+         |    // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) AS BIGINT) AS cand_ppm
+         |FROM c""".stripMargin
     }
   )
 

@@ -583,10 +583,139 @@ object EventQueries {
           sum(when(col("cents").isNotNull, 1L).otherwise(0L)).as("n_buyers"),
           (sum(col("cents")).cast(DoubleType) / 100.0).as("attributed_rev"))
         .orderBy(col("first_touch"))
+    }),
+
+    // CLAMPED running balance (credit-ledger / inventory semantics):
+    // per-user wallet where non-purchase events deposit their cents and
+    // purchases withdraw, but the balance can never go below zero —
+    // B_i = max(0, B_{i-1} + d_i). That recurrence looks inherently
+    // sequential (the naive distributed form is a sorted per-user fold
+    // in mapGroups), but it is the LINDLEY RECURSION, whose closed form
+    // is windowable: B_i = S_i - min(0, min_{k<=i} S_k) over the plain
+    // running sum S. A clamp fires at step i iff S_i drops strictly
+    // below every earlier prefix (and zero) — a new descending record.
+    // So the whole stateful scan is 2 window passes + 1 aggregate over
+    // ONE user-keyed exchange, O(events) at any scale, no iterator
+    // state anywhere. All-integer contract (cents; BIGINT safe: |S| <=
+    // total cents per user, far under 2^63 even at 100 TB per-user
+    // volumes).
+    "q_clamped_runsum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(col("event_type") === "purchase",
+          -round(col("value") * 100).cast("long"))
+          .otherwise(round(col("value") * 100).cast("long")).as("delta"))
+      val scanned = e
+        .withColumn("s",
+          sum(col("delta")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("mprev",
+          min(col("s")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      scanned.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("delta")).as("total_delta_cents"),
+          min(col("s")).as("min_s"),
+          sum(when(col("s") < least(lit(0L), coalesce(col("mprev"), lit(0L))),
+            1L).otherwise(0L)).as("clamp_events"))
+        .select(col("user_id"), col("n_events"), col("total_delta_cents"),
+          (col("total_delta_cents") - least(lit(0L), col("min_s")))
+            .as("final_balance_cents"),
+          col("clamp_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Training-feature backfill — the feature-engineering pass an ML
+    // pipeline runs over the event log: one row per purchase carrying
+    // its lag features (previous purchase amount, days since, trailing-3
+    // purchase spend, views since the last purchase). Two window layers,
+    // BOTH over the same (user_id) partitioning — the conditional
+    // running view-counter rides the all-events frame, the lag/trailing
+    // frames ride the purchases-only frame after the filter — so the
+    // whole feature matrix costs ONE user-keyed exchange end to end.
+    // All-integer contract (cents, counts, day diffs); no raw timestamp
+    // in the output.
+    "q_lag_features" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val e = Tables.events(s, d)
+        .withColumn("views_cum",
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val wp = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trail3 = wp.rowsBetween(-3, -1)
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("views_cum"))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          lag(col("cents"), 1).over(wp).as("prev_cents"),
+          datediff(col("ts").cast("date"),
+            lag(col("ts"), 1).over(wp).cast("date")).cast("long").as("gap_days"),
+          sum(col("cents")).over(trail3).as("sum3_cents"),
+          count(lit(1)).over(trail3).as("n3"),
+          (col("views_cum") - coalesce(lag(col("views_cum"), 1).over(wp),
+            lit(0L))).as("views_since"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_clamped_runsum" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN -CAST(round(value * 100) AS BIGINT)
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts, event_id, delta,
+        |    CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM d),
+        |m AS (
+        |  SELECT user_id, delta, s,
+        |    MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+        |  FROM r)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(delta) AS BIGINT) AS total_delta_cents,
+        |  CAST(SUM(delta) AS BIGINT)
+        |    - LEAST(0, CAST(MIN(s) AS BIGINT)) AS final_balance_cents,
+        |  CAST(SUM(CASE WHEN s < LEAST(0, COALESCE(mprev, 0))
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS clamp_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_lag_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS views_cum
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, event_id, ts, cents, views_cum FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT user_id, event_id, cents,
+        |  LAG(cents, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_cents,
+        |  CAST(date_diff('day',
+        |      CAST(LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS DATE),
+        |      CAST(ts AS DATE)) AS BIGINT) AS gap_days,
+        |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS sum3_cents,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS n3,
+        |  views_cum - COALESCE(LAG(views_cum, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id), 0) AS views_since
+        |FROM p ORDER BY user_id, event_id""".stripMargin,
+
     "q_session_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
 class NewOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Chronological sort key for a TIMESTAMP_NTZ read back as LocalDateTime. */
+  private def ldtKey(t: java.time.LocalDateTime): (Long, Int) =
+    (t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano)
+
   test("triangle count matches ground truth on known graphs") {
     def tri(edges: (Int, Int)*): (Long, Long, Long) = {
       val r = GraphQueries.triangleCountFrom(edges.toDF("u", "v")).head
@@ -261,5 +265,89 @@ class NewOpsSpec extends SparkTestBase {
     assert(windowOps === 1, s"expected exactly one Window operator:\n$plan")
     val n = Tables.documents(spark, sf()).count()
     assert(q.count() <= 3 * n)
+  }
+
+  test("clamped running sum: windowed Lindley form equals the sequential fold") {
+    // The query computes B_i = max(0, B_{i-1} + d_i) via the closed form
+    // S_i - min(0, min prefix S); this replays the recurrence directly.
+    val out = SparkEntry.queries("q_clamped_runsum")(spark, sf()).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val events = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase",
+          -round(col("value") * 100).cast("long"))
+          .otherwise(round(col("value") * 100).cast("long")).as("delta"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.time.LocalDateTime]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("delta")))
+    assert(out.size === events.map(_._1).distinct.length)
+    events.groupBy(_._1).foreach { case (uid, rows) =>
+      var bal = 0L; var clamps = 0L; var total = 0L
+      rows.sortBy(r => (ldtKey(r._2), r._3)).foreach { r =>
+        total += r._4
+        if (bal + r._4 < 0) { clamps += 1; bal = 0 } else bal += r._4
+      }
+      val o = out(uid)
+      assert(o.getAs[Long]("final_balance_cents") === bal, s"user $uid")
+      assert(o.getAs[Long]("clamp_events") === clamps, s"user $uid")
+      assert(o.getAs[Long]("total_delta_cents") === total, s"user $uid")
+    }
+  }
+
+  test("lag features replay against a sequential per-user scan") {
+    val out = SparkEntry.queries("q_lag_features")(spark, sf()).collect()
+    val byKey = out.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")) -> r).toMap
+    val ev = Tables.events(spark, sf())
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.time.LocalDateTime]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    var checked = 0
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      var views = 0L
+      var purchases = Vector.empty[(Long, Long, Long)] // cents, eventId, viewsAt
+      rows.sortBy(r => (ldtKey(r._2), r._3)).foreach { r =>
+        if (r._4 == "view") views += 1
+        if (r._4 == "purchase")
+          purchases = purchases :+ ((math.round(r._5 * 100), r._3, views))
+      }
+      purchases.zipWithIndex.foreach { case ((cents, eid, vAt), i) =>
+        val o = byKey((uid, eid))
+        assert(o.getAs[Long]("cents") === cents)
+        val lo = math.max(0, i - 3)
+        assert(o.getAs[Long]("n3") === (i - lo).toLong)
+        if (i == 0) {
+          assert(o.isNullAt(o.fieldIndex("prev_cents")))
+          assert(o.isNullAt(o.fieldIndex("gap_days")))
+          assert(o.isNullAt(o.fieldIndex("sum3_cents")))
+          assert(o.getAs[Long]("views_since") === vAt)
+        } else {
+          assert(o.getAs[Long]("prev_cents") === purchases(i - 1)._1)
+          assert(o.getAs[Long]("gap_days") >= 0L)
+          assert(o.getAs[Long]("sum3_cents") ===
+            (lo until i).map(purchases(_)._1).sum)
+          assert(o.getAs[Long]("views_since") === vAt - purchases(i - 1)._3)
+        }
+        checked += 1
+      }
+    }
+    assert(checked === out.length)
+  }
+
+  test("blocking-quality metrics are internally consistent") {
+    val r = SparkEntry.queries("q_blocking_quality")(spark, sf()).head
+    val nd = r.getAs[Long]("n_docs"); val nt = r.getAs[Long]("n_true")
+    val nc = r.getAs[Long]("n_cand"); val nh = r.getAs[Long]("n_hit")
+    assert(nd > 0)
+    assert(nh <= nt && nh <= nc)
+    assert(nc <= nd * (nd - 1) / 2)
+    if (nt > 0) assert(r.getAs[Long]("recall_micro") === nh * 1000000L / nt)
+    if (nc > 0) assert(r.getAs[Long]("precision_micro") === nh * 1000000L / nc)
+    assert(r.getAs[Long]("cand_ppm") <= 1000000L)
   }
 }

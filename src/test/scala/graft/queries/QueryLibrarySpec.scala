@@ -251,7 +251,11 @@ class QueryLibrarySpec extends SparkTestBase {
         "q_readability",
         // round-5d: group-p90 joins its offsets/totals on (grp, bkt),
         // the cohort matrix on user_id / cohort week
-        "q_group_p90", "q_cohort_matrix", "q_trend_slope")) {
+        "q_group_p90", "q_cohort_matrix", "q_trend_slope",
+        // round-5e: the Lindley-scan and feature-backfill are pure
+        // user-keyed windows; blocking-quality's truth/candidate sides
+        // block on shingle hash / band key like the dedup family
+        "q_clamped_runsum", "q_lag_features")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -279,7 +283,10 @@ class QueryLibrarySpec extends SparkTestBase {
         // freshness's global high-water mark; RFM's high-water date
         "q_weighted_median", "q_freshness_lag", "q_rfm_segments",
         // Benford's 1-row digit-total broadcast
-        "q_benford_deviation")) {
+        "q_benford_deviation",
+        // blocking-quality: the four 1-row count frames cross-join into
+        // the single metrics row; both pair generators are equi-keyed
+        "q_blocking_quality")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
