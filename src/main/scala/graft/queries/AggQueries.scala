@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import QueryUtil._
@@ -1059,6 +1060,72 @@ object AggQueries {
         .select(col("seg"), col("prio"), col("n_obs"), col("exp_micro"),
           col("term_centi"), col("chi2_centi"))
         .orderBy(col("seg"), col("prio"))
+    }),
+
+    // Functional-dependency audit — profile how close candidate A → B
+    // dependencies are to holding: for each FD, count lhs keys, keys
+    // with more than one distinct rhs (violations), the worst per-key
+    // rhs variety, and the violation rate in ppm. The relational-theory
+    // face of data quality (discovering near-keys before declaring
+    // constraints). Shape per FD: one two-level hash aggregate keyed on
+    // the lhs (map-side partials, no shuffle beyond the lhs key), then
+    // a 4-way union of 1-row summaries — at 100 TB each FD is one
+    // aggregation pass and the union is free.
+    "q_fd_violations" -> ((s, d) => {
+      def audit(df: DataFrame, fd: String, lhs: String, rhs: String) =
+        df.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("n_rhs"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+            max(col("n_rhs")).as("max_rhs_variants"))
+          .select(lit(fd).as("fd"), col("n_lhs"), col("n_violating"),
+            col("max_rhs_variants"),
+            expr("n_violating * 1000000 DIV n_lhs").as("violation_ppm"))
+      audit(Tables.lineitem(s, d), "l_partkey->l_suppkey",
+          "l_partkey", "l_suppkey")
+        .unionAll(audit(Tables.lineitem(s, d), "l_orderkey->l_returnflag",
+          "l_orderkey", "l_returnflag"))
+        .unionAll(audit(Tables.orders(s, d), "o_custkey->o_orderpriority",
+          "o_custkey", "o_orderpriority"))
+        .unionAll(audit(Tables.customer(s, d), "c_nationkey->c_mktsegment",
+          "c_nationkey", "c_mktsegment"))
+        .orderBy(col("fd"))
+    }),
+
+    // Kendall tau-b rank correlation between two per-nation metrics
+    // (total customer balance cents vs customer count): exact concordant /
+    // discordant / tie counts from the C(25,2) pairs of the AGGREGATED
+    // frame — the pair join is dimension-bound (nations), the same
+    // named tiny-frame class as the cohort matrix; the raw table is
+    // touched by exactly one keyed aggregate. tau_micro rounds
+    // (nc−nd)·10⁶ / √((n0−tx)(n0−ty)): integer operands, one
+    // correctly-rounded IEEE sqrt and divide — bit-identical in both
+    // engines (the q_item_cosine precedent).
+    "q_kendall_tau" -> ((s, d) => {
+      val m = Tables.customer(s, d).groupBy(col("c_nationkey"))
+        .agg(expr("CAST(sum(round(c_acctbal * 100)) AS BIGINT)").as("x"),
+          count(lit(1)).as("y"))
+      val a = m.select(col("c_nationkey").as("ka"), col("x").as("xa"),
+        col("y").as("ya"))
+      val b = m.select(col("c_nationkey").as("kb"), col("x").as("xb"),
+        col("y").as("yb"))
+      val pairs = a.join(broadcast(b), col("ka") < col("kb"))
+        .select(
+          (signum(col("xa") - col("xb")) * signum(col("ya") - col("yb")))
+            .cast("long").as("sgn"),
+          when(col("xa") === col("xb"), 1L).otherwise(0L).as("tx"),
+          when(col("ya") === col("yb"), 1L).otherwise(0L).as("ty"))
+      pairs.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("nd"),
+          sum(col("tx")).as("ties_x"),
+          sum(col("ty")).as("ties_y"))
+        .select(col("n0"), col("nc"), col("nd"), col("ties_x"), col("ties_y"),
+          round((col("nc") - col("nd")).cast("double") * 1000000.0
+            / sqrt(((col("n0") - col("ties_x"))
+              * (col("n0") - col("ties_y"))).cast("double")))
+            .cast("long").as("tau_micro"))
     })
   )
 
@@ -1673,6 +1740,56 @@ object AggQueries {
         |  FROM x)
         |SELECT seg, prio, n_obs, exp_micro, term_centi,
         |  CAST(SUM(term_centi) OVER () AS BIGINT) AS chi2_centi
-        |FROM y ORDER BY seg, prio""".stripMargin
+        |FROM y ORDER BY seg, prio""".stripMargin,
+
+    "q_fd_violations" ->
+      """WITH a1 AS (
+        |  SELECT l_partkey AS lhs, COUNT(DISTINCT l_suppkey) AS n_rhs
+        |  FROM lineitem GROUP BY l_partkey),
+        |a2 AS (
+        |  SELECT l_orderkey AS lhs, COUNT(DISTINCT l_returnflag) AS n_rhs
+        |  FROM lineitem GROUP BY l_orderkey),
+        |a3 AS (
+        |  SELECT o_custkey AS lhs, COUNT(DISTINCT o_orderpriority) AS n_rhs
+        |  FROM orders GROUP BY o_custkey),
+        |a4 AS (
+        |  SELECT c_nationkey AS lhs, COUNT(DISTINCT c_mktsegment) AS n_rhs
+        |  FROM customer GROUP BY c_nationkey),
+        |u AS (
+        |  SELECT 'l_partkey->l_suppkey' AS fd, * FROM a1
+        |  UNION ALL SELECT 'l_orderkey->l_returnflag', * FROM a2
+        |  UNION ALL SELECT 'o_custkey->o_orderpriority', * FROM a3
+        |  UNION ALL SELECT 'c_nationkey->c_mktsegment', * FROM a4)
+        |SELECT fd, COUNT(*) AS n_lhs,
+        |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  MAX(n_rhs) AS max_rhs_variants,
+        |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS violation_ppm
+        |FROM u GROUP BY fd ORDER BY fd""".stripMargin,
+
+    "q_kendall_tau" ->
+      """WITH m AS (
+        |  SELECT c_nationkey AS k,
+        |    CAST(SUM(round(c_acctbal * 100)) AS BIGINT) AS x,
+        |    COUNT(*) AS y
+        |  FROM customer GROUP BY c_nationkey),
+        |p AS (
+        |  SELECT CAST(sign(a.x - b.x) * sign(a.y - b.y) AS BIGINT) AS sgn,
+        |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+        |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        |  FROM m a JOIN m b ON a.k < b.k),
+        |c AS (
+        |  SELECT COUNT(*) AS n0,
+        |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+        |    CAST(SUM(tx) AS BIGINT) AS ties_x,
+        |    CAST(SUM(ty) AS BIGINT) AS ties_y
+        |  FROM p)
+        |SELECT n0, nc, nd, ties_x, ties_y,
+        |  CAST(round(CAST(nc - nd AS DOUBLE) * 1000000.0
+        |    / sqrt(CAST((n0 - ties_x) * (n0 - ties_y) AS DOUBLE)))
+        |    AS BIGINT) AS tau_micro
+        |FROM c""".stripMargin
   )
 }

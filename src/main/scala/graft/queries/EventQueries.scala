@@ -660,10 +660,131 @@ object EventQueries {
           (col("views_cum") - coalesce(lag(col("views_cum"), 1).over(wp),
             lit(0L))).as("views_since"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Time-in-state: per-user dwell durations between consecutive events
+    // (the state a user sits in until the next event), aggregated per
+    // state — the session-analytics twin of an uptime/SLA report. One
+    // lead() over the user-keyed exchange, one hash aggregate; exact
+    // integer microseconds end to end (sum ≤ total observed time ≤
+    // years·3e13 µs per user — BIGINT-safe at any corpus size).
+    "q_time_in_state" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("dwell_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dwell_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_dwells"),
+          sum(col("dwell_us")).as("total_dwell_us"),
+          expr("CAST(sum(dwell_us) DIV count(1) AS BIGINT)").as("mean_dwell_us"),
+          max(col("dwell_us")).as("max_dwell_us"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Interval-overlap join: user sessions (5-minute-gap islands)
+    // against the top-25 error-heaviest hours ("incident windows") —
+    // which sessions were exposed to an incident, and for how long. The
+    // scalable overlap-join shape: sessions EXPLODE onto the hour grid
+    // they span (work ∝ session length, not session count × window
+    // count), incident hours are a bounded broadcast (top-25), and the
+    // per-hour exposure sums are exact integer microseconds (inclusive
+    // [start, end] session endpoints). The global rank over per-hour
+    // error counts is a bounded-domain window (hours in the corpus time
+    // span), the same class as the OHLC/top-k calendars.
+    "q_interval_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourUs = 3600000000L
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val sess = e
+        .withColumn("is_new",
+          when(col("us") - lag(col("us"), 1).over(wU) >= 300000000L
+            || lag(col("us"), 1).over(wU).isNull, 1L).otherwise(0L))
+        .withColumn("sess",
+          sum(col("is_new")).over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+      val incidents = e.filter(col("event_type") === "error")
+        .groupBy(expr(s"us DIV $hourUs").as("hr"))
+        .agg(count(lit(1)).as("n_errors"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n_errors").desc, col("hr"))))
+        .filter(col("rk") <= 25).drop("rk")
+      sess
+        .withColumn("hr", explode(
+          expr(s"sequence(s_start DIV $hourUs, s_end DIV $hourUs)")))
+        .join(broadcast(incidents), Seq("hr"))
+        .groupBy(col("hr"), col("n_errors"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(least(col("s_end"), (col("hr") + 1) * hourUs - 1)
+            - greatest(col("s_start"), col("hr") * hourUs) + 1)
+            .as("exposure_us"))
+        .orderBy(col("hr"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_time_in_state" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |    LEAD(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS dwell_us
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_dwells,
+        |  CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+        |  CAST(SUM(dwell_us) // COUNT(*) AS BIGINT) AS mean_dwell_us,
+        |  MAX(dwell_us) AS max_dwell_us
+        |FROM d WHERE dwell_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN us - LAG(us, 1) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) >= 300000000
+        |      OR LAG(us, 1) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, MIN(us) AS s_start, MAX(us) AS s_end
+        |  FROM (SELECT user_id, us,
+        |      SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |    FROM marked) g
+        |  GROUP BY user_id, sess),
+        |incidents AS (
+        |  SELECT hr, n_errors FROM (
+        |    SELECT us // 3600000000 AS hr, COUNT(*) AS n_errors,
+        |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, us // 3600000000)
+        |        AS rk
+        |    FROM e WHERE event_type = 'error' GROUP BY us // 3600000000) t
+        |  WHERE rk <= 25),
+        |hit AS (
+        |  SELECT i.hr, i.n_errors, s.user_id,
+        |    LEAST(s.s_end, (i.hr + 1) * 3600000000 - 1)
+        |      - GREATEST(s.s_start, i.hr * 3600000000) + 1 AS ov_us
+        |  FROM sess s JOIN incidents i
+        |    ON i.hr BETWEEN s.s_start // 3600000000 AND s.s_end // 3600000000)
+        |SELECT hr, n_errors, COUNT(*) AS n_sessions,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(ov_us) AS BIGINT) AS exposure_us
+        |FROM hit GROUP BY hr, n_errors ORDER BY hr""".stripMargin,
+
     "q_clamped_runsum" ->
       """WITH d AS (
         |  SELECT user_id, ts, event_id,

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.BloomJoin
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import QueryUtil._
@@ -324,6 +325,71 @@ object JoinQueries {
       joined.groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // FIFO lot matching — the inventory/cost-basis operator that looks
+    // inherently sequential (consume the oldest open lot first) but has
+    // an exact RELATIONAL closed form: order each part's supply lots and
+    // demands by time and take per-side cumulative quantities; FIFO then
+    // matches lot i to demand j with quantity
+    //   max(0, min(cs_i, cd_j) − max(cs_{i−1}, cd_{j−1}))
+    // i.e. the pairs are exactly the OVERLAPPING INTERVALS of the two
+    // cumulative axes. The overlap join is grid-bucketed (the library's
+    // range-join shape): each cumulative interval explodes onto the
+    // fixed-width buckets it spans (≤ 2 here — interval length is one
+    // line's quantity, ≤ 50·100 units < the 5 000-unit grid), candidates
+    // meet on (partkey, bucket), the exact overlap predicate filters,
+    // and DISTINCT collapses double-bucket hits. No nested-loop, no
+    // per-key quadratic: work ∝ true matches, which FIFO's staircase
+    // structure bounds by n_lots + n_demands − 1 per part (asserted in
+    // NewOpsSpec). At 100 TB the shuffle key (partkey, bucket) also
+    // splits hot parts across reducers — deep per-part histories don't
+    // straggle. All-integer contract (quantity cent-units).
+    "q_fifo_match" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = 5000L
+      val li = Tables.lineitem(s, d).select(col("l_partkey").as("pk"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        col("l_shipdate").as("sd"), col("l_linestatus").as("st"),
+        round(col("l_quantity") * 100).cast("long").as("units"))
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(col("sd"), col("ok"), col("ln"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      def cumSide(status: String, pfx: String) = li.filter(col("st") === status)
+        .withColumn("hi", sum(col("units")).over(w))
+        .withColumn("lo", col("hi") - col("units"))
+        .select(col("pk"), col("ok").as(s"${pfx}_ok"), col("ln").as(s"${pfx}_ln"),
+          col("lo").as(s"${pfx}_lo"), col("hi").as(s"${pfx}_hi"))
+      val sup = cumSide("F", "s")
+      val dem = cumSide("O", "d")
+      def onGrid(side: DataFrame, pfx: String) = side.withColumn("bkt",
+        explode(expr(s"sequence(${pfx}_lo DIV $grid, (${pfx}_hi - 1) DIV $grid)")))
+      val pairs = onGrid(sup, "s").join(onGrid(dem, "d"), Seq("pk", "bkt"))
+        .filter(col("s_hi") > col("d_lo") && col("d_hi") > col("s_lo"))
+        .drop("bkt").distinct()
+        .withColumn("m_units", least(col("s_hi"), col("d_hi"))
+          - greatest(col("s_lo"), col("d_lo")))
+      val perDemand = pairs.groupBy(col("pk"), col("d_ok"), col("d_ln"))
+        .agg(count(lit(1)).as("n_lots_hit"), sum(col("m_units")).as("du"))
+      val matchAgg = perDemand.groupBy(col("pk"))
+        .agg(sum(col("n_lots_hit")).as("n_matches"),
+          sum(col("du")).as("matched_units"),
+          sum(when(col("n_lots_hit") > 1, 1L).otherwise(0L)).as("n_split_demands"))
+      def sideAgg(side: DataFrame, pfx: String, nName: String, uName: String) =
+        side.groupBy(col("pk")).agg(count(lit(1)).as(nName),
+          max(col(s"${pfx}_hi")).as(uName))
+      sideAgg(sup, "s", "n_lots", "supply_units")
+        .join(sideAgg(dem, "d", "n_demands", "demand_units"), Seq("pk"), "full")
+        .join(matchAgg, Seq("pk"), "left")
+        .select(col("pk").as("partkey"),
+          coalesce(col("n_lots"), lit(0L)).as("n_lots"),
+          coalesce(col("n_demands"), lit(0L)).as("n_demands"),
+          coalesce(col("supply_units"), lit(0L)).as("supply_units"),
+          coalesce(col("demand_units"), lit(0L)).as("demand_units"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("matched_units"), lit(0L)).as("matched_units"),
+          coalesce(col("n_split_demands"), lit(0L)).as("n_split_demands"))
+        .orderBy(col("partkey"))
     })
   )
 
@@ -481,6 +547,61 @@ object JoinQueries {
     "q_salted_join" ->
       s"""SELECT s_nationkey, COUNT(*) AS n_lines, ${sqlDsum("l_quantity")} AS sum_qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // The twin skips the grid (DuckDB's IEJoin handles the inequality
+    // pair directly) — bucketing must be value-invisible, like salting.
+    "q_fifo_match" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln,
+        |    l_shipdate AS sd, l_linestatus AS st,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS units
+        |  FROM lineitem),
+        |sup AS (
+        |  SELECT pk, ok AS s_ok, ln AS s_ln,
+        |    SUM(units) OVER (PARTITION BY pk ORDER BY sd, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_hi,
+        |    SUM(units) OVER (PARTITION BY pk ORDER BY sd, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - units AS s_lo
+        |  FROM li WHERE st = 'F'),
+        |dem AS (
+        |  SELECT pk, ok AS d_ok, ln AS d_ln,
+        |    SUM(units) OVER (PARTITION BY pk ORDER BY sd, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_hi,
+        |    SUM(units) OVER (PARTITION BY pk ORDER BY sd, ok, ln
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - units AS d_lo
+        |  FROM li WHERE st = 'O'),
+        |pairs AS (
+        |  SELECT s.pk, d_ok, d_ln,
+        |    LEAST(s_hi, d_hi) - GREATEST(s_lo, d_lo) AS m_units
+        |  FROM sup s JOIN dem d ON s.pk = d.pk
+        |    AND s_hi > d_lo AND d_hi > s_lo),
+        |per_demand AS (
+        |  SELECT pk, d_ok, d_ln, COUNT(*) AS n_lots_hit, SUM(m_units) AS du
+        |  FROM pairs GROUP BY pk, d_ok, d_ln),
+        |match_agg AS (
+        |  SELECT pk, CAST(SUM(n_lots_hit) AS BIGINT) AS n_matches,
+        |    CAST(SUM(du) AS BIGINT) AS matched_units,
+        |    CAST(SUM(CASE WHEN n_lots_hit > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_split_demands
+        |  FROM per_demand GROUP BY pk),
+        |sup_agg AS (
+        |  SELECT pk, COUNT(*) AS n_lots, MAX(s_hi) AS supply_units
+        |  FROM sup GROUP BY pk),
+        |dem_agg AS (
+        |  SELECT pk, COUNT(*) AS n_demands, MAX(d_hi) AS demand_units
+        |  FROM dem GROUP BY pk)
+        |SELECT COALESCE(sup_agg.pk, dem_agg.pk) AS partkey,
+        |  COALESCE(n_lots, 0) AS n_lots,
+        |  COALESCE(n_demands, 0) AS n_demands,
+        |  CAST(COALESCE(supply_units, 0) AS BIGINT) AS supply_units,
+        |  CAST(COALESCE(demand_units, 0) AS BIGINT) AS demand_units,
+        |  COALESCE(n_matches, 0) AS n_matches,
+        |  COALESCE(matched_units, 0) AS matched_units,
+        |  COALESCE(n_split_demands, 0) AS n_split_demands
+        |FROM sup_agg
+        |FULL OUTER JOIN dem_agg ON sup_agg.pk = dem_agg.pk
+        |LEFT JOIN match_agg ON COALESCE(sup_agg.pk, dem_agg.pk) = match_agg.pk
+        |ORDER BY partkey""".stripMargin
   )
 }

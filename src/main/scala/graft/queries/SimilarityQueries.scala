@@ -511,6 +511,35 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cid"),
           coalesce(col("dup"), lit(false)).as("is_dup"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Matryoshka-style dimension-truncation evaluation: how much
+    // recall@5 survives if retrieval runs on only the FIRST 16 of the
+    // 64 embedding dimensions (the storage/compute lever behind MRL
+    // embeddings and PQ prefix scans). Both rankings are EXACT cosine
+    // top-k — full-dim vs sliced — so unlike the trained-ANN recall
+    // gates this one is fully hash-gated per probe: the overlap count
+    // and recall are deterministic integers. Shape: two broadcast-probe
+    // corpus scans (the proven cosineTopK shape) + one pair-keyed
+    // semi-join; at 100 TB the truncated scan reads 4× fewer embedding
+    // bytes — the point of the operator.
+    "q_trunc_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      def sliced(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val probes = e.filter(col("vec_id") < N_QUERIES)
+      val full = cosineTopK(e, probes)
+        .select(col("id_a"), col("id_b"))
+      val trunc = cosineTopK(sliced(e), sliced(probes))
+        .select(col("id_a"), col("id_b"))
+      val common = full.join(trunc, Seq("id_a", "id_b"), "left_semi")
+        .groupBy(col("id_a")).agg(count(lit(1)).as("n_common"))
+      probes.select(col("vec_id").as("id_a"))
+        .join(common, Seq("id_a"), "left")
+        .select(col("id_a"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          expr(s"coalesce(n_common, 0) * 1000000 DIV $K").as("recall_micro"))
+        .orderBy(col("id_a"))
     })
   )
 
@@ -1201,6 +1230,36 @@ object SimilarityQueries {
          |          CAST(eb.embedding AS DOUBLE[])) >= $SEM_TAU)
          |SELECT s.vec_id, s.cid, d.vec_id IS NOT NULL AS is_dup
          |FROM assign s LEFT JOIN dup d ON d.vec_id = s.vec_id
-         |ORDER BY s.vec_id""".stripMargin
+         |ORDER BY s.vec_id""".stripMargin,
+
+    "q_trunc_recall" ->
+      s"""WITH fullk AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY $sqlCosine DESC, b.vec_id) AS rn
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |    WHERE a.vec_id < $N_QUERIES) t WHERE rn <= $K),
+         |trunck AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round(list_cosine_similarity(
+         |            CAST(a.embedding AS DOUBLE[])[1:16],
+         |            CAST(b.embedding AS DOUBLE[])[1:16]), 6) DESC,
+         |          b.vec_id) AS rn
+         |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |    WHERE a.vec_id < $N_QUERIES) t WHERE rn <= $K),
+         |common AS (
+         |  SELECT id_a, COUNT(*) AS n_common FROM (
+         |    SELECT id_a, id_b FROM fullk
+         |    INTERSECT SELECT id_a, id_b FROM trunck) i
+         |  GROUP BY id_a)
+         |SELECT p.vec_id AS id_a,
+         |  COALESCE(n_common, 0) AS n_common,
+         |  COALESCE(n_common, 0) * 1000000 // $K AS recall_micro
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < $N_QUERIES) p
+         |LEFT JOIN common ON common.id_a = p.vec_id
+         |ORDER BY id_a""".stripMargin
   )
 }

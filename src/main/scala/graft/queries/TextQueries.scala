@@ -462,6 +462,91 @@ object TextQueries {
           (lit(1.0) - col("sumsq").cast(DoubleType) /
             (col("n_docs") * col("n_docs")).cast(DoubleType)).as("gini"))
         .orderBy(col("source"))
+    }),
+
+    // Add-one-smoothed bigram language model — the count-based LM a
+    // curation pipeline trains for perplexity-ish filtering: for the
+    // 20 most frequent context tokens, the top-3 next-token
+    // continuations with their smoothed conditional probability
+    // p(w2|w1) = (c12+1)/(c1+V) in exact per-mille. Shape: one
+    // bigram-keyed aggregate (the LM "training" shuffle, ∝ corpus
+    // tokens), one unigram aggregate, a 1-row vocab count broadcast,
+    // and two rank windows over the AGGREGATED frame (vocab-bounded
+    // domain, not corpus-bounded). All-integer contract.
+    "q_bigram_lm" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val bg = toks.filter(size(col("a")) > 1)
+        .select(explode(expr(
+          "transform(sequence(1, size(a) - 1)," +
+            " i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))"))
+          .as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val vocab = toks.select(explode(col("a")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val top20 = c1
+        .withColumn("ctx_rank", row_number().over(
+          Window.orderBy(col("c1").desc, col("w1"))))
+        .filter(col("ctx_rank") <= 20)
+      c12.join(broadcast(top20), Seq("w1"))
+        .withColumn("nx_rank", row_number().over(
+          Window.partitionBy(col("w1"))
+            .orderBy(col("c12").desc, col("w2"))))
+        .filter(col("nx_rank") <= 3)
+        .crossJoin(broadcast(vocab))
+        .select(col("ctx_rank"), col("w1"), col("nx_rank"), col("w2"),
+          col("c12"), col("c1"),
+          expr("(c12 + 1) * 1000 DIV (c1 + v)").as("p_permille"))
+        .orderBy(col("ctx_rank"), col("nx_rank"), col("w2"))
+    }),
+
+    // Winnowing fingerprints (the MOSS scheme): hash every token
+    // bigram, slide a w=4 window over the hash sequence, and keep the
+    // window minimum (rightmost on ties) — the selection is position-
+    // robust (local edits only disturb nearby windows) and its density
+    // is guaranteed: at least one fingerprint per w consecutive grams
+    // (the gap bound NewOpsSpec asserts). Encoding min-with-rightmost-
+    // tie as ONE integer key (hash·2²⁰ + (2²⁰−1−pos)) makes the window
+    // min a plain BIGINT min — no struct ordering dependence between
+    // engines. Shape: explode ∝ tokens, one per-doc window, one
+    // distinct + aggregate; all integer.
+    "q_winnow" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val enc = 1048576L
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val grams = toks.filter(size(col("a")) > 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(a) - 1)," +
+            " i -> struct(i AS pos, concat(element_at(a, i), ' '," +
+            " element_at(a, i + 1)) AS g))")).as("p"))
+        .select(col("doc_id"), col("p.pos"),
+          (phash(col("p.g"), 3) % 1000003L).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(-3, 0)
+      val sel = grams
+        .withColumn("key", col("h") * enc + (lit(enc - 1) - col("pos")))
+        .withColumn("mn", min(col("key")).over(w))
+        .filter(col("pos") >= 4)
+        .select(col("doc_id"),
+          (lit(enc - 1) - (col("mn") % enc)).as("sel_pos"),
+          expr(s"mn DIV $enc").as("sel_h"))
+        .distinct()
+      val perDoc = sel.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), sum(col("sel_h")).as("fp_sum"),
+          min(col("sel_h")).as("fp_min"), max(col("sel_h")).as("fp_max"))
+      toks.select(col("doc_id"),
+          greatest(size(col("a")) - 1, lit(0)).cast("long").as("n_grams"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          coalesce(col("fp_sum"), lit(0L)).as("fp_sum"),
+          coalesce(col("fp_min"), lit(0L)).as("fp_min"),
+          coalesce(col("fp_max"), lit(0L)).as("fp_max"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -738,6 +823,70 @@ object TextQueries {
         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_langs,
         |  1.0 - CAST(SUM(c * c) AS DOUBLE)
         |    / CAST(CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT) AS DOUBLE) AS gini
-        |FROM cl GROUP BY source ORDER BY source""".stripMargin
+        |FROM cl GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |bg AS (
+        |  SELECT a[CAST(i AS INTEGER)] AS w1, a[CAST(i AS INTEGER) + 1] AS w2
+        |  FROM (SELECT a, unnest(range(1, len(a))) AS i
+        |        FROM toks WHERE len(a) > 1) t),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |vocab AS (
+        |  SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT unnest(a) AS w FROM toks) u),
+        |top20 AS (
+        |  SELECT w1, c1, ctx_rank FROM (
+        |    SELECT w1, c1,
+        |      ROW_NUMBER() OVER (ORDER BY c1 DESC, w1) AS ctx_rank
+        |    FROM c1) r WHERE ctx_rank <= 20),
+        |nx AS (
+        |  SELECT t.ctx_rank, c12.w1, c12.w2, c12.c12, t.c1,
+        |    ROW_NUMBER() OVER (PARTITION BY c12.w1
+        |      ORDER BY c12.c12 DESC, c12.w2) AS nx_rank
+        |  FROM c12 JOIN top20 t ON c12.w1 = t.w1)
+        |SELECT ctx_rank, w1, nx_rank, w2, c12, c1,
+        |  (c12 + 1) * 1000 // (c1 + v) AS p_permille
+        |FROM nx CROSS JOIN vocab
+        |WHERE nx_rank <= 3
+        |ORDER BY ctx_rank, nx_rank, w2""".stripMargin,
+
+    "q_winnow" -> {
+      val h = sqlPhash("g", 3) + " % 1000003"
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS g
+         |  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i
+         |        FROM toks WHERE len(a) > 1) t),
+         |keyed AS (
+         |  SELECT doc_id, pos, ($h) * 1048576 + (1048575 - pos) AS key
+         |  FROM grams),
+         |mins AS (
+         |  SELECT doc_id, pos,
+         |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+         |  FROM keyed),
+         |sel AS (
+         |  SELECT DISTINCT doc_id, 1048575 - (mn % 1048576) AS sel_pos,
+         |    mn // 1048576 AS sel_h
+         |  FROM mins WHERE pos >= 4),
+         |per AS (
+         |  SELECT doc_id, COUNT(*) AS n_fp, CAST(SUM(sel_h) AS BIGINT) AS fp_sum,
+         |    CAST(MIN(sel_h) AS BIGINT) AS fp_min,
+         |    CAST(MAX(sel_h) AS BIGINT) AS fp_max
+         |  FROM sel GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(GREATEST(len(a) - 1, 0) AS BIGINT) AS n_grams,
+         |  COALESCE(n_fp, 0) AS n_fp,
+         |  COALESCE(fp_sum, 0) AS fp_sum,
+         |  COALESCE(fp_min, 0) AS fp_min,
+         |  COALESCE(fp_max, 0) AS fp_max
+         |FROM toks t LEFT JOIN per USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    }
   )
 }

@@ -339,6 +339,79 @@ class NewOpsSpec extends SparkTestBase {
     assert(checked === out.length)
   }
 
+  test("FIFO match: staircase bound and full-consumption invariant") {
+    val rows = SparkEntry.queries("q_fifo_match")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    var withBoth = 0
+    rows.foreach { r =>
+      val lots = r.getAs[Long]("n_lots"); val dem = r.getAs[Long]("n_demands")
+      val su = r.getAs[Long]("supply_units"); val du = r.getAs[Long]("demand_units")
+      val m = r.getAs[Long]("matched_units"); val nm = r.getAs[Long]("n_matches")
+      // FIFO consumes min(supply, demand) exactly; the cumulative-interval
+      // closed form must reproduce that without ever constructing the fold.
+      assert(m === math.min(su, du), s"part ${r.getAs[Long]("partkey")}")
+      // matches form a monotone staircase over the two cumulative axes
+      if (lots > 0 && dem > 0) {
+        assert(nm <= lots + dem - 1, s"part ${r.getAs[Long]("partkey")}")
+        withBoth += 1
+      } else assert(nm === 0L)
+    }
+    assert(withBoth > 0)
+  }
+
+  test("winnowing: sequential replay and the w-gap density guarantee") {
+    val out = SparkEntry.queries("q_winnow")(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .withColumn("hs", expr("CASE WHEN size(a) > 1 THEN " +
+        "transform(sequence(1, size(a) - 1), i -> " +
+        "CAST(conv(substring(md5(concat_ws(':', '3', concat(element_at(a, i)," +
+        " ' ', element_at(a, i + 1)))), 1, 15), 16, 10) AS BIGINT) % 1000003) " +
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"))
+      .collect()
+    assert(out.size === docs.length)
+    docs.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val hs = r.getAs[scala.collection.Seq[Long]]("hs").toArray
+      val sel = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+      for (i <- 3 until hs.length) {
+        // window [i-3, i]; min, rightmost on ties
+        var best = i
+        for (j <- (i - 3) to i) if (hs(j) < hs(best) ||
+          (hs(j) == hs(best) && j > best)) best = j
+        sel += ((best + 1, hs(best))) // 1-based gram position
+      }
+      val o = out(id)
+      assert(o.getAs[Long]("n_grams") === math.max(hs.length, 0).toLong)
+      assert(o.getAs[Long]("n_fp") === sel.size.toLong, s"doc $id")
+      // .toSeq first: mapping the SET to hashes would collapse equal
+      // hash values selected at different positions before the sum
+      assert(o.getAs[Long]("fp_sum") === sel.toSeq.map(_._2).sum, s"doc $id")
+      // density guarantee: consecutive selected positions gap <= w
+      val pos = sel.map(_._1).toSeq.sorted
+      pos.sliding(2).foreach {
+        case Seq(p1, p2) => assert(p2 - p1 <= 4, s"doc $id gap $p1->$p2")
+        case _ =>
+      }
+    }
+  }
+
+  test("truncation recall: bounds and agreement with brute-force overlap") {
+    val rows = SparkEntry.queries("q_trunc_recall")(spark, sf()).collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_common")
+      assert(n >= 0 && n <= 5)
+      assert(r.getAs[Long]("recall_micro") === n * 1000000L / 5)
+    }
+    // truncating to a strict prefix must lose SOME neighbors somewhere,
+    // but keep well above chance (chance overlap ≈ K²·N_QUERIES/corpus ≈ 1)
+    val total = rows.map(_.getAs[Long]("n_common")).sum
+    assert(total > 5, s"suspiciously low overlap: $total")
+    assert(total < 250, s"truncation lost nothing: $total")
+  }
+
   test("blocking-quality metrics are internally consistent") {
     val r = SparkEntry.queries("q_blocking_quality")(spark, sf()).head
     val nd = r.getAs[Long]("n_docs"); val nt = r.getAs[Long]("n_true")

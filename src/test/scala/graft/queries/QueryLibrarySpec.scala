@@ -255,7 +255,14 @@ class QueryLibrarySpec extends SparkTestBase {
         // round-5e: the Lindley-scan and feature-backfill are pure
         // user-keyed windows; blocking-quality's truth/candidate sides
         // block on shingle hash / band key like the dedup family
-        "q_clamped_runsum", "q_lag_features")) {
+        "q_clamped_runsum", "q_lag_features",
+        // round-5f: FIFO meets on (partkey, grid bucket); the interval
+        // join explodes sessions onto the hour grid and hash-joins the
+        // broadcast incident hours; time-in-state / winnow are pure
+        // user-/doc-keyed windows; FD audit is aggregate-only; trunc
+        // recall is two broadcast-probe scans + a pair-keyed semi-join
+        "q_fifo_match", "q_interval_join", "q_time_in_state",
+        "q_fd_violations", "q_winnow")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
@@ -286,7 +293,12 @@ class QueryLibrarySpec extends SparkTestBase {
         "q_benford_deviation",
         // blocking-quality: the four 1-row count frames cross-join into
         // the single metrics row; both pair generators are equi-keyed
-        "q_blocking_quality")) {
+        "q_blocking_quality",
+        // kendall-tau: the C(25,2) pair join over the 25-row per-nation
+        // aggregate (dimension-bound, same class as the cohort matrix);
+        // bigram-LM: the 1-row vocab-size broadcast; trunc-recall rides
+        // cosineTopK's deliberate 50-row broadcast-probe scan twice
+        "q_kendall_tau", "q_bigram_lm", "q_trunc_recall")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
