@@ -728,10 +728,62 @@ object EventQueries {
             - greatest(col("s_start"), col("hr") * hourUs) + 1)
             .as("exposure_us"))
         .orderBy(col("hr"))
+    }),
+
+    // Wilson-score 95% confidence interval for each event type's user
+    // reach (share of all users who fired it at least once) — the
+    // interval an experimentation pipeline puts on conversion rates;
+    // unlike the normal approximation it stays inside [0,1] at small n.
+    // Exact BIGINT numerators (distinct-user counts) convert once to
+    // IEEE doubles and every subsequent op (+,*,/,sqrt) is correctly
+    // rounded and textually identical in the twin, so the micro-rounded
+    // bounds are bit-identical — the library-wide no-transcendental
+    // contract (z = 1.96 enters as the literal 3.8416 = z²). Shape: one
+    // per-type distinct aggregate + a 1-row total-users broadcast.
+    "q_wilson_ci" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val perType = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("x"))
+      val tot = e.agg(countDistinct(col("user_id")).as("n"))
+      val p = col("x").cast("double") / col("n").cast("double")
+      val nD = col("n").cast("double")
+      val z2 = lit(3.8416)
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val half = (lit(1.96) * sqrt(p * (lit(1.0) - p) / nD
+        + z2 / (lit(4.0) * nD * nD))) / denom
+      perType.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("x"), col("n"),
+          round(p * 1000000.0).cast("long").as("p_micro"),
+          round((center - half) * 1000000.0).cast("long").as("wilson_lo_micro"),
+          round((center + half) * 1000000.0).cast("long").as("wilson_hi_micro"))
+        .orderBy(col("event_type"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_wilson_ci" ->
+      """WITH pt AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS x FROM events
+        |  GROUP BY event_type),
+        |tot AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+        |c AS (
+        |  SELECT event_type, x, n,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM pt CROSS JOIN tot),
+        |w AS (
+        |  SELECT event_type, x, n, p,
+        |    (p + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd) AS center,
+        |    (1.96 * sqrt(p * (1.0 - p) / nd + 3.8416 / (4.0 * nd * nd)))
+        |      / (1.0 + 3.8416 / nd) AS half
+        |  FROM c)
+        |SELECT event_type, x, n,
+        |  CAST(round(p * 1000000.0) AS BIGINT) AS p_micro,
+        |  CAST(round((center - half) * 1000000.0) AS BIGINT) AS wilson_lo_micro,
+        |  CAST(round((center + half) * 1000000.0) AS BIGINT) AS wilson_hi_micro
+        |FROM w ORDER BY event_type""".stripMargin,
+
     "q_time_in_state" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us

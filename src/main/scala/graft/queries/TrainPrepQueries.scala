@@ -416,6 +416,39 @@ object TrainPrepQueries {
           (col("n_chars").cast(DoubleType) / u).as("priority"))
         .orderBy(col("priority").desc, col("doc_id"))
         .limit(100)
+    }),
+
+    // Largest-remainder (Hamilton) apportionment: distribute a fixed
+    // sampling budget of 100 000 slots across (source, lang) cells
+    // exactly proportionally — floor(cnt·B/N) per cell, then one bonus
+    // slot to the cells with the largest remainders until the budget is
+    // exact. The integer-exact answer to "proportional rounding that
+    // must sum to the total" (mix_weights' double shares can't promise
+    // that). Shape: one cell aggregate, a 1-row totals broadcast, one
+    // rank window over the CELL frame (dimension-bound: sources ×
+    // langs), zero corpus-width shuffles beyond the aggregate.
+    // Σ alloc = budget exactly (NewOpsSpec).
+    "q_alloc_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 100000L
+      val cells = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = cells.agg(sum(col("n_docs")).as("n_total"),
+        count(lit(1)).as("n_cells"))
+      val based = cells.crossJoin(broadcast(tot))
+        .withColumn("fl", expr(s"n_docs * $budget DIV n_total"))
+        .withColumn("rem", expr(s"n_docs * $budget % n_total"))
+        .withColumn("bonus_rank", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"), col("lang"))))
+      based
+        .withColumn("floor_total",
+          sum(col("fl")).over(Window.partitionBy(lit(1))))
+        .withColumn("alloc",
+          col("fl") + when(col("bonus_rank") <= lit(budget) - col("floor_total"),
+            1L).otherwise(0L))
+        .select(col("source"), col("lang"), col("n_docs"), col("fl"),
+          col("rem"), col("bonus_rank"), col("alloc"))
+        .orderBy(col("source"), col("lang"))
     })
   )
 
@@ -700,6 +733,27 @@ object TrainPrepQueries {
          |    / (CAST(${sqlPhash("CAST(doc_id AS VARCHAR)", 21)} % 1000000 + 1 AS DOUBLE) / 1000000.0)
          |    AS priority
          |FROM documents
-         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q_alloc_budget" ->
+      """WITH cells AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, COUNT(*) AS n_cells
+        |  FROM cells),
+        |based AS (
+        |  SELECT source, lang, n_docs,
+        |    n_docs * 100000 // n_total AS fl,
+        |    n_docs * 100000 % n_total AS rem,
+        |    ROW_NUMBER() OVER (ORDER BY n_docs * 100000 % n_total DESC,
+        |      source, lang) AS bonus_rank
+        |  FROM cells CROSS JOIN tot),
+        |ft AS (
+        |  SELECT *, CAST(SUM(fl) OVER () AS BIGINT) AS floor_total FROM based)
+        |SELECT source, lang, n_docs, fl, rem, bonus_rank,
+        |  fl + CASE WHEN bonus_rank <= 100000 - floor_total
+        |       THEN 1 ELSE 0 END AS alloc
+        |FROM ft ORDER BY source, lang""".stripMargin
   )
 }

@@ -412,6 +412,28 @@ class NewOpsSpec extends SparkTestBase {
     assert(total < 250, s"truncation lost nothing: $total")
   }
 
+  test("largest-remainder apportionment sums exactly to the budget") {
+    val rows = SparkEntry.queries("q_alloc_budget")(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("alloc")).sum === 100000L)
+    rows.foreach { r =>
+      val fl = r.getAs[Long]("fl"); val alloc = r.getAs[Long]("alloc")
+      assert(alloc === fl || alloc === fl + 1)
+    }
+  }
+
+  test("Wilson interval brackets the point estimate and stays in [0,1]") {
+    val rows = SparkEntry.queries("q_wilson_ci")(spark, sf()).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("p_micro")
+      val lo = r.getAs[Long]("wilson_lo_micro")
+      val hi = r.getAs[Long]("wilson_hi_micro")
+      assert(lo >= 0L && hi <= 1000000L)
+      assert(lo <= p && p <= hi)
+      assert(hi > lo)
+    }
+  }
+
   test("blocking-quality metrics are internally consistent") {
     val r = SparkEntry.queries("q_blocking_quality")(spark, sf()).head
     val nd = r.getAs[Long]("n_docs"); val nt = r.getAs[Long]("n_true")

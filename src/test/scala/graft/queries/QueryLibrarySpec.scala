@@ -298,7 +298,10 @@ class QueryLibrarySpec extends SparkTestBase {
         // aggregate (dimension-bound, same class as the cohort matrix);
         // bigram-LM: the 1-row vocab-size broadcast; trunc-recall rides
         // cosineTopK's deliberate 50-row broadcast-probe scan twice
-        "q_kendall_tau", "q_bigram_lm", "q_trunc_recall")) {
+        "q_kendall_tau", "q_bigram_lm", "q_trunc_recall",
+        // 1-row totals broadcasts: apportionment's (n_total, n_cells),
+        // Wilson's distinct-user count
+        "q_alloc_budget", "q_wilson_ci")) {
       val plan = SparkEntry.queries(name)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
