@@ -129,6 +129,13 @@ object DedupQueries {
     * have joined — acceptable for near-dup buckets this size. */
   private[queries] val BUCKET_CAP = 64
 
+  /** Per-id_a cap on the audited pair sample in q_minhash_jaccard_est —
+    * bounds the audit frame to O(docs·AuditCap) on dup-saturated corpora
+    * where the verified pair list itself is quadratic in cluster depth.
+    * Hash-ordered (multiplicative, identical BIGINT arithmetic in the
+    * twin) so the sample is spread, not the smallest ids. */
+  private[queries] val AuditCap = 8
+
   /** Candidate pairs (id_a < id_b) from banded signatures with the
     * oversized-bucket star fallback. */
   private[queries] def cappedBucketPairs(banded: DataFrame): DataFrame = {
@@ -221,19 +228,30 @@ object DedupQueries {
         .orderBy(col("survivor_id"))
     }),
 
-    // Sketch-accuracy audit: for every verified near-dup pair, the
-    // 8-hash MinHash signature AGREEMENT (the streaming estimate of
-    // Jaccard) rides next to the exact shingle Jaccard — est = m/8 is
-    // an exact binary double, so sketch quality is a HASH-GATED fact
-    // per pair, not a test-only claim (the q_approx_count_distinct
-    // philosophy applied to MinHash). Scale: signatures are the same
-    // O(doc) map-side pass the LSH index already pays; the agreement
-    // join touches only the verified pair list.
+    // Sketch-accuracy audit: for verified near-dup pairs, the 8-hash
+    // MinHash signature AGREEMENT (the streaming estimate of Jaccard)
+    // rides next to the exact shingle Jaccard — est = m/8 is an exact
+    // binary double, so sketch quality is a HASH-GATED fact per pair,
+    // not a test-only claim (the q_approx_count_distinct philosophy
+    // applied to MinHash). The audited pair list is CAPPED per id_a
+    // ([[AuditCap]], hash-ordered so the sample is pseudo-random but
+    // twin-replayable — the lpaPairs multiplicative-hash order): on a
+    // dup-saturated corpus the verified frame grows ∝ clusters·depth²
+    // (measured 26× at 100×, SCALE.md) while the audit only needs a
+    // bounded per-doc sample; the cap makes the frame O(docs·AuditCap).
+    // Scale: signatures are the same O(doc) map-side pass the LSH
+    // index already pays; the agreement join touches capped pairs only.
     "q_minhash_jaccard_est" -> ((s, d) => {
       val docs = docsSpread(s, d)
       val sig = docShinglesOf(docs).select(col("doc_id"),
         array((0 until NUM_HASHES).map(j => minhash(col("sh"), j)): _*).as("sig"))
-      verifiedPairsOf(docs)
+      val capped = verifiedPairsOf(docs)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
+            .orderBy(expr("(id_a * 40503 + id_b * 2654435761) % 65536"),
+              col("id_b"))))
+        .filter(col("rn") <= AuditCap).drop("rn")
+      capped
         .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
         .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
         .withColumn("n_sig_match",
@@ -887,11 +905,17 @@ object DedupQueries {
       val agree = (0 until NUM_HASHES)
         .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH $sqlVerifiedPairs,
+         |capped AS (
+         |  SELECT id_a, id_b, jaccard FROM (
+         |    SELECT id_a, id_b, jaccard, ROW_NUMBER() OVER (
+         |      PARTITION BY id_a
+         |      ORDER BY (id_a * 40503 + id_b * 2654435761) % 65536, id_b) AS rn
+         |    FROM verified WHERE jaccard >= 0.2) c
+         |  WHERE rn <= $AuditCap),
          |est AS (
          |  SELECT v.id_a, v.id_b, ($agree) AS n_sig_match, v.jaccard
-         |  FROM verified v JOIN sigs a ON a.doc_id = v.id_a
-         |                  JOIN sigs b ON b.doc_id = v.id_b
-         |  WHERE v.jaccard >= 0.2)
+         |  FROM capped v JOIN sigs a ON a.doc_id = v.id_a
+         |                JOIN sigs b ON b.doc_id = v.id_b)
          |SELECT id_a, id_b, CAST(n_sig_match AS INTEGER) AS n_sig_match,
          |  CAST(n_sig_match AS DOUBLE) / $NUM_HASHES AS jaccard_est, jaccard
          |FROM est ORDER BY id_a, id_b""".stripMargin

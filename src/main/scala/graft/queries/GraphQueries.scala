@@ -87,17 +87,6 @@ object GraphQueries {
       .limit(100)
   }
 
-  /** PageRank over a PRE-BUCKETED edge layout — the production lever
-    * named in [[pagerank]]'s scale note, demonstrated end to end: the
-    * derived (src, dst, outdeg) edge list persists ONCE as a parquet
-    * table bucketed AND sorted on `src` (32 buckets, idempotent per sf
-    * dir), so each iteration's ranks⋈edges join reads the edge side
-    * straight from its buckets — NO per-iteration Exchange (or sort) of
-    * the 100 TB-class side; only the O(nodes) ranks frame moves. The
-    * remaining per-iteration shuffle (contributions grouped by dst) is
-    * the irreducible Pregel collect step. Identical integer arithmetic
-    * and output to q_pagerank — same oracle; BucketingSpec asserts the
-    * plan diff (edge-side Exchange present unbucketed, absent here). */
   /** Write-once shared bucketed layout: persists `build` as a parquet
     * table bucketed (32) + sorted on `bucketCol`, idempotent per sf dir
     * and JVM. This is the round-6 promotion of the layout proven on
@@ -160,6 +149,36 @@ object GraphQueries {
           expr("(u + v) % 97 + 1").as("w")))
     }
 
+  /** q_label_prop's OWN capped co-purchase projection (u < v, distinct).
+    * Distinct from [[copurchasePairs]] on purpose: the shared TriCap
+    * projection orders by raw custkey, so every supplier keeps the same
+    * few globally-smallest customers and the graph degenerates to one
+    * clique; here the per-supplier cap keeps a HASH-SPREAD sample keyed
+    * by the (supp, cust) PAIR — (cust·40503 + supp·2654435761) mod
+    * 65536, multiplicative hashing with identical BIGINT arithmetic in
+    * the DuckDB twin — so each supplier keeps its own pseudo-random
+    * 16-clique and LPA resolves distinct communities. */
+  private def lpaPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
+      .distinct()
+    val capped = cs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("supp"))
+          .orderBy(expr("(cust * 40503 + supp * 2654435761) % 65536"),
+            col("cust"))))
+      .filter(col("rn") <= TriCap)
+      .drop("rn")
+    capped.select(col("supp"), col("cust").as("ca"))
+      .join(capped.select(col("supp"), col("cust").as("cb")), Seq("supp"))
+      .filter(col("ca") < col("cb"))
+      .select(col("ca").as("u"), col("cb").as("v"))
+      .distinct()
+  }
+
   /** Both-direction LPA edges bucketed on `dst` — the label-join key:
     * each propagation round joins labels on dst and aggregates by src,
     * so the dst-bucketed layout removes the per-round edge Exchange. */
@@ -170,6 +189,17 @@ object GraphQueries {
         .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
     }
 
+  /** PageRank over a PRE-BUCKETED edge layout — the production lever
+    * named in [[pagerank]]'s scale note, demonstrated end to end: the
+    * derived (src, dst, outdeg) edge list persists ONCE as a parquet
+    * table bucketed AND sorted on `src` (32 buckets, idempotent per sf
+    * dir), so each iteration's ranks⋈edges join reads the edge side
+    * straight from its buckets — NO per-iteration Exchange (or sort) of
+    * the 100 TB-class side; only the O(nodes) ranks frame moves. The
+    * remaining per-iteration shuffle (contributions grouped by dst) is
+    * the irreducible Pregel collect step. Identical integer arithmetic
+    * and output to q_pagerank — same oracle; BucketingSpec asserts the
+    * plan diff (edge-side Exchange present unbucketed, absent here). */
   private[graft] def pagerankBucketed(s: SparkSession, d: String): DataFrame = {
     val ew = bucketedEdges(s, d)
     // bucket-aware distinct: the node list derives from the bucketed
@@ -263,7 +293,7 @@ object GraphQueries {
     * Output is one row of BIGINT graph invariants — exact in DuckDB.
     */
   private[graft] def triangles(s: SparkSession, d: String): DataFrame =
-    triangleCountFrom(copurchasePairs(s, d))
+    triangleCountOver(bucketedPairs(s, d))
 
   /** Capped customer co-purchase projection (u < v, distinct) — shared
     * by the triangle count and the k-core peeling. */
@@ -336,9 +366,14 @@ object GraphQueries {
         when(lowFirst, col("v")).otherwise(col("u")).as("b"))
   }
 
-  private[graft] def triangleCountFrom(rawPairs: DataFrame): DataFrame = {
-    val pairs = rawPairs
-      .localCheckpoint() // reused 4×: degree + orientation + 3-way close
+  private[graft] def triangleCountFrom(rawPairs: DataFrame): DataFrame =
+    triangleCountOver(
+      rawPairs.localCheckpoint()) // reused 4×: degree + orient + close
+
+  /** The count pipeline over an already-materialized pair frame — a
+    * bucketed table read ([[bucketedPairs]]) or a checkpointed frame;
+    * re-reads of `pairs` hit storage, not the derivation lineage. */
+  private def triangleCountOver(pairs: DataFrame): DataFrame = {
     val deg = pairs.select(col("u").as("n"))
       .unionAll(pairs.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("dg"))
@@ -369,7 +404,7 @@ object GraphQueries {
     // the wide products through DECIMAL(38,0)/HUGEINT; the output is
     // the decile histogram (bounded 11 rows at any scale).
     "q_clustering_coeff" -> ((s, d) => {
-      val pairs = copurchasePairs(s, d).localCheckpoint()
+      val pairs = bucketedPairs(s, d)
       val deg = pairs.select(col("u").as("n"))
         .unionAll(pairs.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
@@ -399,7 +434,7 @@ object GraphQueries {
     // the twin. One degree aggregate + two id-keyed joins + one
     // map-side-combined moment aggregate — the fact scan shape.
     "q_assortativity" -> ((s, d) => {
-      val pairs = copurchasePairs(s, d).localCheckpoint()
+      val pairs = bucketedPairs(s, d)
       val deg = pairs.select(col("u").as("n"))
         .unionAll(pairs.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
@@ -428,40 +463,50 @@ object GraphQueries {
     }),
 
     // K-TRUSS (K=4) peeling, 2 rounds unrolled — the EDGE-level
-    // analogue of q_kcore's node peeling: each round enumerates
-    // triangles once through the same degree-oriented closing join as
-    // q_triangle_count, explodes each triangle's 3 edges, counts
-    // per-edge support with one hash aggregate, and drops edges in
-    // fewer than K−2 triangles. Degrees (and hence the orientation)
-    // are recomputed per round over the SURVIVING subgraph. Output is
-    // the bounded support histogram of the final truss — O(distinct
-    // support values) rows at any scale. Per round: one O(√m)-fan-out
-    // closing join + two ids-only shuffles; nothing quadratic.
+    // analogue of q_kcore's node peeling. Triangles are enumerated
+    // ONCE, on the full graph, through the same degree-oriented
+    // closing join as q_triangle_count, each kept WITH its corner
+    // triple (a,b,c) as identity; peeling is then pure set algebra
+    // over that one frame: a triangle exists in the round-1 subgraph
+    // iff ALL THREE of its edges survived (triangle membership depends
+    // only on its edges, not on the orientation used to enumerate it),
+    // so round-2 support is a recount over surviving triangle rows —
+    // one semi-join (dead edges), one anti-join (dead triangles), one
+    // hash aggregate. This replaces round 5's scale-killer, which
+    // re-ran the full degree/orientation/closing-join pipeline on the
+    // surviving subgraph (171 s at 100×). Edges enter from the shared
+    // bucketed pair table; the closing join stays O(√m)-fan-out.
     "q_ktruss" -> ((s, d) => {
-      def supportOf(edges: DataFrame): DataFrame = {
-        val pairs = edges.localCheckpoint()
-        val deg = pairs.select(col("u").as("n"))
-          .unionAll(pairs.select(col("v").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-        val or = orientedOf(pairs, deg).localCheckpoint()
-        val triEdges = or
-          .join(or.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-          .join(or.select(col("a").as("wa"), col("b").as("wc")),
-            col("a") === col("wa") && col("c") === col("wc"))
-          .select(explode(array(
+      val pairs = bucketedPairs(s, d)
+      val deg = pairs.select(col("u").as("n"))
+        .unionAll(pairs.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val or = orientedOf(pairs, deg).localCheckpoint()
+      val triEdges = or
+        .join(or.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(or.select(col("a").as("wa"), col("b").as("wc")),
+          col("a") === col("wa") && col("c") === col("wc"), "left_semi")
+        .select(col("a"), col("b"), col("c"),
+          explode(array(
             array(col("a"), col("b")),
             array(col("b"), col("c")),
             array(col("a"), col("c")))).as("e"))
-          .select(least(col("e")(0), col("e")(1)).as("u"),
-            greatest(col("e")(0), col("e")(1)).as("v"))
-        pairs.join(
-          triEdges.groupBy(col("u"), col("v"))
-            .agg(count(lit(1)).as("sup")),
-          Seq("u", "v"))
-      }
-      val round1 = supportOf(copurchasePairs(s, d))
-        .filter(col("sup") >= 2).select(col("u"), col("v"))
-      supportOf(round1).filter(col("sup") >= 2)
+        .select(col("a"), col("b"), col("c"),
+          least(col("e")(0), col("e")(1)).as("u"),
+          greatest(col("e")(0), col("e")(1)).as("v"))
+        .localCheckpoint() // reused: sup0, dead-triangle semi, recount
+      val sup0 = triEdges.groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("sup"))
+      // Edges below K-2 support die; any triangle touching one dies
+      // with them. Edges whose surviving support drops below K-2 in
+      // the recount are dropped by the final filter, closing round 2.
+      val dead = sup0.filter(col("sup") < 2).select(col("u"), col("v"))
+      val deadTris = triEdges
+        .join(dead, Seq("u", "v"), "left_semi")
+        .select(col("a"), col("b"), col("c")).distinct()
+      triEdges.join(deadTris, Seq("a", "b", "c"), "left_anti")
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
         .groupBy(col("sup")).agg(count(lit(1)).as("n_edges"))
         .orderBy(col("sup"))
     }),
@@ -477,14 +522,13 @@ object GraphQueries {
     // ABSENT (no infinity sentinel to overflow). Output: the 25
     // nearest nodes under a total (dist, node) order.
     "q_sssp" -> ((s, d) => {
-      val pairs = copurchasePairs(s, d).localCheckpoint()
-      val edgesW = pairs
-        .select(col("u").as("src"), col("v").as("dst"),
-          expr("(u + v) % 97 + 1").as("w"))
-        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst"),
-          expr("(u + v) % 97 + 1").as("w")))
-        .localCheckpoint()
-      var dist = pairs.agg(min(col("u")).as("node"))
+      // Relax-join edge side reads straight from the src-bucketed
+      // table — no per-round Exchange of the edge frame; only the
+      // O(nodes) dist frame moves. The source seed is min(src) over
+      // the both-direction table, which equals min(u) of the u<v pair
+      // set: the globally smallest node appears as `u` in its pairs.
+      val edgesW = bucketedBiPairs(s, d)
+      var dist = edgesW.agg(min(col("src")).as("node"))
         .select(col("node"), lit(0L).as("dist"))
       for (_ <- 0 until 4) {
         val relax = edgesW
@@ -508,7 +552,7 @@ object GraphQueries {
     // anti-join touches the O(candidate-pairs) frame only.
     "q_link_predict" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = copurchasePairs(s, d).localCheckpoint()
+      val pairs = bucketedPairs(s, d)
       val adj = pairs.select(col("u").as("w"), col("v").as("n"))
         .unionAll(pairs.select(col("v").as("w"), col("u").as("n")))
       val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
@@ -581,7 +625,7 @@ object GraphQueries {
     // surviving nodes with their round-3 degrees.
     "q_kcore" -> ((s, d) => {
       val K = 3
-      var edges = copurchasePairs(s, d).localCheckpoint()
+      var edges = bucketedPairs(s, d)
       for (_ <- 1 to 3) {
         val deg = edges.select(col("u").as("n"))
           .unionAll(edges.select(col("v").as("n")))
