@@ -534,8 +534,12 @@ object GraphQueries {
         val relax = edgesW
           .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        // checkpoint per round (the q_khop_frontier / DedupClusters
+        // treatment): dist is O(nodes); without the barrier each
+        // round's plan re-executes every earlier round's relax+agg.
         dist = dist.unionAll(relax)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
       }
       dist.orderBy(col("dist"), col("node")).limit(25)
     }),

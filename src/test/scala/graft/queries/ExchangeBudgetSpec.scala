@@ -49,7 +49,31 @@ class ExchangeBudgetSpec extends SparkTestBase {
     ("q_equidepth_hist", 10,
       "only the orders-scan dollar-domain agg carries data volume; the " +
         "other nine (rangeCumsum's bucket window/totals/offsets, the " +
-        "total, bucket agg, output sort) all move the tiny domain frame"))
+        "total, bucket agg, output sort) all move the tiny domain frame"),
+    // the 100×-heaviest class (SCALE.md): each budget is the count the
+    // single-enumeration / bucketed-layout design needs
+    ("q_ktruss", 7,
+      "single triangle enumeration: degree agg + two deg-keyed orient " +
+        "joins + support agg + dead-edge semi + live recount agg + " +
+        "histogram sort; the bucketed pair table feeds the rest — a " +
+        "second enumeration round would re-add the whole chain"),
+    ("q_pagerank_bucketed", 3,
+      "one src exchange per iteration moving the O(nodes) ranks frame " +
+        "only; the edge side reads straight from its buckets and the " +
+        "dst contribution aggregates reuse those exchanges"),
+    ("q_item_cosine", 7,
+      "distinct purchase-pair agg + per-customer cap window + inverted " +
+        "self-join + co-occurrence agg + two size join-backs; the " +
+        "top-30 lands via TakeOrdered, not a global sort"),
+    ("q_sssp", 1,
+      "per-round relax/min exchanges materialize inside the round " +
+        "checkpoints (O(nodes) frames); the gated plan is the final " +
+        "top-25 TakeOrdered over the checkpointed distances"),
+    ("q_prefix_filter_join", 20,
+      "the AllPairs pipeline end to end: digest collapse + shingle df " +
+        "agg + frequency-order prefix window + posting self-join + " +
+        "candidate distinct + two full-set join-backs + output sort — " +
+        "each moves ids/digests, never document text"))
 
   for ((name, budget, why) <- budgets)
     test(s"$name stays within its shuffle budget of $budget ($why)") {
