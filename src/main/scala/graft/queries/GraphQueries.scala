@@ -733,12 +733,15 @@ object GraphQueries {
     // Unrolls the three LPA rounds; the (c DESC, lbl) row_number tie
     // order makes each round's pick unique, so the twin is exact.
     "q_label_prop" -> {
+      // AS MATERIALIZED on bedges and every round's label frame:
+      // inlined, round 3's plan re-derives rounds 1-2 (and bedges, and
+      // the projection chain) once per reference.
       def round(i: Int, prev: String) =
         s"""c$i AS (
            |  SELECT e.src, l.lbl, COUNT(*) AS c
            |  FROM bedges e JOIN $prev l ON l.node = e.dst
            |  GROUP BY e.src, l.lbl),
-           |l$i AS (
+           |l$i AS MATERIALIZED (
            |  SELECT src AS node, lbl FROM (
            |    SELECT src, lbl,
            |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
@@ -746,16 +749,16 @@ object GraphQueries {
       s"""WITH cs AS (
          |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |capped AS (
+         |capped AS MATERIALIZED (
          |  SELECT supp, cust FROM (
          |    SELECT supp, cust,
          |      row_number() OVER (PARTITION BY supp
          |        ORDER BY (cust * 40503 + supp * 2654435761) % 65536, cust) AS rn
          |    FROM cs) WHERE rn <= $TriCap),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.cust AS u, b.cust AS v
          |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust),
-         |bedges AS (
+         |bedges AS MATERIALIZED (
          |  SELECT u AS src, v AS dst FROM pairs
          |  UNION ALL
          |  SELECT v AS src, u AS dst FROM pairs),
@@ -769,13 +772,15 @@ object GraphQueries {
     },
 
     "q_kcore" -> {
+      // AS MATERIALIZED on each round's survivor edge set: e3 inlined
+      // re-derives e2 re-derives e1 once per of its 4 references.
       def round(i: Int, prev: String) =
         s"""d$i AS (
            |  SELECT n, COUNT(*) AS dg FROM (
            |    SELECT u AS n FROM $prev UNION ALL SELECT v AS n FROM $prev)
            |  GROUP BY n),
-           |k$i AS (SELECT n FROM d$i WHERE dg >= 3),
-           |e$i AS (
+           |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE dg >= 3),
+           |e$i AS MATERIALIZED (
            |  SELECT u, v FROM $prev
            |  WHERE u IN (SELECT n FROM k$i) AND v IN (SELECT n FROM k$i))"""
           .stripMargin
@@ -790,8 +795,11 @@ object GraphQueries {
 
     "q_ppr" -> {
       val seedCond = "node LIKE 'c%' AND CAST(substring(node, 2) AS BIGINT) % 50 = 0"
+      // AS MATERIALIZED per iteration: the correlated inflow subquery
+      // references the previous round per node — inlined, DuckDB
+      // re-evaluates the whole previous-round tree inside it.
       def iter(prev: String, cur: String): String =
-        s"""$cur AS (
+        s"""$cur AS MATERIALIZED (
            |  SELECT sd.node,
            |    CAST((15 * sd.pmu + 85 * COALESCE((
            |      SELECT SUM($prev.r // deg.outdeg)
@@ -802,14 +810,15 @@ object GraphQueries {
       s"""WITH cs AS (
          |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT cust AS src, supp AS dst FROM cs
          |  UNION ALL
          |  SELECT supp AS src, cust AS dst FROM cs),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS MATERIALIZED (
+         |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
          |ns AS (SELECT COUNT(*) AS n_seeds FROM nodes WHERE $seedCond),
-         |seeded AS (
+         |seeded AS MATERIALIZED (
          |  SELECT node,
          |    CASE WHEN $seedCond THEN 1000000 // ns.n_seeds ELSE 0 END AS pmu
          |  FROM nodes, ns),
@@ -825,8 +834,11 @@ object GraphQueries {
       // DuckDB's SUM over BIGINT widens to HUGEINT, which the pandas
       // boundary renders as float64 — CAST back to BIGINT each
       // iteration so rank_micro stays integral end to end.
+      // AS MATERIALIZED per iteration + on edges/deg/nodes: the
+      // correlated inflow subquery otherwise re-evaluates the whole
+      // previous-round tree per node.
       def iter(prev: String, cur: String): String =
-        s"""$cur AS (
+        s"""$cur AS MATERIALIZED (
            |  SELECT n.node,
            |    CAST($Base + 85 * COALESCE((
            |      SELECT SUM($prev.r // deg.outdeg)
@@ -837,12 +849,13 @@ object GraphQueries {
       s"""WITH cs AS (
          |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT cust AS src, supp AS dst FROM cs
          |  UNION ALL
          |  SELECT supp AS src, cust AS dst FROM cs),
-         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |deg AS MATERIALIZED (
+         |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
          |r0 AS (SELECT node, CAST($Unit AS BIGINT) AS r FROM nodes),
          |${iter("r0", "r1")},
          |${iter("r1", "r2")},
@@ -852,24 +865,29 @@ object GraphQueries {
     },
 
     /** The twin replays cap, projection, degree orientation and the
-      * closing join; all outputs are COUNT(*) BIGINTs. */
+      * closing join; all outputs are COUNT(*) BIGINTs. AS MATERIALIZED
+      * on every multiply-referenced CTE: DuckDB otherwise inlines the
+      * whole projection chain per reference — the closing join
+      * references `ori` three times, each re-running cap + self-join +
+      * distinct from the base tables, which turns a seconds query into
+      * an hours query at 10×. */
     "q_triangle_count" ->
       s"""WITH cs AS (
          |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |capped AS (
+         |capped AS MATERIALIZED (
          |  SELECT supp, cust FROM (
          |    SELECT supp, cust,
          |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
          |    FROM cs) WHERE rn <= $TriCap),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.cust AS u, b.cust AS v
          |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT n, COUNT(*) AS dg FROM (
          |    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
          |  GROUP BY n),
-         |ori AS (
+         |ori AS MATERIALIZED (
          |  SELECT
          |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
          |         THEN u ELSE v END AS a,
@@ -887,23 +905,25 @@ object GraphQueries {
          |       n_triangles
          |FROM tri""".stripMargin,
 
+    // Same MATERIALIZED treatment as q_triangle_count (tri3 references
+    // ori three times; corners references tri3 three times).
     "q_clustering_coeff" ->
       s"""WITH cs AS (
          |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |capped AS (
+         |capped AS MATERIALIZED (
          |  SELECT supp, cust FROM (
          |    SELECT supp, cust,
          |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
          |    FROM cs) WHERE rn <= $TriCap),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.cust AS u, b.cust AS v
          |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT n, COUNT(*) AS dg FROM (
          |    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
          |  GROUP BY n),
-         |ori AS (
+         |ori AS MATERIALIZED (
          |  SELECT
          |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
          |         THEN u ELSE v END AS a,
@@ -911,7 +931,7 @@ object GraphQueries {
          |         THEN v ELSE u END AS b
          |  FROM pairs JOIN deg du ON du.n = pairs.u
          |             JOIN deg dv ON dv.n = pairs.v),
-         |tri3 AS (
+         |tri3 AS MATERIALIZED (
          |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
          |  FROM ori e1 JOIN ori e2 ON e1.b = e2.a
          |  WHERE EXISTS (SELECT 1 FROM ori e3
@@ -940,10 +960,10 @@ object GraphQueries {
          |    SELECT supp, cust,
          |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
          |    FROM cs) WHERE rn <= $TriCap),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.cust AS u, b.cust AS v
          |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust),
-         |deg AS (
+         |deg AS MATERIALIZED (
          |  SELECT n, COUNT(*) AS dg FROM (
          |    SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs)
          |  GROUP BY n),
@@ -1036,11 +1056,11 @@ object GraphQueries {
 
     "q_link_predict" ->
       s"""WITH $sqlCopurchasePairs,
-         |adj AS (
+         |adj AS MATERIALIZED (
          |  SELECT u AS w, v AS n FROM pairs
          |  UNION ALL SELECT v AS w, u AS n FROM pairs),
-         |deg AS (SELECT w, COUNT(*) AS dg FROM adj GROUP BY w),
-         |cap AS (
+         |deg AS MATERIALIZED (SELECT w, COUNT(*) AS dg FROM adj GROUP BY w),
+         |cap AS MATERIALIZED (
          |  SELECT w, n FROM (
          |    SELECT w, n,
          |      row_number() OVER (PARTITION BY w ORDER BY n) AS rn
@@ -1060,7 +1080,7 @@ object GraphQueries {
       """WITH RECURSIVE cs AS (
         |  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT cust AS src, supp AS dst FROM cs
         |  UNION ALL
         |  SELECT supp AS src, cust AS dst FROM cs),

@@ -49,8 +49,22 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    # Resume support: CHECK_ORACLE_SKIP_LOG=<prior log> skips queries
+    # that already printed PASS there (long 10x-gate runs survive
+    # interruptions / twin-SQL fixes without redoing green queries).
+    done = set()
+    skip_log = os.environ.get("CHECK_ORACLE_SKIP_LOG")
+    if skip_log and os.path.exists(skip_log):
+        with open(skip_log) as f:
+            for line in f:
+                if line.startswith("PASS "):
+                    done.add(line.split()[1])
+        print(f"[resume] skipping {len(done)} already-passed queries")
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if name in done:
+            n_pass += 1
+            continue
         sql = oracle[name]
         try:
             want = con.execute(sql).fetchdf()
