@@ -1552,8 +1552,11 @@ object AggQueries {
         |     se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) AS welch_df
         |FROM se""".stripMargin,
 
+    // `items` is MATERIALIZED: DuckDB otherwise inlines the distinct
+    // into all four references (incl. both sides of the self-join) —
+    // >5 min at the 10x replica vs ~4 s materialized.
     "q_basket_rules" ->
-      """WITH items AS (
+      """WITH items AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |supp AS (SELECT pk, COUNT(*) AS n_one FROM items GROUP BY pk),
         |no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),

@@ -83,4 +83,40 @@ class BucketingSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     }
   }
+
+  test("graph family reads the shared bucketed tables, never the fact chain") {
+    // Round-6/7 promotion: every graph query sources its heavy edge
+    // frame from a write-once bucketed table (graft_pairs_b_* /
+    // graft_copair_bi_* / graft_lpa_b_* / graft_edges_b_*) instead of
+    // re-running the lineitem⋈orders + window-cap + self-join +
+    // distinct derivation per query. Two plan facts prove it, per
+    // query: (a) the final physical plan never scans the fact
+    // parquet (lineitem/orders) — the derivation chain is gone;
+    // (b) where the final plan still reads edges from storage (i.e.
+    // the query is not checkpoint-terminal), that read is a bucketed
+    // scan (SelectedBucketsCount). Checkpoint-terminal queries
+    // (k-truss, SSSP, k-hop) consume the bucketed table upstream of a
+    // localCheckpoint, so their final plan legitimately shows neither.
+    val expectScan = Seq(
+      "q_triangle_count" -> true,
+      "q_clustering_coeff" -> true,
+      "q_assortativity" -> true,
+      "q_link_predict" -> true,
+      "q_kcore" -> true,
+      // label-prop checkpoints the label frame per round, so its final
+      // plan reads the round-3 checkpoint, not the lpa_b table
+      "q_label_prop" -> false,
+      "q_ktruss" -> false,
+      "q_sssp" -> false,
+      "q_khop_frontier" -> false)
+    for ((name, wantsBucketScan) <- expectScan) {
+      val df = graft.SparkEntry.queries(name)(spark, sf())
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("lineitem"),
+        s"$name still derives edges from the fact tables:\n$plan")
+      if (wantsBucketScan)
+        assert(plan.contains("SelectedBucketsCount"),
+          s"$name does not read a bucketed edge table:\n$plan")
+    }
+  }
 }
