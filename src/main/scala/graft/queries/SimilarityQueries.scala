@@ -750,9 +750,24 @@ object SimilarityQueries {
     * oracle can replay; QueryLibrarySpec measures this variant's
     * recall@5 uplift over it against bruteForceTopK. */
   private[graft] def ivfAnnLloyd(s: SparkSession, d: String, iters: Int = 2): DataFrame = {
-    val nCent = 16
-    val nProbe = 4
     val emb = Tables.embeddings(s, d)
+    // nlist ∝ √n — the standard IVF sizing law: expected posting-list
+    // length stays ~√n, so the serving-side cap ([[IVF_CAP]]) is a
+    // worst-case bound instead of the effective list length. With the
+    // old fixed nlist=16, a 10× corpus put ~1 250 members behind a
+    // 128 cap ordered by raw id — recall@5 collapsed to 7.6% on the
+    // replica because probes' true neighbors (key-shifted duplicate
+    // ids) were all above the cap. The one-row count is a bounded
+    // driver action, same class as the Lloyd centroid collect.
+    val nCent = math.max(16,
+      math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    // nprobe rides nlist at a fixed 1/4: the synthetic embeddings are
+    // near-isotropic (the hard case for IVF), so recall tracks the
+    // PROBED FRACTION of the corpus — a fixed nprobe over a √n-sized
+    // nlist silently shrinks that fraction as the corpus grows (39%
+    // recall at sf0.1 with 4/45 cells). Clustered production corpora
+    // can run far lower fractions; the knob is explicit here.
+    val nProbe = math.max(4, nCent / 4)
     val seeded = emb
       .withColumn("h", graft.functions.GraftFunctions.portable_hash60(
         concat(lit("seed:"), col("vec_id").cast(StringType))))
@@ -792,8 +807,14 @@ object SimilarityQueries {
     val scored = emb.join(finalCents)
       .withColumn("ccos", cosine(col("embedding"), col("cent")))
       .withColumn("crn", row_number().over(wNear))
+    // Cap order is HASH-SPREAD, not raw id: when a list does overflow
+    // the cap, it keeps a deterministic pseudo-random sample of the
+    // cell instead of the globally-smallest ids (which correlate with
+    // insertion order and starve late-arriving near-duplicates).
     val wMember = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cid")).orderBy(col("id_b"))
+      .partitionBy(col("cid"))
+      .orderBy(graft.functions.GraftFunctions.portable_hash60(
+        concat(lit("ivfcap:"), col("id_b").cast(StringType))), col("id_b"))
     val members = scored.filter(col("crn") === 1)
       .select(col("cid"), col("vec_id").as("id_b"))
       .withColumn("mrn", row_number().over(wMember))
@@ -828,10 +849,12 @@ object SimilarityQueries {
   }
 
   /** Recall floors (micro-units) for the within-bound gates below —
-    * set ~25% under the weakest measured recall so Lloyd's benign
+    * set ~20% under the weakest measured recall so Lloyd's benign
     * last-ulp mean nondeterminism can never flip the gated boolean.
-    * Measured recall@5 (micro): ivf_lloyd 564k/608k/732k and pq_lloyd
-    * 192k/168k/1000k at sf0.001/sf0.01/the 10x replica. */
+    * Measured recall@5 (micro) with the √n-adaptive nlist quantizer:
+    * ivf_lloyd 572k/568k/656k/852k and pq_lloyd 192k/168k/—/1000k at
+    * sf0.001/sf0.01/sf0.1/the 10x replica (recall RISES with scale:
+    * cells stay ~√n so the serving cap stops truncating lists). */
   private[graft] val IVF_LLOYD_FLOOR = 450000L
   private[graft] val PQ_LLOYD_FLOOR = 120000L
 
