@@ -331,20 +331,28 @@ object GraphQueries {
   /** The propagation rounds over an already-materialized both-direction
     * edge frame (bucketed table or checkpointed union). */
   private def labelPropOver(bedges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    var labels = bedges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+    // Round 1 in closed form: initial labels are the node ids, and in
+    // a simple graph each neighbor contributes a DISTINCT label, so
+    // every count is 1 and the smallest-label tie-break just picks the
+    // minimum neighbor id — one map-side-combined min aggregate
+    // instead of a 2|E|-row (src, lbl) count shuffle.
+    var labels = bedges.groupBy(col("src"))
+      .agg(min(col("dst")).as("lbl"))
+      .select(col("src").as("node"), col("lbl"))
       .localCheckpoint()
-    for (_ <- 1 to 3) {
-      val cnt = bedges
+    for (_ <- 2 to 3) {
+      // Mode-with-smallest-tie as a pure aggregate: max of
+      // (count, -label) is the largest count and, on ties, the
+      // SMALLEST label (node ids are numeric). Replaces the former
+      // per-src row_number window, whose exchange + full sort of the
+      // (src, lbl) count frame was the round's dominant cost at 100×.
+      labels = bedges
         .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      val pick = Window.partitionBy(col("src"))
-        .orderBy(col("c").desc, col("lbl"))
-      labels = cnt.withColumn("rn", row_number().over(pick))
-        .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("lbl"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), negate(col("lbl")).as("nl"))).as("m"))
+        .select(col("src").as("node"), negate(col("m.nl")).as("lbl"))
         .localCheckpoint()
     }
     labels
@@ -489,36 +497,91 @@ object GraphQueries {
       val deg = pairs.select(col("u").as("n"))
         .unionAll(pairs.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      // ONLY the O(|E|) oriented frame ever materializes. The triangle
+      // frame itself is never stored or shuffled raw: an earlier shape
+      // localCheckpoint'd all ~|E|·cap triangle rows (3 string ids
+      // each) and re-shuffled them through a distinct + anti-join —
+      // at the 100× point that overran the storage pool and GC'd the
+      // heap into the ground (576 s vs 171 s for the from-scratch
+      // re-enumeration it replaced). Here triangles exist only inside
+      // whole-stage codegen between the closing join and a map-side-
+      // combined per-edge support aggregate, so the widest shuffle of
+      // the query is the |E|-sized partial-aggregate exchange.
       val or = orientedOf(pairs, deg).localCheckpoint()
-      val tris = or
-        .join(or.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-        .join(or.select(col("a").as("wa"), col("b").as("wc")),
+      // Per-edge triangle support via the degree-oriented closing
+      // join. The oriented pair itself is the edge identity: every
+      // undirected edge occurs in exactly one orientation and the
+      // orientation is a total node order, so each triangle (a,b,c)
+      // surfaces once and its edges (a,b),(b,c),(a,c) are oriented
+      // rows by construction — no least/greatest normalization (the
+      // gated output is a support histogram; identity convention
+      // never surfaces).
+      def supportOf(o: DataFrame): DataFrame = o
+        .join(o.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+        .join(o.select(col("a").as("wa"), col("b").as("wc")),
           col("a") === col("wa") && col("c") === col("wc"), "left_semi")
-        .select(col("a"), col("b"), col("c"))
-        .localCheckpoint() // reused: sup0, dead-triangle semi, recount
-      // Lazy per-slot explode over the checkpointed triangle frame —
-      // codegen regenerates the 3 edge rows per read, nothing wide is
-      // ever stored or shuffled beyond the support aggregates.
-      def edgeSlots(t: DataFrame): DataFrame = t
-        .select(col("a"), col("b"), col("c"),
-          explode(array(
-            struct(col("a").as("x"), col("b").as("y")),
-            struct(col("b").as("x"), col("c").as("y")),
-            struct(col("a").as("x"), col("c").as("y")))).as("e"))
-        .select(col("a"), col("b"), col("c"),
-          col("e.x").as("x"), col("e.y").as("y"))
-      val sup0 = edgeSlots(tris).groupBy(col("x"), col("y"))
-        .agg(count(lit(1)).as("sup"))
-      // Edges below K-2 support die; any triangle touching one dies
-      // with them. Edges whose surviving support drops below K-2 in
-      // the recount are dropped by the final filter, closing round 2.
-      val dead = sup0.filter(col("sup") < 2).select(col("x"), col("y"))
-      val deadTris = edgeSlots(tris)
-        .join(dead, Seq("x", "y"), "left_semi")
-        .select(col("a"), col("b"), col("c")).distinct()
-      val alive = tris.join(deadTris, Seq("a", "b", "c"), "left_anti")
-      edgeSlots(alive).groupBy(col("x"), col("y"))
-        .agg(count(lit(1)).as("sup"))
+        .select(explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("b").as("x"), col("c").as("y")),
+          struct(col("a").as("x"), col("c").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("sup"))
+      val sup0 = supportOf(or).localCheckpoint()
+      // Round-2 support is a DECREMENT, not a re-enumeration: edges
+      // below K-2 support die, and the only triangles whose loss can
+      // change any other edge's support are those TOUCHING a dead
+      // edge. A dead edge has support ≤ 1, so the dead-triangle set
+      // is at most |dead| rows — re-derive exactly those by closing
+      // each dead edge against the oriented frame in its three
+      // possible slots (the dead side rides as the runtime-small
+      // build side of each join; AQE broadcasts it), then subtract
+      // their slot counts from sup0. Surviving edges whose
+      // decremented support drops below K-2 are dropped by the final
+      // filter, closing round 2.
+      // dead is BROADCAST in every step below: each dead edge (sup ≤ 1)
+      // belongs to at most one triangle, so every frame in the
+      // re-derivation is ≤ |dead| · cap rows and the checkpointed
+      // oriented frame is only ever SCANNED, never shuffled. (At a
+      // corpus where the peel front outgrew broadcast, dropping the
+      // hint lets AQE pick from runtime sizes — the shape stays valid.)
+      val dead = sup0.filter(col("sup") < 2)
+        .select(col("x"), col("y")).localCheckpoint()
+      // verify = keep candidate triangles whose named (e1, e2) edge
+      // exists in `or`, as a broadcast INNER join probed by the `or`
+      // scan (a semi-join keyed the other way would shuffle `or`
+      // instead). cand rows are unique, so the inner join cannot
+      // duplicate (each (e1, e2) matches at most one `or` row).
+      def closedAgainstOr(cand: DataFrame, e1: String, e2: String)
+          : DataFrame = or.as("w")
+        .join(broadcast(cand.as("t")),
+          col("w.a") === col(s"t.$e1") && col("w.b") === col(s"t.$e2"))
+        .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      // Slot (a,b) dead: c completes via (b,c) ∈ or, verify (a,c).
+      val viaAB = closedAgainstOr(
+        or.as("e").join(broadcast(dead), col("e.a") === col("y"))
+          .select(col("x").as("a"), col("y").as("b"), col("e.b").as("c")),
+        "a", "c")
+      // Slot (b,c) dead: a completes via (a,b) ∈ or, verify (a,c).
+      val viaBC = closedAgainstOr(
+        or.as("e").join(broadcast(dead), col("e.b") === col("x"))
+          .select(col("e.a").as("a"), col("x").as("b"), col("y").as("c")),
+        "a", "c")
+      // Slot (a,c) dead: b completes via (a,b) ∈ or, verify (b,c).
+      val viaAC = closedAgainstOr(
+        or.as("e").join(broadcast(dead), col("e.a") === col("x"))
+          .select(col("x").as("a"), col("e.b").as("b"), col("y").as("c")),
+        "b", "c")
+      val deadTris = viaAB.unionAll(viaBC).unionAll(viaAC).distinct()
+      val deadContrib = deadTris
+        .select(explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("b").as("x"), col("c").as("y")),
+          struct(col("a").as("x"), col("c").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("lost"))
+      sup0.join(broadcast(dead), Seq("x", "y"), "left_anti")
+        .join(broadcast(deadContrib), Seq("x", "y"), "left")
+        .select((col("sup") - coalesce(col("lost"), lit(0L))).as("sup"))
         .filter(col("sup") >= 2)
         .groupBy(col("sup")).agg(count(lit(1)).as("n_edges"))
         .orderBy(col("sup"))

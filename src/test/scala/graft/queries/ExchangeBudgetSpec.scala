@@ -54,9 +54,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
     // single-enumeration / bucketed-layout design needs
     ("q_ktruss", 7,
       "single triangle enumeration: degree agg + two deg-keyed orient " +
-        "joins + support agg + dead-edge semi + live recount agg + " +
-        "histogram sort; the bucketed pair table feeds the rest — a " +
-        "second enumeration round would re-add the whole chain"),
+        "joins + one |E|-sized support-aggregate exchange + the small " +
+        "dead-triangle distinct/decrement aggs + histogram sort; the " +
+        "dead-edge probes and the recount joins are all broadcast " +
+        "against the checkpointed oriented frame, so no triangle-sized " +
+        "frame is ever shuffled (the 100x storage/GC killer)"),
     ("q_pagerank_bucketed", 3,
       "one src exchange per iteration moving the O(nodes) ranks frame " +
         "only; the edge side reads straight from its buckets and the " +
