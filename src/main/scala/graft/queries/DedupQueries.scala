@@ -228,32 +228,53 @@ object DedupQueries {
         .orderBy(col("survivor_id"))
     }),
 
-    // Sketch-accuracy audit: for verified near-dup pairs, the 8-hash
-    // MinHash signature AGREEMENT (the streaming estimate of Jaccard)
-    // rides next to the exact shingle Jaccard — est = m/8 is an exact
-    // binary double, so sketch quality is a HASH-GATED fact per pair,
-    // not a test-only claim (the q_approx_count_distinct philosophy
-    // applied to MinHash). The audited pair list is CAPPED per id_a
-    // ([[AuditCap]], hash-ordered so the sample is pseudo-random but
-    // twin-replayable — the lpaPairs multiplicative-hash order): on a
-    // dup-saturated corpus the verified frame grows ∝ clusters·depth²
-    // (measured 26× at 100×, SCALE.md) while the audit only needs a
-    // bounded per-doc sample; the cap makes the frame O(docs·AuditCap).
+    // Sketch-accuracy audit: for a bounded sample of LSH CANDIDATE
+    // pairs, the 8-hash MinHash signature AGREEMENT (the streaming
+    // estimate of Jaccard) rides next to the exact shingle Jaccard —
+    // est = m/8 is an exact binary double, so sketch quality is a
+    // HASH-GATED fact per pair, not a test-only claim (the
+    // q_approx_count_distinct philosophy applied to MinHash). The cap
+    // ([[AuditCap]] per id_a, multiplicative-hash order so the sample
+    // is pseudo-random but twin-replayable) lands on the CANDIDATE
+    // list, BEFORE the exact-Jaccard verify: an earlier shape capped
+    // verified pairs, which still paid the full clusters·depth²
+    // verification on dup-saturated corpora (26× at 100×, SCALE.md) —
+    // here the shingle-intersect join touches only O(docs·AuditCap)
+    // pairs, and the ≥0.2 verify filter runs on the sampled pairs.
     // Scale: signatures are the same O(doc) map-side pass the LSH
-    // index already pays; the agreement join touches capped pairs only.
+    // index already pays.
     "q_minhash_jaccard_est" -> ((s, d) => {
       val docs = docsSpread(s, d)
-      val sig = docShinglesOf(docs).select(col("doc_id"),
+      // Shingle + minhash ONCE: the banding branch and both join-backs
+      // read the checkpointed frame instead of re-tokenizing the whole
+      // corpus per branch (3 full map passes → 1 at the 100× point).
+      val sig = docShinglesOf(docs).select(col("doc_id"), col("sh"),
         array((0 until NUM_HASHES).map(j => minhash(col("sh"), j)): _*).as("sig"))
-      val capped = verifiedPairsOf(docs)
+        .localCheckpoint()
+      val banded = sig
+        .select(col("doc_id"),
+          explode(array((0 until BANDS).map(b => struct(
+            lit(b).as("band"),
+            concat_ws("_", element_at(col("sig"), 2 * b + 1),
+              element_at(col("sig"), 2 * b + 2)).as("band_key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+      val capped = cappedBucketPairs(banded)
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("id_a"))
             .orderBy(expr("(id_a * 40503 + id_b * 2654435761) % 65536"),
               col("id_b"))))
         .filter(col("rn") <= AuditCap).drop("rn")
-      capped
-        .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      val joined = capped
+        .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+          col("sig").as("sig_a")), Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+          col("sig").as("sig_b")), Seq("id_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val uni = size(col("sh_a")) + size(col("sh_b")) - inter
+      joined
+        .withColumn("jaccard",
+          inter.cast(DoubleType) / uni.cast(DoubleType))
+        .filter(col("jaccard") >= 0.2)
         .withColumn("n_sig_match",
           size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
             x => x)))
@@ -901,24 +922,29 @@ object DedupQueries {
         |  n_dup_chunks * 1000000 // n_chunks AS dup_ratio_micro
         |FROM per WHERE n_dup_chunks > 0 ORDER BY doc_id""".stripMargin,
 
+    // The cap samples CANDIDATE pairs (pre-verify) — the unused
+    // `verified` CTE is non-materialized, so DuckDB never computes it.
     "q_minhash_jaccard_est" -> {
       val agree = (0 until NUM_HASHES)
         .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")
       s"""WITH $sqlVerifiedPairs,
          |capped AS (
-         |  SELECT id_a, id_b, jaccard FROM (
-         |    SELECT id_a, id_b, jaccard, ROW_NUMBER() OVER (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, ROW_NUMBER() OVER (
          |      PARTITION BY id_a
          |      ORDER BY (id_a * 40503 + id_b * 2654435761) % 65536, id_b) AS rn
-         |    FROM verified WHERE jaccard >= 0.2) c
+         |    FROM pairs) c
          |  WHERE rn <= $AuditCap),
          |est AS (
-         |  SELECT v.id_a, v.id_b, ($agree) AS n_sig_match, v.jaccard
+         |  SELECT v.id_a, v.id_b, ($agree) AS n_sig_match,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+         |             AS DOUBLE) AS jaccard
          |  FROM capped v JOIN sigs a ON a.doc_id = v.id_a
          |                JOIN sigs b ON b.doc_id = v.id_b)
          |SELECT id_a, id_b, CAST(n_sig_match AS INTEGER) AS n_sig_match,
          |  CAST(n_sig_match AS DOUBLE) / $NUM_HASHES AS jaccard_est, jaccard
-         |FROM est ORDER BY id_a, id_b""".stripMargin
+         |FROM est WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_minhash_lsh_pairs" ->

@@ -761,7 +761,12 @@ object GraphQueries {
     // DuckDB recursive CTE whose UNION-dedup on (node, hop) reproduces
     // min-hop BFS exactly.
     "q_khop_frontier" -> ((s, d) => {
-      val e = edges(s, d).localCheckpoint()
+      // Frontier expansion reads the SHARED src-bucketed edge table
+      // (same rows as the flat derivation — outdeg just ignored): the
+      // per-query lineitem⋈orders+distinct chain is amortized into the
+      // one-time CTAS, and each hop's frontier⋈edges join consumes the
+      // edge side bucket-aligned, so only the O(frontier) side moves.
+      val e = bucketedEdges(s, d).select(col("src"), col("dst"))
       val seeds = Tables.supplier(s, d)
         .filter(col("s_suppkey") % 10 === 0)
         .select(concat(lit("s"), col("s_suppkey")).as("node"))
