@@ -98,11 +98,16 @@ object GraftFunctions {
   def portable_hash60(s: Column): Column =
     GraftShim.toColumn(PortableHash60(GraftShim.toExpression(s)))
 
+  def hashed_shingles(s: Column): Column =
+    GraftShim.toColumn(HashedShingles(GraftShim.toExpression(s)))
+
   /** Register the custom expressions for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "portable_hash60", exprs => PortableHash60(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hashed_shingles", exprs => HashedShingles(exprs.head), "scala_udf")
   }
 }

@@ -54,7 +54,17 @@ object DedupQueries {
     * (a_j·h+b_j mod P) instead of 8 separate md5 passes (the md5 was
     * ~8× of the signature cost at sf0.1). Collisions merge shingles
     * identically in both engines, so parity is unaffected. */
+  /** Native fused form ([[graft.functions.HashedShingles]]) — value-
+    * identical to `array_distinct(transform(shingles(c), phash(_, 0)))`
+    * (CustomFunctionsSpec locks the equivalence in as a property test);
+    * the composed chain ran five non-codegen higher-order functions per
+    * document and dominated every shingle-fed query's profile. */
   private def hashedShingles(c: Column): Column =
+    graft.functions.GraftFunctions.hashed_shingles(c)
+
+  /** The composed reference form the native expression must equal —
+    * kept for the CustomFunctionsSpec property test. */
+  private[graft] def hashedShinglesComposed(c: Column): Column =
     array_distinct(transform(shingles(c), x => phash(x, 0)))
 
   private val sqlHashedShingles =
@@ -316,10 +326,21 @@ object DedupQueries {
 
     // MinHash signatures (the map-side stage of LSH, fully oracle-checked).
     "q_minhash_signature" -> ((s, d) => {
-      val docs = docShingles(s, d)
-      docs.select(
-        col("doc_id") +: size(col("sh")).as("n_shingles") +:
-          (0 until NUM_HASHES).map(j => minhash(col("sh"), j).as(s"mh$j")): _*)
+      // Explode-then-aggregate, not transform-then-array_min: the 8
+      // per-hash minima come from plain min aggregates over the
+      // exploded shingle stream — zero per-row array allocation (the
+      // array form materialized 8 transformed copies of every shingle
+      // list; measured 18 s → ~3 s at the 10× replica). Each doc's
+      // shingles sit in one scan partition, so the doc-keyed aggregate
+      // collapses fully map-side and the exchange carries one partial
+      // row per doc.
+      val ex = docShingles(s, d)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+      ex.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast(IntegerType).as("n_shingles"),
+          (0 until NUM_HASHES).map(j =>
+            min((lit(hashA(j)) * (col("h") % P) + hashB(j)) % P)
+              .as(s"mh$j")): _*)
         .orderBy(col("doc_id"))
     }),
 

@@ -184,6 +184,28 @@ class CustomFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("HashedShingles == composed distinct/transform/phash chain on real + adversarial text") {
+    val docs = Tables.documents(spark, sf()).select($"text")
+    val adversarial = Seq("", " ", "  ", "a b", "a b c", "a b c ", " a b c",
+      "a  b  c", "a b c d e", "dup dup dup dup", "é∂ ƒ© ˙∆ œ∑",
+      "x " * 500, "tab\tand space mix here").toDF("text")
+    for (df <- Seq(docs, adversarial)) {
+      val mismatches = df
+        .withColumn("fast", GraftFunctions.hashed_shingles($"text"))
+        .withColumn("slow", graft.queries.DedupQueries.hashedShinglesComposed($"text"))
+        .filter(!($"fast" <=> $"slow"))
+        .count()
+      assert(mismatches == 0L)
+    }
+  }
+
+  test("HashedShingles participates in whole-stage codegen") {
+    val plan = Tables.documents(spark, sf())
+      .select(GraftFunctions.hashed_shingles($"text").as("sh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [hashedshingles"), s"plan:\n$plan")
+  }
+
   test("PortableHash60 participates in whole-stage codegen and is SQL-callable") {
     val plan = Tables.documents(spark, sf())
       .select(GraftFunctions.portable_hash60($"text").as("h"))
