@@ -149,42 +149,15 @@ object GraphQueries {
           expr("(u + v) % 97 + 1").as("w")))
     }
 
-  /** q_label_prop's OWN capped co-purchase projection (u < v, distinct).
-    * Distinct from [[copurchasePairs]] on purpose: the shared TriCap
-    * projection orders by raw custkey, so every supplier keeps the same
-    * few globally-smallest customers and the graph degenerates to one
-    * clique; here the per-supplier cap keeps a HASH-SPREAD sample keyed
-    * by the (supp, cust) PAIR — (cust·40503 + supp·2654435761) mod
-    * 65536, multiplicative hashing with identical BIGINT arithmetic in
-    * the DuckDB twin — so each supplier keeps its own pseudo-random
-    * 16-clique and LPA resolves distinct communities. */
-  private def lpaPairs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-    val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
-      .distinct()
-    val capped = cs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("supp"))
-          .orderBy(expr("(cust * 40503 + supp * 2654435761) % 65536"),
-            col("cust"))))
-      .filter(col("rn") <= TriCap)
-      .drop("rn")
-    capped.select(col("supp"), col("cust").as("ca"))
-      .join(capped.select(col("supp"), col("cust").as("cb")), Seq("supp"))
-      .filter(col("ca") < col("cb"))
-      .select(col("ca").as("u"), col("cb").as("v"))
-      .distinct()
-  }
-
   /** Both-direction LPA edges bucketed on `dst` — the label-join key:
     * each propagation round joins labels on dst and aggregates by src,
-    * so the dst-bucketed layout removes the per-round edge Exchange. */
+    * so the dst-bucketed layout removes the per-round edge Exchange.
+    * Since round 8 the shared [[copurchasePairs]] projection carries
+    * the hash-spread cap itself (it absorbed the former lpaPairs), so
+    * this is just that projection in both directions. */
   private def bucketedLpaEdges(s: SparkSession, d: String): DataFrame =
     sharedTable(s, d, "lpa_b", "dst", Seq("dst")) {
-      val pairs = lpaPairs(s, d)
+      val pairs = copurchasePairs(s, d)
       pairs.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
     }
@@ -295,8 +268,20 @@ object GraphQueries {
   private[graft] def triangles(s: SparkSession, d: String): DataFrame =
     triangleCountOver(bucketedPairs(s, d))
 
-  /** Capped customer co-purchase projection (u < v, distinct) — shared
-    * by the triangle count and the k-core peeling. */
+  /** Capped customer co-purchase projection (u < v, distinct) — the ONE
+    * projection shared by the whole graph family (triangles, clustering
+    * coefficient, k-core, k-truss, SSSP, assortativity, link prediction
+    * AND label propagation). The per-supplier cap keeps a HASH-SPREAD
+    * sample keyed by the (supp, cust) PAIR — (cust·40503 +
+    * supp·2654435761) mod 65536, multiplicative hashing with identical
+    * BIGINT arithmetic in the DuckDB twins — NOT the TriCap smallest
+    * raw custkeys: a plain ascending cap makes every supplier keep the
+    * same few globally-smallest customers, degenerating the projection
+    * toward one dense clique (round-7 verdict: the triangle family was
+    * being benchmarked on that biased, denser-than-real graph). With
+    * the spread cap each supplier keeps its own pseudo-random
+    * 16-clique, so density and community structure match what a real
+    * capped co-occurrence projection produces at scale. */
   private[graft] def copurchasePairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -306,7 +291,9 @@ object GraphQueries {
       .distinct()
     val capped = cs
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("supp")).orderBy(col("cust"))))
+        Window.partitionBy(col("supp"))
+          .orderBy(expr("(cust * 40503 + supp * 2654435761) % 65536"),
+            col("cust"))))
       .filter(col("rn") <= TriCap)
       .drop("rn")
     capped.select(col("supp"), col("cust").as("ca"))
@@ -726,17 +713,15 @@ object GraphQueries {
     // node starts in its own community; each round it adopts the MODE of
     // its neighbors' labels, ties broken by the smallest label, which
     // makes the classically nondeterministic LPA fully deterministic and
-    // twin-replayable. Runs on its OWN capped co-purchase projection: the
-    // shared TriCap projection orders by raw custkey, so every supplier
-    // keeps the same few globally-smallest customers and the graph
-    // degenerates to one ~70-node clique (one community — nothing to
-    // detect); here the per-supplier cap keeps a HASH-SPREAD sample
-    // keyed by the (supp, cust) PAIR — (cust·40503 + supp·2654435761)
-    // mod 65536, multiplicative hashing with identical BIGINT arithmetic
-    // in both engines; a cust-only hash re-degenerates because every
-    // supplier ranks the same global permutation of a dense bipartite
-    // graph — so each supplier keeps its own pseudo-random 16-clique and
-    // LPA resolves distinct communities where cliques genuinely overlap.
+    // twin-replayable. Runs on the shared hash-spread co-purchase
+    // projection ([[copurchasePairs]] — the spread cap originated here
+    // as lpaPairs and was promoted family-wide in round 8: a raw-id cap
+    // degenerates the graph to one ~70-node clique with nothing to
+    // detect; a cust-only hash re-degenerates because every supplier
+    // ranks the same global permutation of a dense bipartite graph —
+    // the (supp, cust) pair hash gives each supplier its own
+    // pseudo-random 16-clique so LPA resolves distinct communities
+    // where cliques genuinely overlap).
     // Per round: one join of the O(nodes) label frame
     // against the edge list, one (node, label) hash aggregate with
     // map-side combine, one PER-NODE window (partition-local, never
@@ -797,7 +782,8 @@ object GraphQueries {
        |capped AS MATERIALIZED (
        |  SELECT supp, cust FROM (
        |    SELECT supp, cust,
-       |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
+       |      row_number() OVER (PARTITION BY supp
+       |        ORDER BY (cust * 40503 + supp * 2654435761) % 65536, cust) AS rn
        |    FROM cs) WHERE rn <= $TriCap),
        |pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.cust AS u, b.cust AS v
@@ -827,18 +813,7 @@ object GraphQueries {
            |    SELECT src, lbl,
            |      row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
            |    FROM c$i) WHERE rn = 1)""".stripMargin
-      s"""WITH cs AS (
-         |  SELECT DISTINCT l_suppkey AS supp, o_custkey AS cust
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |capped AS MATERIALIZED (
-         |  SELECT supp, cust FROM (
-         |    SELECT supp, cust,
-         |      row_number() OVER (PARTITION BY supp
-         |        ORDER BY (cust * 40503 + supp * 2654435761) % 65536, cust) AS rn
-         |    FROM cs) WHERE rn <= $TriCap),
-         |pairs AS MATERIALIZED (
-         |  SELECT DISTINCT a.cust AS u, b.cust AS v
-         |  FROM capped a JOIN capped b ON a.supp = b.supp AND a.cust < b.cust),
+      s"""WITH $sqlCopurchasePairs,
          |bedges AS MATERIALIZED (
          |  SELECT u AS src, v AS dst FROM pairs
          |  UNION ALL
@@ -959,7 +934,8 @@ object GraphQueries {
          |capped AS MATERIALIZED (
          |  SELECT supp, cust FROM (
          |    SELECT supp, cust,
-         |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
+         |      row_number() OVER (PARTITION BY supp
+         |        ORDER BY (cust * 40503 + supp * 2654435761) % 65536, cust) AS rn
          |    FROM cs) WHERE rn <= $TriCap),
          |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.cust AS u, b.cust AS v
@@ -995,7 +971,8 @@ object GraphQueries {
          |capped AS MATERIALIZED (
          |  SELECT supp, cust FROM (
          |    SELECT supp, cust,
-         |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
+         |      row_number() OVER (PARTITION BY supp
+         |        ORDER BY (cust * 40503 + supp * 2654435761) % 65536, cust) AS rn
          |    FROM cs) WHERE rn <= $TriCap),
          |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.cust AS u, b.cust AS v
@@ -1039,7 +1016,8 @@ object GraphQueries {
          |capped AS (
          |  SELECT supp, cust FROM (
          |    SELECT supp, cust,
-         |      row_number() OVER (PARTITION BY supp ORDER BY cust) AS rn
+         |      row_number() OVER (PARTITION BY supp
+         |        ORDER BY (cust * 40503 + supp * 2654435761) % 65536, cust) AS rn
          |    FROM cs) WHERE rn <= $TriCap),
          |pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.cust AS u, b.cust AS v
