@@ -235,6 +235,12 @@ object GraphQueries {
     * contributes at most TriCap·(TriCap−1)/2 pairs. */
   private[queries] val TriCap = 16
 
+  /** Peel-front size above which q_ktruss stops FORCING the dead-edge
+    * broadcast and lets AQE choose from runtime sizes: 2M two-string
+    * rows ≈ 100 MB serialized — comfortably inside a production
+    * executor, far past anything the capped projection produces. */
+  private[queries] val DeadBroadcastCap = 2000000L
+
   /** Per-center neighbor cap for wedge enumeration (link prediction) —
     * a hub contributes at most WedgeCap·(WedgeCap−1)/2 candidate pairs,
     * so wedge work is ≤ nodes·WedgeCap², never Σdeg². Deterministic:
@@ -265,8 +271,28 @@ object GraphQueries {
     *   4. wedges e1(a,b)⋈e2(b,c) closed against e3(a,c).
     * Output is one row of BIGINT graph invariants — exact in DuckDB.
     */
-  private[graft] def triangles(s: SparkSession, d: String): DataFrame =
-    triangleCountOver(bucketedPairs(s, d))
+  private[graft] def triangles(s: SparkSession, d: String): DataFrame = {
+    // Gated production path: linear reads of the two shared tables —
+    // Σsup/3 over [[bucketedSupport]] (each triangle credits its three
+    // edges exactly once) + two O(|E|) count/distinct aggregates. The
+    // closing-join enumeration itself is amortized into the one-time
+    // support_b CTAS shared with q_clustering_coeff/q_ktruss;
+    // [[triangleCountOver]] keeps the from-scratch pipeline for
+    // spec-driven arbitrary graphs.
+    val pairs = bucketedPairs(s, d)
+    val sup = bucketedSupport(s, d)
+    val nNodes = pairs.select(col("u").as("n"))
+      .unionAll(pairs.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      .agg(count(lit(1)).as("n_nodes"))
+    // Σsup is exactly 3·n_triangles; DIV keeps it BIGINT end to end
+    // (`/` on longs would be IEEE division).
+    val tri = sup.agg(coalesce(sum(col("sup")), lit(0L)).as("s3"))
+      .select(expr("s3 DIV 3").as("n_triangles"))
+    nNodes
+      .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
 
   /** Capped customer co-purchase projection (u < v, distinct) — the ONE
     * projection shared by the whole graph family (triangles, clustering
@@ -384,6 +410,49 @@ object GraphQueries {
       .crossJoin(tri)
   }
 
+  /** Per-edge triangle support over a degree-oriented edge frame: the
+    * closing join enumerates each triangle exactly once, explodes its
+    * three (oriented) edges and hash-aggregates — triangles exist only
+    * inside whole-stage codegen between the join and the map-side-
+    * combined count, so the widest shuffle is the |E|-sized partial-
+    * aggregate exchange (never a triangle-sized frame — the round-7
+    * storage/GC killer). The oriented pair is the edge identity: every
+    * undirected edge occurs in exactly one orientation and a
+    * triangle's edges (a,b), (b,c), (a,c) are all oriented rows by
+    * construction, so no least/greatest normalization is needed. */
+  private def supportOf(o: DataFrame): DataFrame = o
+    .join(o.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    .join(o.select(col("a").as("wa"), col("b").as("wc")),
+      col("a") === col("wa") && col("c") === col("wc"), "left_semi")
+    .select(explode(array(
+      struct(col("a").as("x"), col("b").as("y")),
+      struct(col("b").as("x"), col("c").as("y")),
+      struct(col("a").as("x"), col("c").as("y")))).as("e"))
+    .select(col("e.x").as("x"), col("e.y").as("y"))
+    .groupBy(col("x"), col("y")).agg(count(lit(1)).as("sup"))
+
+  /** The shared per-edge triangle-support table (x, y, sup) — oriented
+    * edge key, one row per edge that closes ≥ 1 triangle — persisted
+    * bucketed+sorted on `x`. This is the round-8 amortization the
+    * round-7 verdict prescribed: q_triangle_count, q_clustering_coeff
+    * and q_ktruss each need exactly this ~|E|-sized aggregate, and
+    * each was re-running the degree→orient→closing-join enumeration
+    * (~178 s of the 100× budget spent computing the same frame three
+    * times). Everything those queries derive is linear algebra over
+    * support: n_triangles = Σsup/3 (each triangle credits its three
+    * edges once), per-node 2·tri(n) = Σ support over incident edges
+    * (each triangle at n has exactly two edges incident to n), and
+    * k-truss round-1 support IS this frame. The enumeration itself
+    * runs once, inside the CTAS, over [[bucketedPairs]]. */
+  private[graft] def bucketedSupport(s: SparkSession, d: String): DataFrame =
+    sharedTable(s, d, "support_b", "x", Seq("x", "y")) {
+      val pairs = bucketedPairs(s, d)
+      val deg = pairs.select(col("u").as("n"))
+        .unionAll(pairs.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      supportOf(orientedOf(pairs, deg).localCheckpoint())
+    }
+
   val defs: Map[String, Q] = Map(
     "q_pagerank" -> ((s, d) => pagerank(s, d)),
     "q_pagerank_bucketed" -> ((s, d) => pagerankBucketed(s, d)),
@@ -403,17 +472,22 @@ object GraphQueries {
       val deg = pairs.select(col("u").as("n"))
         .unionAll(pairs.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-      val oriented = orientedOf(pairs, deg).localCheckpoint()
-      val corners = oriented
-        .join(oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-        .join(oriented.select(col("a").as("wa"), col("b").as("wc")),
-          col("a") === col("wa") && col("c") === col("wc"), "left_semi")
-        .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+      // Per-node triangle credit straight from the SHARED support
+      // table: each triangle at node n has exactly two edges incident
+      // to n, so Σ support over incident edges = 2·tri(n) — which is
+      // precisely the numerator the cc formula needs. No closing join
+      // in this query's plan at all (it ran once, in the support_b
+      // CTAS shared with q_triangle_count/q_ktruss).
+      val sup = bucketedSupport(s, d)
+      val corners = sup.select(explode(array(
+          struct(col("x").as("n"), col("sup")),
+          struct(col("y").as("n"), col("sup")))).as("e"))
+        .select(col("e.n").as("n"), col("e.sup").as("sup"))
+        .groupBy(col("n")).agg(sum(col("sup")).as("tri2")) // = 2·tri(n)
       deg.join(corners, Seq("n"), "left")
         .filter(col("dg") >= 2)
         .select(expr(
-          "CAST(2 * CAST(coalesce(tri, 0L) AS DECIMAL(38,0)) * 1000000" +
+          "CAST(CAST(coalesce(tri2, 0L) AS DECIMAL(38,0)) * 1000000" +
             " DIV (CAST(dg AS DECIMAL(38,0)) * (dg - 1)) AS BIGINT)")
           .as("cc_micro"))
         .groupBy(expr("cc_micro DIV 100000").as("cc_decile"))
@@ -459,11 +533,11 @@ object GraphQueries {
 
     // K-TRUSS (K=4) peeling, 2 rounds unrolled — the EDGE-level
     // analogue of q_kcore's node peeling. Triangles are enumerated
-    // ONCE, on the full graph, through the same degree-oriented
-    // closing join as q_triangle_count, and the bare (a,b,c) frame is
-    // what checkpoints — a third of the materialized edge-per-triangle
-    // form this replaced (9.4 s → 4.9 s, sf0.1): the per-slot edge
-    // rows regenerate lazily in codegen at each read. The ORIENTED
+    // ONCE PER SF DIR, inside the shared support_b CTAS
+    // ([[bucketedSupport]] — the same frame q_triangle_count and
+    // q_clustering_coeff read), through the degree-oriented closing
+    // join; this query's own plan materializes only the O(|E|)
+    // oriented frame it needs for the round-2 probes. The ORIENTED
     // pair itself is the edge identity: every undirected edge occurs
     // in exactly one orientation, and a triangle's edges (a,b),
     // (b,c), (a,c) are all oriented rows by construction of the
@@ -495,25 +569,12 @@ object GraphQueries {
       // combined per-edge support aggregate, so the widest shuffle of
       // the query is the |E|-sized partial-aggregate exchange.
       val or = orientedOf(pairs, deg).localCheckpoint()
-      // Per-edge triangle support via the degree-oriented closing
-      // join. The oriented pair itself is the edge identity: every
-      // undirected edge occurs in exactly one orientation and the
-      // orientation is a total node order, so each triangle (a,b,c)
-      // surfaces once and its edges (a,b),(b,c),(a,c) are oriented
-      // rows by construction — no least/greatest normalization (the
-      // gated output is a support histogram; identity convention
-      // never surfaces).
-      def supportOf(o: DataFrame): DataFrame = o
-        .join(o.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-        .join(o.select(col("a").as("wa"), col("b").as("wc")),
-          col("a") === col("wa") && col("c") === col("wc"), "left_semi")
-        .select(explode(array(
-          struct(col("a").as("x"), col("b").as("y")),
-          struct(col("b").as("x"), col("c").as("y")),
-          struct(col("a").as("x"), col("c").as("y")))).as("e"))
-        .select(col("e.x").as("x"), col("e.y").as("y"))
-        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("sup"))
-      val sup0 = supportOf(or).localCheckpoint()
+      // Round-1 support comes straight from the SHARED support table
+      // ([[bucketedSupport]] — same pairs, same deterministic
+      // orientation, so its (x, y) keys match this query's `or` frame
+      // bit for bit): the closing-join enumeration runs once per sf
+      // dir in the CTAS instead of once per triangle-family query.
+      val sup0 = bucketedSupport(s, d)
       // Round-2 support is a DECREMENT, not a re-enumeration: edges
       // below K-2 support die, and the only triangles whose loss can
       // change any other edge's support are those TOUCHING a dead
@@ -528,11 +589,16 @@ object GraphQueries {
       // dead is BROADCAST in every step below: each dead edge (sup ≤ 1)
       // belongs to at most one triangle, so every frame in the
       // re-derivation is ≤ |dead| · cap rows and the checkpointed
-      // oriented frame is only ever SCANNED, never shuffled. (At a
-      // corpus where the peel front outgrew broadcast, dropping the
-      // hint lets AQE pick from runtime sizes — the shape stays valid.)
+      // oriented frame is only ever SCANNED, never shuffled. The hint
+      // is GATED on the measured peel-front size (round-7 advice): on
+      // a corpus where many support-1 edges make the front outgrow
+      // executor memory, the hint is dropped and AQE picks the join
+      // strategy from runtime sizes — the shape stays valid either
+      // way. The count is a scan of the already-checkpointed frame.
       val dead = sup0.filter(col("sup") < 2)
         .select(col("x"), col("y")).localCheckpoint()
+      val bcast: DataFrame => DataFrame =
+        if (dead.count() <= DeadBroadcastCap) broadcast else identity
       // verify = keep candidate triangles whose named (e1, e2) edge
       // exists in `or`, as a broadcast INNER join probed by the `or`
       // scan (a semi-join keyed the other way would shuffle `or`
@@ -540,22 +606,22 @@ object GraphQueries {
       // duplicate (each (e1, e2) matches at most one `or` row).
       def closedAgainstOr(cand: DataFrame, e1: String, e2: String)
           : DataFrame = or.as("w")
-        .join(broadcast(cand.as("t")),
+        .join(bcast(cand.as("t")),
           col("w.a") === col(s"t.$e1") && col("w.b") === col(s"t.$e2"))
         .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
       // Slot (a,b) dead: c completes via (b,c) ∈ or, verify (a,c).
       val viaAB = closedAgainstOr(
-        or.as("e").join(broadcast(dead), col("e.a") === col("y"))
+        or.as("e").join(bcast(dead), col("e.a") === col("y"))
           .select(col("x").as("a"), col("y").as("b"), col("e.b").as("c")),
         "a", "c")
       // Slot (b,c) dead: a completes via (a,b) ∈ or, verify (a,c).
       val viaBC = closedAgainstOr(
-        or.as("e").join(broadcast(dead), col("e.b") === col("x"))
+        or.as("e").join(bcast(dead), col("e.b") === col("x"))
           .select(col("e.a").as("a"), col("x").as("b"), col("y").as("c")),
         "a", "c")
       // Slot (a,c) dead: b completes via (a,b) ∈ or, verify (b,c).
       val viaAC = closedAgainstOr(
-        or.as("e").join(broadcast(dead), col("e.a") === col("x"))
+        or.as("e").join(bcast(dead), col("e.a") === col("x"))
           .select(col("x").as("a"), col("e.b").as("b"), col("y").as("c")),
         "b", "c")
       val deadTris = viaAB.unionAll(viaBC).unionAll(viaAC).distinct()
@@ -566,8 +632,8 @@ object GraphQueries {
           struct(col("a").as("x"), col("c").as("y")))).as("e"))
         .select(col("e.x").as("x"), col("e.y").as("y"))
         .groupBy(col("x"), col("y")).agg(count(lit(1)).as("lost"))
-      sup0.join(broadcast(dead), Seq("x", "y"), "left_anti")
-        .join(broadcast(deadContrib), Seq("x", "y"), "left")
+      sup0.join(bcast(dead), Seq("x", "y"), "left_anti")
+        .join(bcast(deadContrib), Seq("x", "y"), "left")
         .select((col("sup") - coalesce(col("lost"), lit(0L))).as("sup"))
         .filter(col("sup") >= 2)
         .groupBy(col("sup")).agg(count(lit(1)).as("n_edges"))
