@@ -59,8 +59,20 @@ case class HashedShingles(child: Expression) extends UnaryExpression {
 }
 
 object HashedShingles {
+
   /** Ordered-distinct hashed 3-gram shingles (static forwarder callable
-    * from generated Java). */
+    * from generated Java).
+    *
+    * ARBITRARY-BYTE contract (round-7 advice, resolved by measurement):
+    * the `toString` round trip below substitutes U+FFFD for malformed
+    * UTF-8 — and that is exactly what the composed chain does too,
+    * because Spark's `split` is Java-regex-based (UTF8String.split
+    * decodes via toString before matching), so its tokens are already
+    * replacement-substituted before concat_ws/hash ever run. A
+    * byte-level kernel (0x20-run tokenizer + md5 over raw slices) was
+    * tried and DIVERGES from the composed chain on every malformed
+    * input; the String-based form is bit-identical on arbitrary bytes,
+    * which CustomFunctionsSpec's malformed-UTF-8 test pins down. */
   def computeJava(s: UTF8String): ArrayData = {
     // Java String.split(" ", -1) = the same single-space regex split
     // Spark's `split(c, " ")` performs, empty tokens (incl. trailing)

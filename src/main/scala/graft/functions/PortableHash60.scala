@@ -57,7 +57,10 @@ object PortableHash60 {
   def hashJava(s: UTF8String): Long = {
     val md = digest.get()
     md.reset()
-    val h = md.digest(s.getBytes)
+    top60(md.digest(s.getBytes))
+  }
+
+  private def top60(h: Array[Byte]): Long = {
     val top =
       ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
       ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |

@@ -329,12 +329,21 @@ object GraphQueries {
       .distinct()
   }
 
-  /** Synchronous LPA rounds over any normalized undirected edge set
-    * (u < v, distinct) → final (node, lbl) — factored out so specs can
-    * drive it with known graphs. Mode of neighbor labels, ties to the
-    * smallest label, 3 fixed rounds. */
+  /** Synchronous LPA rounds over an arbitrary undirected edge frame
+    * (u, v) → final (node, lbl) — factored out so specs can drive it
+    * with known graphs. Mode of neighbor labels, ties to the smallest
+    * label, 3 fixed rounds. The input is NORMALIZED to the simple-
+    * graph contract [[labelPropOver]] requires (its closed-form round
+    * 1 assumes each neighbor contributes a distinct label): order each
+    * pair, drop self-loops, distinct — so a multigraph or reversed
+    * frame still gets the documented mode semantics (round-7 advice). */
   private[graft] def labelPropFrom(rawPairs: DataFrame): DataFrame = {
-    val pairs = rawPairs.localCheckpoint()
+    val pairs = rawPairs
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
     val bedges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint()
@@ -342,7 +351,13 @@ object GraphQueries {
   }
 
   /** The propagation rounds over an already-materialized both-direction
-    * edge frame (bucketed table or checkpointed union). */
+    * edge frame (bucketed table or checkpointed union). PRECONDITION
+    * (simple graph): duplicate-free with both directions of each
+    * undirected edge present and no self-loops — the closed-form round
+    * 1 (min neighbor id) is only the mode/min-tie round under that
+    * contract. Both producers guarantee it: [[bucketedLpaEdges]] unions
+    * the directions of the distinct u<v projection, and
+    * [[labelPropFrom]] normalizes arbitrary input first. */
   private def labelPropOver(bedges: DataFrame): DataFrame = {
     // Round 1 in closed form: initial labels are the node ids, and in
     // a simple graph each neighbor contributes a DISTINCT label, so

@@ -199,6 +199,29 @@ class CustomFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("HashedShingles == composed chain on MALFORMED UTF-8 bytes") {
+    // binary -> string cast is a raw byte copy (UTF8String.fromBytes,
+    // no validation), so these rows carry genuinely malformed UTF-8
+    // into both paths. Spark's `split` is Java-regex-based and decodes
+    // via toString (replacement chars) BEFORE tokenizing — the fused
+    // kernel's own toString round trip replicates exactly that, so the
+    // two stay bit-identical on arbitrary bytes (round-7 advice: a
+    // byte-level kernel was tried and diverges on every row here).
+    val raw: Seq[Array[Byte]] = Seq(
+      Array(0x61, 0x20, 0xff, 0x20, 0x62, 0x20, 0x63).map(_.toByte),
+      Array(0xc3, 0x20, 0xe2, 0x82, 0x20, 0x80, 0x20, 0xf0).map(_.toByte),
+      Array(0xff, 0xfe, 0x20, 0x00, 0x20, 0x80, 0x81, 0x20, 0x41,
+        0x20, 0xff, 0xfe).map(_.toByte))
+    val df = raw.map(Tuple1(_)).toDF("b")
+      .select($"b".cast("string").as("text"))
+    val mismatches = df
+      .withColumn("fast", GraftFunctions.hashed_shingles($"text"))
+      .withColumn("slow", graft.queries.DedupQueries.hashedShinglesComposed($"text"))
+      .filter(!($"fast" <=> $"slow"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("HashedShingles participates in whole-stage codegen") {
     val plan = Tables.documents(spark, sf())
       .select(GraftFunctions.hashed_shingles($"text").as("sh"))
