@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
+  /** Frontier size at or below which the round's delta semi-join
+    * forces a broadcast: the frontier is an ids-only frame, so even
+    * the cap is ~tens of MB — and past it AQE decides from runtime
+    * sizes instead. */
+  private val FrontierBroadcastCap = 4000000L
+
   /** nodes: single column `id`; edges: `src`, `dst` (undirected input —
     * symmetrized internally). Returns (id, cluster_rep) where
     * cluster_rep = min id reachable. */
@@ -32,12 +38,36 @@ object DedupClusters {
     // which otherwise deepens every iteration and blows up analysis
     // memory long before the data does.
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // DELTA propagation (round 8): labels only decrease, and each round
+    // merges with least(current, incoming) — so an incoming min from a
+    // node whose label did NOT change last round was already applied
+    // then and can be skipped. Rounds 2+ therefore restrict the edge-
+    // side join to sources in the previous round's change frontier
+    // (which shrinks geometrically once the big components settle):
+    // the frontier broadcast-semi-joins the cached edge frame, so the
+    // 2|E|-row set is only SCANNED, never re-shuffled, and the
+    // neighbor aggregate moves O(active edges) instead of O(|E|).
+    // Pointer jumping always runs on the full O(nodes) frame, and a
+    // jump-induced change re-enters the frontier, so the fixpoint is
+    // unchanged: converged means NO label moved in a round, at which
+    // point no future round (delta or full) could move one either.
+    var frontierCount = -1L // <0: first round, no restriction
+    var frontier: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // (1) neighbor round: label(n) <- min over neighbors m of label(m)
-      val viaNeighbors = sym
-        .join(labels, sym("src") === labels("id"))
+      // (1) neighbor round: label(n) <- min over CANDIDATE neighbors m
+      // of label(m), candidates = all in round 1, changed-last-round
+      // after.
+      val active =
+        if (frontierCount < 0) sym
+        else if (frontierCount <= FrontierBroadcastCap)
+          sym.join(broadcast(frontier.withColumnRenamed("id", "src")),
+            Seq("src"), "left_semi")
+        else sym.join(frontier.withColumnRenamed("id", "src"),
+          Seq("src"), "left_semi")
+      val viaNeighbors = active
+        .join(labels, active("src") === labels("id"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
       val stepped = labels.join(viaNeighbors, Seq("id"), "left")
@@ -49,7 +79,7 @@ object DedupClusters {
       // would silently return partial labels on any chain longer than
       // maxIter).
       val byId = stepped.select(col("id").as("jid"), col("label").as("jlabel"))
-      // The round's OLD label rides along, so the convergence probe
+      // The round's OLD label rides along, so the frontier derivation
       // below is a scan of the checkpointed result — not a third
       // old-vs-new join per round.
       val next = stepped
@@ -57,11 +87,14 @@ object DedupClusters {
         .select(col("id"), col("olabel"),
           least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next
+      frontier = next
         .filter(col("label") =!= col("olabel"))
-        .limit(1).count()
+        .select(col("id"))
+      // Full count (not limit(1)): the size also gates the broadcast
+      // hint above; it scans the checkpointed frame only.
+      frontierCount = frontier.count()
       labels = next.select(col("id"), col("label"))
-      converged = changed == 0
+      converged = frontierCount == 0
       i += 1
     }
     require(converged,

@@ -171,6 +171,25 @@ object DedupQueries {
   private def minhashPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     verifiedPairsOf(docsSpread(s, d))
 
+  /** Shared connected-component labels (doc_id, cluster_rep) over the
+    * verified MinHash pair graph, persisted bucketed on doc_id — the
+    * round-8 amortization of the triangle family's support_b treatment
+    * applied to the dedup family: q_dedup_clusters, q_cluster_stats and
+    * q_dedup_survivor each need exactly this frame, and each was
+    * re-running candidate generation + Jaccard verification + the full
+    * iterative CC (~44 s of the 100× budget spent three times over).
+    * The CC loop runs once, inside the CTAS; the consumers are O(docs)
+    * rollups/joins over the labels. */
+  private def ccLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    QueryUtil.sharedTable(s, d, "cc_b", "doc_id", Seq("doc_id")) {
+      val docs = docsSpread(s, d)
+      val edges = verifiedPairsOf(docs)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val nodes = docs.select(col("doc_id").as("id"))
+      graft.operators.DedupClusters.connectedComponents(nodes, edges)
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+    }
+
   private[queries] def verifiedPairsOf(docs: DataFrame): DataFrame = {
     val pairs = cappedBucketPairs(bandedSignaturesOf(docs))
     val sh = docShinglesOf(docs).select(col("doc_id"), col("sh"))
@@ -353,15 +372,11 @@ object DedupQueries {
     // Transitive dedup clusters: connected components over the verified
     // MinHash pairs; survivor = min doc_id per component. Oracle is a
     // DuckDB recursive CTE computing the identical transitive closure.
-    "q_dedup_clusters" -> ((s, d) => {
-      val edges = minhashPairs(s, d)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      graft.operators.DedupClusters.connectedComponents(nodes, edges)
-        .select(col("id").as("doc_id"), col("cluster_rep"),
-          (col("id") === col("cluster_rep")).as("is_survivor"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_dedup_clusters" -> ((s, d) =>
+      ccLabels(s, d)
+        .select(col("doc_id"), col("cluster_rep"),
+          (col("doc_id") === col("cluster_rep")).as("is_survivor"))
+        .orderBy(col("doc_id"))),
 
     // Dedup REPORTING: cluster-size histogram over the connected
     // components — how many k-size duplicate clusters exist, how many
@@ -370,10 +385,7 @@ object DedupQueries {
     // CC operator; the twin extends the recursive-CTE closure with the
     // identical rollup.
     "q_cluster_stats" -> ((s, d) => {
-      val edges = minhashPairs(s, d)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      graft.operators.DedupClusters.connectedComponents(nodes, edges)
+      ccLabels(s, d)
         .groupBy(col("cluster_rep")).agg(count(lit(1)).as("csize"))
         .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
         .select(col("csize"), col("n_clusters"),
@@ -593,11 +605,7 @@ object DedupQueries {
     // the CC operator; the policy change costs nothing structural.
     "q_dedup_survivor" -> ((s, d) => {
       val docs = docsSpread(s, d)
-      val edges = verifiedPairsOf(docs)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val nodes = docs.select(col("doc_id").as("id"))
-      val cc = graft.operators.DedupClusters.connectedComponents(nodes, edges)
-        .select(col("id").as("doc_id"), col("cluster_rep"))
+      val cc = ccLabels(s, d)
       val margins = docs.select(col("doc_id"),
         TextQueries.classifierMargin(col("text")).as("margin_micro"))
       val w = org.apache.spark.sql.expressions.Window

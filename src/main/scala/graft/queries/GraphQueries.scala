@@ -98,24 +98,8 @@ object GraphQueries {
     * across every downstream traversal. */
   private def sharedTable(s: SparkSession, d: String, suffix: String,
       bucketCol: String, sortCols: Seq[String])(build: => DataFrame)
-      : DataFrame = {
-    val tbl = "graft_" + suffix + "_" + d.replaceAll("[^0-9a-zA-Z]", "_")
-    synchronized {
-      if (!s.catalog.tableExists(tbl)) {
-        // The in-memory catalog forgets tables across JVMs but the
-        // warehouse directory survives — clear any stale location from
-        // an interrupted earlier run so the CTAS can't collide.
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        build.write.bucketBy(32, bucketCol)
-          .sortBy(sortCols.head, sortCols.tail: _*)
-          .format("parquet").mode("overwrite").saveAsTable(tbl)
-      }
-    }
-    s.table(tbl)
-  }
+      : DataFrame =
+    QueryUtil.sharedTable(s, d, suffix, bucketCol, sortCols)(build)
 
   /** The shared bucketed (src, dst, outdeg) edge table — written once
     * per sf dir, read bucket-aligned by every bucketed graph variant. */

@@ -71,6 +71,26 @@ class ExchangeBudgetSpec extends SparkTestBase {
       "per-round relax/min exchanges materialize inside the round " +
         "checkpoints (O(nodes) frames); the gated plan is the final " +
         "top-25 TakeOrdered over the checkpointed distances"),
+    ("q_triangle_count", 4,
+      "shared support_b does the enumeration at CTAS time; the query " +
+        "is three crossJoined 1-row aggregates — node-degree agg over " +
+        "the pairs union + its global count, the support sum, and the " +
+        "edge count — each a partial->final pair over tiny frames"),
+    ("q_clustering_coeff", 4,
+      "degree agg + per-node support-sum agg (both n-keyed, join " +
+        "reuses their partitioning) + decile histogram agg + output " +
+        "sort; the closing join lives in the shared support_b CTAS, " +
+        "not in this plan"),
+    ("q_dedup_survivor", 2,
+      "labels read straight from the bucketed cc_b table (the CC loop " +
+        "ran at CTAS time); one cluster-keyed window for the best-copy " +
+        "pick + the output sort — the margin join rides the bucketed " +
+        "doc_id side"),
+    ("q_minhash_lsh_pairs", 5,
+      "doc-keyed signature agg (map-side combined over the fused " +
+        "shingle stream) + banded bucket agg + candidate-pair distinct " +
+        "+ shingle join-back + output sort; candidates travel as id " +
+        "pairs, texts never shuffle"),
     ("q_prefix_filter_join", 20,
       "the AllPairs pipeline end to end: digest collapse + shingle df " +
         "agg + frequency-order prefix window + posting self-join + " +
