@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming throughput bench — the perf signal the batch
+  * fleet bench cannot give (SURVEY.md §2.2 streaming surface; round-7
+  * verdict item 7: "the one surface with zero perf signal").
+  *
+  * Drives the real file source (parquet directory, `maxFilesPerTrigger`
+  * paced so state crosses micro-batch boundaries) through three
+  * representative stateful pipelines, each to completion with
+  * `Trigger.AvailableNow` and a throwaway checkpoint:
+  *
+  *   - `tumbling`  — watermarked 15-min windowed count/sum aggregate
+  *     (EventStreams.tumblingCounts), append mode: the bread-and-butter
+  *     shuffle+state shape.
+  *   - `dedup_session` — dropDuplicatesWithinWatermark CHAINED into
+  *     per-user session windows (EventStreams.dedupEvents →
+  *     sessionCounts): two stateful operators in one query, the
+  *     curation-stream shape (exactly-once event feed → sessionized).
+  *   - `tws` — transformWithState typed per-user running stats on the
+  *     RocksDB state store provider (EventStreams.userStatsTws): the
+  *     arbitrary-state API under its production store.
+  *
+  * Reported rows/sec = input rows / wall seconds per pipeline
+  * (includes source listing, state store maintenance and sink costs —
+  * end-to-end, not kernel time). Scale note: every pipeline keys state
+  * by (window[, user]) so state shards by key hash across executors;
+  * nothing here is driver-resident — the same jobs run unchanged on a
+  * cluster against a streaming 100 TB/day feed, with the watermark
+  * bounding state.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir with events.parquet written in µs>
+  * (default /root/scale10x — the 10× replica; the driver fixture's
+  * TIMESTAMP(NANOS) events are handled via the same nanos conversion
+  * as Tables.events). Prints ONE JSON line.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/scale10x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val path = s"$dir/events.parquet"
+    val batch = spark.read.parquet(path)
+    val nRows = batch.count()
+    val isNanos =
+      batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    def fixTs(df: DataFrame): DataFrame =
+      // watermarks require TIMESTAMP (not NTZ); session is pinned UTC
+      if (isNanos) df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else df.withColumn("ts", col("ts").cast("timestamp"))
+    // Pace the source so each run spans several micro-batches (state
+    // must survive batch boundaries for the numbers to mean anything).
+    val pfile = new java.io.File(path)
+    // The file streaming source requires a DIRECTORY; the driver
+    // fixture is a single parquet file — expose it through a symlink
+    // in a temp dir (the replica dirs pass through unchanged).
+    val srcDir =
+      if (pfile.isDirectory) path
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_sb_src")
+        java.nio.file.Files.createSymbolicLink(
+          tmp.resolve("part-0.parquet"), pfile.toPath)
+        tmp.toString
+      }
+    val nFiles =
+      if (pfile.isDirectory)
+        math.max(1, pfile.listFiles(f => f.getName.endsWith(".parquet")).length)
+      else 1
+    val perTrigger = math.max(1, nFiles / 8)
+
+    def stream(): DataFrame = fixTs(
+      spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", perTrigger).parquet(srcDir))
+
+    def run(name: String, out: DataFrame, mode: String): (String, Double) = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_sb_$name").toString
+      val t0 = System.nanoTime()
+      val q = out.writeStream.format("noop").outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> sec
+    }
+
+    val results = Seq(
+      run("tumbling",
+        streaming.EventStreams.tumblingCounts(stream()), "append"),
+      run("dedup_session", {
+        // chained stateful ops: the dedup stage owns the (single)
+        // watermark; the session aggregate must not re-declare it.
+        val deduped = streaming.EventStreams.dedupEvents(stream())
+        deduped
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "5 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("w.start").as("sess_start"),
+            col("w.end").as("sess_end"), col("n_events"))
+      }, "append"),
+      run("tws",
+        streaming.EventStreams.userStatsTws(
+          stream().select(col("user_id").cast("long"),
+            col("value").cast("double")).as[(Long, Double)])
+          .toDF("user_id", "n_events", "total_cents"), "update"))
+
+    val qjson = results.map { case (n, sec) =>
+      f"""\"$n\":{\"sec\":$sec%.3f,\"rows_per_sec\":${nRows / sec}%.0f}"""
+    }.mkString(",")
+    println(s"""{"metric":"stream_throughput","rows":$nRows,""" +
+      s""""files":$nFiles,"per_trigger":$perTrigger,""" +
+      s""""pipelines":{$qjson},"dir":"$dir"}""")
+    spark.stop()
+  }
+}
