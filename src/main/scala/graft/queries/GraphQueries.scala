@@ -758,14 +758,30 @@ object GraphQueries {
     "q_kcore" -> ((s, d) => {
       val K = 3
       var edges = bucketedPairs(s, d)
-      for (_ <- 1 to 3) {
+      for (r <- 1 to 3) {
         val deg = edges.select(col("u").as("n"))
           .unionAll(edges.select(col("v").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("dg"))
-        val keep = deg.filter(col("dg") >= K)
+        // Peel against the DEAD set, not the keep set (round 8): most
+        // nodes survive each round, so restricting edges via two
+        // keep-set semi-joins re-shuffled the whole edge frame twice
+        // per round; the complement — nodes below K — is the SMALL
+        // side, and two broadcast anti-joins drop their edges with
+        // zero edge-side exchange (identical result: anti dead ≡ semi
+        // keep on the same degree frame). The dead frame is the
+        // checkpointed O(peeled) output of the degree aggregate; its
+        // count gates the hint the DeadBroadcastCap way so a
+        // pathological first round falls back to AQE-chosen joins.
+        val dead = deg.filter(col("dg") < K).select(col("n"))
+          .localCheckpoint()
+        val bc: DataFrame => DataFrame =
+          if (dead.count() <= DeadBroadcastCap) broadcast else identity
         edges = edges
-          .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
-          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+          .join(bc(dead.select(col("n").as("u"))), Seq("u"), "left_anti")
+          .join(bc(dead.select(col("n").as("v"))), Seq("v"), "left_anti")
+        // checkpoint between rounds: each round's degree aggregate
+        // otherwise re-derives every earlier round's anti-joins.
+        if (r < 3) edges = edges.localCheckpoint()
       }
       edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg3"))

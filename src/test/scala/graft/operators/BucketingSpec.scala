@@ -102,7 +102,10 @@ class BucketingSpec extends SparkTestBase {
       "q_clustering_coeff" -> true,
       "q_assortativity" -> true,
       "q_link_predict" -> true,
-      "q_kcore" -> true,
+      // k-core checkpoints the surviving edge set between peel rounds
+      // (round 8, with the dead-set anti-join peel), so its final plan
+      // reads the round-2 checkpoint, not the pairs_b table
+      "q_kcore" -> false,
       // label-prop checkpoints the label frame per round, so its final
       // plan reads the round-3 checkpoint, not the lpa_b table
       "q_label_prop" -> false,
