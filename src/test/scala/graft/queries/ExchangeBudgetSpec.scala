@@ -67,6 +67,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
       "distinct purchase-pair agg + per-customer cap window + inverted " +
         "self-join + co-occurrence agg + two size join-backs; the " +
         "top-30 lands via TakeOrdered, not a global sort"),
+    ("q_kcore", 2,
+      "checkpoint-terminal peel (round 8): the gated plan is the final " +
+        "degree aggregate + output sort over the round-2 checkpoint; " +
+        "per-round work is dead-set broadcast anti-joins, zero " +
+        "edge-side exchange"),
     ("q_sssp", 1,
       "per-round relax/min exchanges materialize inside the round " +
         "checkpoints (O(nodes) frames); the gated plan is the final " +
