@@ -101,6 +101,15 @@ object GraftFunctions {
   def hashed_shingles(s: Column): Column =
     GraftShim.toColumn(HashedShingles(GraftShim.toExpression(s)))
 
+  /** Bounded bottom-k cap as a partial-combinable aggregate — the
+    * skew-proof form of the `row_number() <= k` fan-out caps. */
+  def min_k_by(sortKey: Column, id: Column, k: Int): Column =
+    GraftShim.toColumn(MinKBy(GraftShim.toExpression(sortKey),
+      GraftShim.toExpression(id), k).toAggregateExpression())
+
+  def pair_combinations(arr: Column): Column =
+    GraftShim.toColumn(PairCombinations(GraftShim.toExpression(arr)))
+
   /** Register the custom expressions for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -117,14 +117,26 @@ object SimilarityQueries {
   }
 
   /** Exact cosine re-rank of candidate pairs to top-K per id_a. */
+  /** Corpus size at or below which the rerank joins broadcast the
+    * embedding table: 250 k × 64 floats ≈ 64 MB — comfortable in any
+    * executor, and it keeps the candidate frame (nprobe·cap rows PER
+    * PROBE — the big side by orders of magnitude) entirely
+    * un-shuffled: both array joins become map-side and the only
+    * exchange left is the per-probe top-k window. Past the cap the
+    * hint drops and AQE plans from runtime sizes (at 10⁸+ vectors the
+    * production shape co-partitions candidates and vectors by id). */
+  private val RerankBroadcastCap = 250000L
+
   private def rerankTopK(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     val emb = Tables.embeddings(s, d)
+    val bc: DataFrame => DataFrame =
+      if (embCount(s, d) <= RerankBroadcastCap) broadcast else identity
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b"))
     cand
-      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
-      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+      .join(bc(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))), Seq("id_a"))
+      .join(bc(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))), Seq("id_b"))
       .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
@@ -191,7 +203,6 @@ object SimilarityQueries {
     // micro-rounded value is bit-identical in both engines (the
     // library-wide cosine precedent). Output: top-30 supplier pairs.
     "q_item_cosine" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val cs = Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
@@ -199,15 +210,21 @@ object SimilarityQueries {
         .distinct()
         .localCheckpoint()
       val n = cs.groupBy(col("supp")).agg(count(lit(1)).as("nv"))
-      val capped = cs
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("cust"))
-            .orderBy(expr("(supp * 40503 + cust * 2654435761) % 65536"),
-              col("supp"))))
-        .filter(col("rn") <= CoCap).drop("rn")
-      capped.select(col("cust"), col("supp").as("sa"))
-        .join(capped.select(col("cust"), col("supp").as("sb")), Seq("cust"))
-        .filter(col("sa") < col("sb"))
+      // The per-customer cap runs as the bounded MinKBy aggregate (the
+      // skew-proof partial-combinable form — a hub customer forwards at
+      // most CoCap rows per map partition instead of its whole supplier
+      // list through a rank window), and PairCombinations emits the
+      // sa < sb pairs inline — no capped self-join, no second window
+      // execution on the other join side. Kept rows are identical to
+      // the old rn <= CoCap window (CustomFunctionsSpec pins the
+      // equivalence), so the twin below is unchanged.
+      cs.groupBy(col("cust"))
+        .agg(graft.functions.GraftFunctions.min_k_by(
+          expr("(supp * 40503 + cust * 2654435761) % 65536"),
+          col("supp"), CoCap).as("ss"))
+        .select(explode(
+          graft.functions.GraftFunctions.pair_combinations(col("ss"))).as("p"))
+        .select(col("p.a").as("sa"), col("p.b").as("sb"))
         .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("common"))
         .join(n.select(col("supp").as("sa"), col("nv").as("na")), Seq("sa"))
         .join(n.select(col("supp").as("sb"), col("nv").as("nb")), Seq("sb"))
