@@ -27,13 +27,15 @@ import org.apache.spark.sql.types._
   *     (#map-partitions · k) shuffle rows, and the reduce side merges
   *     k-bounded buffers. Skew-proof by construction.
   *
-  * Equivalence contract (pinned by CustomFunctionsSpec against the
-  * window form): with per-group-distinct `(sortKey, id)` rows — true for
-  * every caller, the inputs are `.distinct()` projections — the kept set
-  * is exactly the window's `rn <= k` rows. Duplicate input rows are
-  * kept-twice by both forms alike. Null sortKey/id rows are skipped
-  * (callers have non-null key columns; the window would sort them last,
-  * where they only ever displace other nulls).
+  * Equivalence contract (pinned by MinKPairsSpec against the window
+  * form on randomized multi-partition frames): the kept multiset is
+  * exactly the window's `rn <= k` rows — duplicate input rows are
+  * kept-twice by both forms alike. Null sortKey/id rows are where the
+  * forms genuinely DIVERGE: MinKBy skips them, while Spark's ascending
+  * sort is NULLS FIRST so the window form would rank them ahead of
+  * every non-null row. Non-null inputs are therefore a caller
+  * precondition (all callers aggregate non-null key columns); the
+  * divergence is itself pinned by a spec test.
   *
   * The output comes back id-sorted ascending so [[PairCombinations]]
   * can emit `a < b` pairs positionally.

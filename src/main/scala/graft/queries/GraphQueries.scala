@@ -293,23 +293,26 @@ object GraphQueries {
     * 16-clique, so density and community structure match what a real
     * capped co-occurrence projection produces at scale. */
   private[graft] def copurchasePairs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
     val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
     val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("supp"), col("o_custkey").as("cust"))
       .distinct()
-    val capped = cs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("supp"))
-          .orderBy(expr("(cust * 40503 + supp * 2654435761) % 65536"),
-            col("cust"))))
-      .filter(col("rn") <= TriCap)
-      .drop("rn")
-    capped.select(col("supp"), col("cust").as("ca"))
-      .join(capped.select(col("supp"), col("cust").as("cb")), Seq("supp"))
-      .filter(col("ca") < col("cb"))
-      .select(col("ca").as("u"), col("cb").as("v"))
+    // The cap runs as the bounded MinKBy aggregate (round 9): a hub
+    // supplier forwards at most TriCap rows per map partition instead
+    // of shuffling its whole customer list through a rank window, and
+    // PairCombinations emits the ca < cb pairs inline — no capped
+    // self-join re-executing the cap on both input sides. Kept set is
+    // identical to the old `rn <= TriCap` window over the same
+    // (hash, cust) order (MinKPairsSpec pins the equivalence), so the
+    // DuckDB twins keep their window form unchanged.
+    cs.groupBy(col("supp"))
+      .agg(graft.functions.GraftFunctions.min_k_by(
+        expr("(cust * 40503 + supp * 2654435761) % 65536"),
+        col("cust"), TriCap).as("ks"))
+      .select(explode(
+        graft.functions.GraftFunctions.pair_combinations(col("ks"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
       .distinct()
   }
 
@@ -683,20 +686,27 @@ object GraphQueries {
     // aggregate BEFORE the anti-join against existing edges, so the
     // anti-join touches the O(candidate-pairs) frame only.
     "q_link_predict" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val pairs = bucketedPairs(s, d)
       val adj = pairs.select(col("u").as("w"), col("v").as("n"))
         .unionAll(pairs.select(col("v").as("w"), col("u").as("n")))
-      val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("dg"))
-      val capped = adj
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("w")).orderBy(col("n"))))
-        .filter(col("rn") <= WedgeCap).drop("rn")
-      val cand = capped.select(col("w"), col("n").as("x"))
-        .join(capped.select(col("w"), col("n").as("y")), Seq("w"))
-        .filter(col("x") < col("y"))
-        .join(deg, Seq("w"))
-        .groupBy(col("x").as("u"), col("y").as("v"))
+      // ONE per-center aggregate does both jobs (round 9, MinKBy):
+      // the capped neighbor list (bounded bottom-k — a hub center
+      // forwards at most WedgeCap rows per map partition, vs the old
+      // rank window shuffling its full adjacency to one reducer) AND
+      // the TRUE degree for the RA denominator — the separate deg
+      // aggregate + join are gone. PairCombinations then emits the
+      // x < y wedge pairs inline from the id-sorted capped array:
+      // no capped self-join, no second window execution. Kept set ==
+      // the old `rn <= WedgeCap` window over orderBy(n)
+      // (MinKPairsSpec pins the equivalence; n is unique per center),
+      // so the twin keeps its window form and hashes are unchanged.
+      val cand = adj.groupBy(col("w"))
+        .agg(graft.functions.GraftFunctions.min_k_by(
+            col("n"), col("n"), WedgeCap).as("ns"),
+          count(lit(1)).as("dg"))
+        .select(col("dg"), explode(
+          graft.functions.GraftFunctions.pair_combinations(col("ns"))).as("p"))
+        .groupBy(col("p.a").as("u"), col("p.b").as("v"))
         .agg(count(lit(1)).as("n_common"),
           sum(expr("1000000 DIV dg")).as("ra_micro"))
       cand.join(pairs, Seq("u", "v"), "left_anti")

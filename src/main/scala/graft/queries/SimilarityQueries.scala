@@ -216,7 +216,7 @@ object SimilarityQueries {
       // list through a rank window), and PairCombinations emits the
       // sa < sb pairs inline — no capped self-join, no second window
       // execution on the other join side. Kept rows are identical to
-      // the old rn <= CoCap window (CustomFunctionsSpec pins the
+      // the old rn <= CoCap window (MinKPairsSpec pins the
       // equivalence), so the twin below is unchanged.
       cs.groupBy(col("cust"))
         .agg(graft.functions.GraftFunctions.min_k_by(

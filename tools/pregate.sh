@@ -10,6 +10,21 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-0.001}"
 OUT="$(mktemp -d /tmp/pregate.XXXXXX)"
+# Cited-specs-exist gate (round-8 lesson: a scaladoc shipped claiming a
+# test "pinned by CustomFunctionsSpec" that was never written). Every
+# *Spec name mentioned anywhere in src/main must be a real test class.
+MISSING=0
+for spec in $(grep -rhoE '\b[A-Z][A-Za-z0-9]*Spec\b' src/main | sort -u); do
+  # names DEFINED in src/main (fixture case classes etc.) are not
+  # test citations
+  if grep -rqE "(class|object|trait) $spec\b" src/main; then continue; fi
+  if ! grep -rq "class $spec" src/test; then
+    echo "PREGATE FAIL: src/main cites $spec but no such class in src/test:"
+    grep -rn "\b$spec\b" src/main | head -5
+    MISSING=1
+  fi
+done
+[ "$MISSING" -eq 0 ] || exit 1
 sbt -batch compile
 sbt -batch test
 sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT"
