@@ -105,22 +105,67 @@ object QueryUtil {
     * free access; in one local JVM the first query to touch a layout
     * pays the write under this object's lock (reps=2 best-of-best
     * benching excludes it, as documented in SCALE.md). */
+  /** Content version of the shared derived layouts. BUMP whenever any
+    * sharedTable build recipe changes its OUTPUT (not just its plan):
+    * the tag is part of the table/directory name, so a new code
+    * version never trusts a warehouse dir built by an older recipe
+    * (the reuse path below deliberately skips rebuilding). */
+  private val LayoutVersion = "v9"
+
   def sharedTable(s: SparkSession, d: String, suffix: String,
       bucketCol: String, sortCols: Seq[String])(build: => DataFrame)
       : DataFrame = {
-    val tbl = "graft_" + suffix + "_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    val tbl = "graft_" + suffix + "_" + LayoutVersion + "_" +
+      d.replaceAll("[^0-9a-zA-Z]", "_")
     synchronized {
       if (!s.catalog.tableExists(tbl)) {
-        // The in-memory catalog forgets tables across JVMs but the
-        // warehouse directory survives — clear any stale location from
-        // an interrupted earlier run so the CTAS can't collide.
+        // Cross-JVM idempotence protocol (round 9; the old
+        // delete-then-CTAS raced when two JVMs — a bench and a verify —
+        // both saw tableExists=false in their own in-memory catalogs):
+        //   1. each writer stages the bucketed data under a UNIQUE
+        //      external location (UUID suffix) — never the final path;
+        //   2. the staging dir is atomically RENAMED into the final
+        //      location; rename is the commit point, so the final path
+        //      either doesn't exist or holds a COMPLETE table —
+        //      interrupted runs leave only orphan staging dirs;
+        //   3. the rename loser (destination already exists) deletes
+        //      its staging dir and registers over the winner's data.
+        // Registration is an EXTERNAL bucketed table over the final
+        // location, so a later JVM that finds the data in place skips
+        // the build entirely (SharedTableSpec pins skip-rebuild,
+        // bucket-pruned reads and content equality).
         val loc = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), tbl.toLowerCase)
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        build.write.bucketBy(32, bucketCol)
-          .sortBy(sortCols.head, sortCols.tail: _*)
-          .format("parquet").mode("overwrite").saveAsTable(tbl)
+        val schemaDdl =
+          if (fs.exists(loc)) s.read.parquet(loc.toString).schema.toDDL
+          else {
+            val stg = tbl + "_stg_" +
+              java.util.UUID.randomUUID.toString.replace("-", "")
+            val stgLoc = new org.apache.hadoop.fs.Path(
+              loc.getParent, stg.toLowerCase)
+            val df = build
+            df.write.bucketBy(32, bucketCol)
+              .sortBy(sortCols.head, sortCols.tail: _*)
+              .format("parquet").option("path", stgLoc.toString)
+              .saveAsTable(stg)
+            s.sql(s"DROP TABLE $stg") // metadata only — table is external
+            if (fs.exists(loc) || !fs.rename(stgLoc, loc)) {
+              // another JVM committed first; its data is complete
+              fs.delete(stgLoc, true)
+              // local-fs rename can MOVE-INTO an existing destination
+              // dir if it appeared between the check and the rename —
+              // scrub any such nested orphan from the winner's table
+              fs.delete(new org.apache.hadoop.fs.Path(
+                loc, stgLoc.getName), true)
+            }
+            df.schema.toDDL
+          }
+        s.sql(
+          s"""CREATE TABLE $tbl ($schemaDdl) USING parquet
+             |CLUSTERED BY ($bucketCol)
+             |SORTED BY (${sortCols.mkString(", ")}) INTO 32 BUCKETS
+             |LOCATION '${loc.toString}'""".stripMargin)
       }
     }
     s.table(tbl)

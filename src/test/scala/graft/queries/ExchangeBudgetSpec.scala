@@ -63,10 +63,27 @@ class ExchangeBudgetSpec extends SparkTestBase {
       "one src exchange per iteration moving the O(nodes) ranks frame " +
         "only; the edge side reads straight from its buckets and the " +
         "dst contribution aggregates reuse those exchanges"),
-    ("q_item_cosine", 7,
-      "distinct purchase-pair agg + per-customer cap window + inverted " +
-        "self-join + co-occurrence agg + two size join-backs; the " +
-        "top-30 lands via TakeOrdered, not a global sort"),
+    ("q_item_cosine", 6,
+      "post-MinKBy plan (round 9): per-customer min_k_by agg (partial-" +
+        "combined, replaces the cap window + inverted self-join) + " +
+        "co-occurrence pair agg + two supplier-size aggs + their two " +
+        "join-back exchanges; the distinct purchase-pair agg runs " +
+        "inside the localCheckpoint and the top-30 lands via " +
+        "TakeOrdered, not a global sort"),
+    ("q_link_predict", 2,
+      "post-MinKBy plan (round 9): ONE per-center aggregate computes " +
+        "the capped neighbor array AND the true degree (the old cap " +
+        "window, capped self-join and deg join are gone) + the wedge-" +
+        "pair count agg; the existing-edge anti-join broadcasts the " +
+        "pairs side at gate scale and the top-100 lands via " +
+        "TakeOrdered"),
+    ("q_ivf_ann", 6,
+      "post-RerankBroadcastCap plan (round 9): probe nprobe-cell " +
+        "window + member cell-assignment window + per-cell member-cap " +
+        "window + the cid-keyed probe-x-index join exchange + the per-" +
+        "probe top-5 window + output range sort — every exchange moves " +
+        "(id, cid, cos) rows only; both embedding joins ride the size-" +
+        "gated broadcast so the candidate frame never re-shuffles"),
     ("q_kcore", 2,
       "checkpoint-terminal peel (round 8): the gated plan is the final " +
         "degree aggregate + output sort over the round-2 checkpoint; " +
