@@ -306,10 +306,13 @@ object GraphQueries {
     // identical to the old `rn <= TriCap` window over the same
     // (hash, cust) order (MinKPairsSpec pins the equivalence), so the
     // DuckDB twins keep their window form unchanged.
-    cs.groupBy(col("supp"))
+    cs.select(col("supp"), col("cust"),
+        // pre-projected so the codegen'd Project computes the hash; the
+        // aggregate's interpreted update path then reads a bound column
+        expr("(cust * 40503 + supp * 2654435761) % 65536").as("hk"))
+      .groupBy(col("supp"))
       .agg(graft.functions.GraftFunctions.min_k_by(
-        expr("(cust * 40503 + supp * 2654435761) % 65536"),
-        col("cust"), TriCap).as("ks"))
+        col("hk"), col("cust"), TriCap).as("ks"))
       .select(explode(
         graft.functions.GraftFunctions.pair_combinations(col("ks"))).as("p"))
       .select(col("p.a").as("u"), col("p.b").as("v"))

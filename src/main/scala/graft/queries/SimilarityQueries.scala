@@ -218,10 +218,16 @@ object SimilarityQueries {
       // execution on the other join side. Kept rows are identical to
       // the old rn <= CoCap window (MinKPairsSpec pins the
       // equivalence), so the twin below is unchanged.
-      cs.groupBy(col("cust"))
+      // the spread-hash sort key is PRE-PROJECTED so the codegen'd
+      // Project computes it; a TypedImperativeAggregate evaluates its
+      // children interpreted per input row, so handing it arithmetic
+      // instead of a bound column would put 60 M interpreted
+      // multiplications on the update path
+      cs.select(col("cust"), col("supp"),
+          expr("(supp * 40503 + cust * 2654435761) % 65536").as("hk"))
+        .groupBy(col("cust"))
         .agg(graft.functions.GraftFunctions.min_k_by(
-          expr("(supp * 40503 + cust * 2654435761) % 65536"),
-          col("supp"), CoCap).as("ss"))
+          col("hk"), col("supp"), CoCap).as("ss"))
         .select(explode(
           graft.functions.GraftFunctions.pair_combinations(col("ss"))).as("p"))
         .select(col("p.a").as("sa"), col("p.b").as("sb"))
