@@ -116,15 +116,20 @@ object SimilarityQueries {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Exact cosine re-rank of candidate pairs to top-K per id_a. */
-  /** Corpus size at or below which the rerank joins broadcast the
-    * embedding table: 250 k × 64 floats ≈ 64 MB — comfortable in any
-    * executor, and it keeps the candidate frame (nprobe·cap rows PER
-    * PROBE — the big side by orders of magnitude) entirely
-    * un-shuffled: both array joins become map-side and the only
-    * exchange left is the per-probe top-k window. Past the cap the
-    * hint drops and AQE plans from runtime sizes (at 10⁸+ vectors the
-    * production shape co-partitions candidates and vectors by id). */
+  /** Exact cosine re-rank of candidate pairs to top-K per id_a.
+    *
+    * The embedding side is broadcast under a corpus-size gate (250 k ×
+    * 64 floats ≈ 64 MB, comfortable in any executor; past the cap the
+    * hint drops and AQE plans from runtime sizes — at 10⁸+ vectors the
+    * production shape co-partitions candidates and vectors by id).
+    * Round-9 same-JVM A/B at 100× (3 alternating reps): best-of is a
+    * TIE with AQE-planned shuffle joins (48.2 vs 48.6 s), but the
+    * broadcast plan is far more PREDICTABLE — 48.2/48.3/48.4 vs
+    * 48.6/74.5/89.4 — because the ~10⁸-row candidate frame is never
+    * shuffled, so the query is insensitive to heap/spill state. The
+    * fleet keeps the stable plan; fresh-JVM singles of this query
+    * swing ±40% on a noisy host and must not be compared across
+    * sessions (SCALE.md round 9). */
   private val RerankBroadcastCap = 250000L
 
   private def rerankTopK(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
