@@ -149,19 +149,35 @@ object DedupQueries {
   /** Candidate pairs (id_a < id_b) from banded signatures with the
     * oversized-bucket star fallback. */
   private[queries] def cappedBucketPairs(banded: DataFrame): DataFrame = {
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("band_key"))
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(wB))
-      .withColumn("rep", min(col("doc_id")).over(wB))
-    val small = sized.filter(col("bsz") <= BUCKET_CAP)
-      .select(col("band"), col("band_key"), col("doc_id"))
-    val smallPairs = small.toDF("band", "band_key", "id_a")
-      .join(small.toDF("band", "band_key", "id_b"), Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val starPairs = sized
-      .filter(col("bsz") > BUCKET_CAP && col("doc_id") =!= col("rep"))
+    // ONE partial-combinable aggregate per bucket (round 9, MinKBy)
+    // replaces the two bucket windows + the in-bucket self-join: it
+    // yields the bucket size, the representative (min doc_id) and —
+    // via min_k_by at CAP+1, enough members to cover every small
+    // bucket — the full membership of small buckets, from which
+    // PairCombinations emits the id_a < id_b pairs inline. The skew
+    // argument is the whole point for LSH: a HUB bucket (a massive
+    // near-dup cluster sharing one band key) used to shuffle its
+    // entire membership through the window exchange to one task;
+    // the aggregate forwards at most CAP+1 rows per bucket per map
+    // partition. Only the star path (large buckets need ALL members)
+    // still touches the banded frame, through a join whose bucket-key
+    // side AQE broadcasts when (as in every sane configuration) large
+    // buckets are rare. Kept pair set identical (MinKPairsSpec pins
+    // the kernel; doc_id is unique within a bucket), twins unchanged.
+    val agg = banded.groupBy(col("band"), col("band_key"))
+      .agg(graft.functions.GraftFunctions.min_k_by(
+          col("doc_id"), col("doc_id"), BUCKET_CAP + 1).as("ids"),
+        count(lit(1)).as("bsz"),
+        min(col("doc_id")).as("rep"))
+    val smallPairs = agg.filter(col("bsz") <= BUCKET_CAP)
+      .select(explode(graft.functions.GraftFunctions
+        .pair_combinations(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+    val starPairs = banded
+      .join(agg.filter(col("bsz") > BUCKET_CAP)
+        .select(col("band"), col("band_key"), col("rep")),
+        Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("doc_id").as("id_b"))
     smallPairs.union(starPairs).distinct()
   }
