@@ -164,6 +164,16 @@ object DedupQueries {
     // side AQE broadcasts when (as in every sane configuration) large
     // buckets are rare. Kept pair set identical (MinKPairsSpec pins
     // the kernel; doc_id is unique within a bucket), twins unchanged.
+    //
+    // Measured (AbBucketPairs, same-JVM alternating A/B, 32 threads):
+    // on the flat 100x corpus (no bucket near the cap) the forms are
+    // equivalent (window 1.4-2.0 s vs minkby 1.7-2.9 s of a ~6 s
+    // query — the aggregate's interpreted update path costs slightly
+    // more than the codegen'd windows when no skew exists); at a
+    // 2M-member hub bucket they tie; at a 40M-member hub the window
+    // form's single-task straggler dominates and MinKBy wins 57 vs
+    // 86 s (-34%), a gap that grows with hub size — which is the
+    // regime a 100 TB dup-saturated corpus actually presents.
     val agg = banded.groupBy(col("band"), col("band_key"))
       .agg(graft.functions.GraftFunctions.min_k_by(
           col("doc_id"), col("doc_id"), BUCKET_CAP + 1).as("ids"),
