@@ -25,6 +25,54 @@ object EventQueries {
   private def fmt(c: org.apache.spark.sql.Column) =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Segment-form linear interpolation over an observed frame
+    * (user_id, bucket: 4h-aligned timestamp, sv: non-null double) —
+    * the q_interpolate core, factored out so InterpolateSpec can pin
+    * it against the dense-grid reference on randomized series. Output:
+    * (user_id, bucket, was_gap, sv_interp), unformatted and unsorted.
+    * Precondition: sv non-null (a null-sv row would be a gap in the
+    * dense-grid form but an observation here). */
+  private[queries] def interpolateSegments(
+      agg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("bucket"))
+    val seg = agg
+      .withColumn("nb", lead(col("bucket"), 1).over(wU))
+      .withColumn("nv", lead(col("sv"), 1).over(wU))
+    // SINGLE-branch emission: each observation row explodes into
+    // [itself] ++ [its segment's interior gap buckets]. A two-branch
+    // union (observed ∪ gaps) reads nicer but plans a SECOND full
+    // events scan+aggregate — the union branches don't canonicalize to
+    // a reused exchange, and at 100 TB the duplicate scan is the cost
+    // that matters. The per-gap struct lambda is interpreted (HOFs
+    // don't codegen), but it runs once per OUTPUT gap row on the small
+    // observed frame — the same rows the union form generated anyway.
+    // k/span arrive as exact integer-valued doubles (the bucket grid is
+    // 14400 s-aligned, and an IEEE division whose true quotient is an
+    // integer is exact), so the float formula stays bit-identical to
+    // the twin's CAST(int AS DOUBLE) form.
+    val stepS = 14400.0
+    val gapBuckets = expr(
+      "CASE WHEN nb IS NOT NULL AND nb > bucket + INTERVAL 4 HOURS " +
+        "THEN sequence(bucket + INTERVAL 4 HOURS, nb - INTERVAL 4 HOURS, " +
+        "INTERVAL 4 HOURS) ELSE array() END")
+    val obsStruct = struct(col("bucket"),
+      lit(false).as("was_gap"), col("sv").as("sv_interp"))
+    val gapStructs = transform(gapBuckets, b => {
+      val k = (unix_timestamp(b) - unix_timestamp(col("bucket")))
+        .cast(DoubleType) / lit(stepS)
+      val span = (unix_timestamp(col("nb")) - unix_timestamp(col("bucket")))
+        .cast(DoubleType) / lit(stepS)
+      struct(b.as("bucket"), lit(true).as("was_gap"),
+        (col("sv") + (col("nv") - col("sv")) * k / span).as("sv_interp"))
+    })
+    seg
+      .select(col("user_id"),
+        explode(concat(array(obsStruct), gapStructs)).as("r"))
+      .select(col("user_id"), col("r.bucket").as("bucket"),
+        col("r.was_gap").as("was_gap"), col("r.sv_interp").as("sv_interp"))
+  }
+
   val defs: Map[String, Q] = Map(
     // Sequential-pattern mining: the top-10 3-step event-type paths
     // inside 30-minute-gap sessions. Sessionization is the lag/running-
@@ -307,31 +355,7 @@ object EventQueries {
       val agg = e.groupBy(col("user_id"), window(col("ts"), "4 hours").as("w"))
         .agg(dsum(col("value")).as("sv"))
         .select(col("user_id"), col("w.start").as("bucket"), col("sv"))
-      val wU = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("bucket"))
-      val seg = agg
-        .withColumn("nb", lead(col("bucket"), 1).over(wU))
-        .withColumn("nv", lead(col("sv"), 1).over(wU))
-      val obsOut = seg.select(col("user_id"), col("bucket"),
-        lit(false).as("was_gap"), col("sv").as("sv_interp"))
-      val gapOut = seg
-        .filter(col("nb").isNotNull &&
-          col("nb") > col("bucket") + expr("INTERVAL 4 HOURS"))
-        .select(col("user_id"), col("bucket").as("b0"), col("sv").as("v0"),
-          col("nb").as("b1"), col("nv").as("v1"))
-        .select(col("user_id"), col("b0"), col("v0"), col("b1"), col("v1"),
-          explode(expr(
-            "sequence(b0 + INTERVAL 4 HOURS, b1 - INTERVAL 4 HOURS, INTERVAL 4 HOURS)"))
-            .as("bucket"))
-        .withColumn("k",
-          expr("(unix_timestamp(bucket) - unix_timestamp(b0)) div 14400"))
-        .withColumn("span",
-          expr("(unix_timestamp(b1) - unix_timestamp(b0)) div 14400"))
-        .select(col("user_id"), col("bucket"), lit(true).as("was_gap"),
-          (col("v0") + (col("v1") - col("v0"))
-            * col("k").cast(DoubleType) / col("span").cast(DoubleType))
-            .as("sv_interp"))
-      obsOut.unionByName(gapOut)
+      interpolateSegments(agg)
         .select(col("user_id"), fmt(col("bucket")).as("bucket"),
           col("was_gap"), col("sv_interp"))
         .orderBy(col("user_id"), col("bucket"))

@@ -113,6 +113,12 @@ class ExchangeBudgetSpec extends SparkTestBase {
         "shingle stream) + banded bucket agg + candidate-pair distinct " +
         "+ shingle join-back + output sort; candidates travel as id " +
         "pairs, texts never shuffle"),
+    ("q_interpolate", 3,
+      "segment form: ONE events bucket agg + the (user) lead window + " +
+        "the output range sort; observation and gap rows explode from " +
+        "one struct array per segment (a union shape planned a second " +
+        "full events scan), and the dense grid exists only as " +
+        "generated rows, never as a joined frame"),
     ("q_prefix_filter_join", 20,
       "the AllPairs pipeline end to end: digest collapse + shingle df " +
         "agg + frequency-order prefix window + posting self-join + " +
