@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Tables
+
+/** Same-JVM alternating A/B for q_cosine_pairs (round 9): the
+  * broadcast-join + single-undirected-distinct form against the
+  * pre-round-9 shape (directed distinct inside lshCandidates, a second
+  * undirected distinct, and UNHINTED embedding joins that shuffle the
+  * ~n·TABLES·CAND_CAP candidate frame twice — the second time with the
+  * 64-float emb_a array already attached). Same instrument and same
+  * honesty protocol as [[AbBucketPairs]].
+  */
+object AbCosinePairs {
+
+  /** The pre-round-9 q_cosine_pairs, kept verbatim. */
+  private def oldForm(e: DataFrame): DataFrame = {
+    val pairs = SimilarityQueries.lshCandidatesForAb(e)
+      .distinct()
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("label").as("label_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("label").as("label_b")), Seq("id_b"))
+      .withColumn("cos",
+        round(graft.functions.GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= 0.85)
+      .select(col("id_a"), col("id_b"), col("cos"),
+        (col("label_a") === col("label_b")).cast(IntegerType).as("same_label"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/scale100x")
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val forms = Seq(
+      "new" -> (() => SimilarityQueries.defs("q_cosine_pairs")(spark, dir)),
+      "old" -> (() => oldForm(Tables.embeddings(spark, dir))))
+
+    val counts = forms.map { case (n, f) => n -> f().count() }
+    println(s"[ab] row counts: ${counts.map { case (n, c) => s"$n=$c" }.mkString(" ")}")
+    require(counts.map(_._2).distinct.size == 1, "forms disagree on row count")
+
+    for (r <- 1 to reps; (name, f) <- forms) {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[ab] rep=$r form=$name%-4s secs=$secs%.1f")
+    }
+    spark.stop()
+  }
+}

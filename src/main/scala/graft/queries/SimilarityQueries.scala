@@ -102,7 +102,12 @@ object SimilarityQueries {
     * only the CAND_CAP smallest-id members of each bucket serve on the
     * index side. Shuffle carries (bucket, id) pairs only — never the
     * embedding arrays. */
-  private def lshCandidates(e: DataFrame): DataFrame = {
+  /** Directed candidate pairs WITH possible cross-table duplicates (a
+    * pair repeats once per LSH table that buckets it together, ≤
+    * LSH_TABLES times) — for consumers whose next step absorbs
+    * duplicates anyway (an aggregate, or a coarser distinct), saving
+    * the full-frame distinct exchange that [[lshCandidates]] pays. */
+  private def lshCandidatesRaw(e: DataFrame): DataFrame = {
     val banded = lshBanded(e)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bk")).orderBy(col("vec_id"))
@@ -113,8 +118,16 @@ object SimilarityQueries {
     banded.select(col("bk"), col("vec_id").as("id_a"))
       .join(index, Seq("bk"))
       .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+      .select(col("id_a"), col("id_b"))
   }
+
+  private def lshCandidates(e: DataFrame): DataFrame =
+    lshCandidatesRaw(e).distinct()
+
+  /** [[AbCosinePairs]]-only access to the raw candidate stream (the A/B
+    * reconstructs the pre-round-9 plan outside this object). */
+  private[queries] def lshCandidatesForAb(e: DataFrame): DataFrame =
+    lshCandidatesRaw(e)
 
   /** Exact cosine re-rank of candidate pairs to top-K per id_a.
     *
@@ -351,17 +364,28 @@ object SimilarityQueries {
     // Pairwise cosine above a threshold through the capped LSH index
     // (candidates only where some table buckets them together; exact
     // cosine verifies) — the scale shape for similarity pair search.
+    // The embedding sides ride the rerankTopK broadcast gate: the
+    // candidate frame is ~n·TABLES·CAND_CAP rows (10⁸ at the 100×
+    // point) and was being SHUFFLED twice — by id_a, then by id_b with
+    // the 64-float emb_a array already attached — while the embedding
+    // table is the small side. Found by ScanAudit + the 100× probe
+    // (this was the heaviest non-deliberate row in the fleet).
     "q_cosine_pairs" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val pairs = lshCandidates(e)
+      val bc: DataFrame => DataFrame =
+        if (embCount(s, d) <= RerankBroadcastCap) broadcast else identity
+      // Raw (dup-carrying) candidates: the single UNDIRECTED distinct
+      // below subsumes the directed one — one distinct exchange over
+      // the 10⁸-row frame instead of two.
+      val pairs = lshCandidatesRaw(e)
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
         .distinct()
       pairs
-        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-          col("label").as("label_a")), Seq("id_a"))
-        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-          col("label").as("label_b")), Seq("id_b"))
+        .join(bc(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          col("label").as("label_a"))), Seq("id_a"))
+        .join(bc(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("label").as("label_b"))), Seq("id_b"))
         .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
         .filter(col("cos") >= 0.85)
         .select(col("id_a"), col("id_b"), col("cos"),
@@ -388,10 +412,17 @@ object SimilarityQueries {
     // q_dedup_exact's min-id survivorship.
     "q_embed_dedup" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val dups = lshCandidates(e)
+      // Same broadcast gate as q_cosine_pairs: never shuffle the
+      // candidate frame to meet the (small) embedding table.
+      val bc: DataFrame => DataFrame =
+        if (embCount(s, d) <= RerankBroadcastCap) broadcast else identity
+      // Raw candidates: the min(id_b) aggregate absorbs cross-table
+      // duplicates, so the directed distinct exchange is pure waste
+      // here (duplicates only cost re-verifying a cosine map-side).
+      val dups = lshCandidatesRaw(e)
         .filter(col("id_b") < col("id_a"))
-        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
-        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+        .join(bc(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))), Seq("id_a"))
+        .join(bc(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))), Seq("id_b"))
         .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
         .filter(col("cos") >= 0.85)
         .groupBy(col("id_a"))

@@ -113,6 +113,11 @@ class ExchangeBudgetSpec extends SparkTestBase {
         "shingle stream) + banded bucket agg + candidate-pair distinct " +
         "+ shingle join-back + output sort; candidates travel as id " +
         "pairs, texts never shuffle"),
+    ("q_cosine_pairs", 4,
+      "LSH probe/index meet on their (bucket) exchanges + ONE " +
+        "undirected candidate distinct + the output sort; the " +
+        "embedding sides ride the size-gated broadcast, so the " +
+        "~n·TABLES·CAP candidate frame is never shuffled to meet them"),
     ("q_interpolate", 3,
       "segment form: ONE events bucket agg + the (user) lead window + " +
         "the output range sort; observation and gap rows explode from " +
