@@ -375,11 +375,24 @@ object JoinQueries {
         .agg(sum(col("n_lots_hit")).as("n_matches"),
           sum(col("du")).as("matched_units"),
           sum(when(col("n_lots_hit") > 1, 1L).otherwise(0L)).as("n_split_demands"))
-      def sideAgg(side: DataFrame, pfx: String, nName: String, uName: String) =
-        side.groupBy(col("pk")).agg(count(lit(1)).as(nName),
-          max(col(s"${pfx}_hi")).as(uName))
-      sideAgg(sup, "s", "n_lots", "supply_units")
-        .join(sideAgg(dem, "d", "n_demands", "demand_units"), Seq("pk"), "full")
+      // Per-part side stats WITHOUT the windowed frames: n_lots/n_demands
+      // are plain per-side counts and supply/demand_units = max of the
+      // cumulative sum = the plain per-side SUM — so one conditional
+      // aggregate over one scan replaces two re-plans of the windowed
+      // sides (each a pk exchange + sort; branch subtrees don't get
+      // exchange reuse) plus their full-outer join. The st filter keeps
+      // the kept-part set identical to the old two-sided outer join on
+      // any status domain. ScanAudit round-9 finding: 4 lineitem scans
+      // (2 of them windowed) → 3 (1 windowed per side, 1 plain agg).
+      val stats = li.filter(col("st").isin("F", "O"))
+        .groupBy(col("pk")).agg(
+          sum(when(col("st") === "F", 1L).otherwise(0L)).as("n_lots"),
+          sum(when(col("st") === "O", 1L).otherwise(0L)).as("n_demands"),
+          sum(when(col("st") === "F", col("units")).otherwise(0L))
+            .as("supply_units"),
+          sum(when(col("st") === "O", col("units")).otherwise(0L))
+            .as("demand_units"))
+      stats
         .join(matchAgg, Seq("pk"), "left")
         .select(col("pk").as("partkey"),
           coalesce(col("n_lots"), lit(0L)).as("n_lots"),
