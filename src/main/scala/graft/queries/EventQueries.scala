@@ -517,32 +517,59 @@ object EventQueries {
     // DECIMAL(38,0) (HUGEINT in the twin); only the final reported peak
     // casts back to BIGINT — that cast holds to ~3e9 events/type at
     // $100 avg (peak ≤ n·T), beyond which report in a coarser unit.
-    // One (type)-keyed window pass for the running sum, one more for
-    // the argmax — same shuffle partitioning; group totals ride in via
-    // a broadcast O(types) join.
+    // Scale shape (round 9): event_type has ~5 values, so a plain
+    // (type)-keyed window runs the whole corpus through 5 tasks — 29.7 s
+    // solo at 100× with 27 of 32 cores idle, and a straggler by
+    // construction at any real scale. The running sum and position now
+    // come from the GROUPED two-pass cumsum (the q_group_p90 /
+    // rangeCumsum shape): windows partition by (type, DAY bucket) — the
+    // widest sorted partition is one type-day — and per-bucket
+    // (count, sum) offsets explode per type and broadcast back (rows
+    // sharing a ts share a bucket, so within-bucket (ts, event_id)
+    // order + bucket order IS the global order). The argmax is a
+    // max_by aggregate over lexicographic (|S|, −rn) — the second
+    // whole-type window is gone entirely. Group totals ride in via a
+    // broadcast O(types) join, decimal routing unchanged.
     "q_cusum_changepoint" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, d).select(col("event_type"), col("event_id"),
         col("ts"), round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("bkt", expr("unix_timestamp(ts) DIV 86400"))
       val tot = e.groupBy(col("event_type"))
         .agg(sum(col("cents")).as("t_cents"), count(lit(1)).as("n"))
-      val wOrd = Window.partitionBy(col("event_type"))
+      val wIn = Window.partitionBy(col("event_type"), col("bkt"))
         .orderBy(col("ts"), col("event_id"))
-      val scored = e.join(broadcast(tot), Seq("event_type"))
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("running", sum(col("cents")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      val within = e
+        .withColumn("rn_in", row_number().over(wIn).cast(LongType))
+        .withColumn("run_in", sum(col("cents")).over(
+          wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      val btotals = e.groupBy(col("event_type"), col("bkt"))
+        .agg(count(lit(1)).as("bn"), sum(col("cents")).as("bs"))
+      val mx = e.groupBy(col("event_type")).agg(max(col("bkt")).as("maxbkt"))
+      val offs = btotals.join(broadcast(mx), "event_type")
+        .filter(col("bkt") < col("maxbkt"))
+        .select(col("event_type"),
+          explode(sequence(col("bkt") + 1, col("maxbkt"))).as("bkt"),
+          col("bn"), col("bs"))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(sum(col("bn")).as("rn_off"), sum(col("bs")).as("run_off"))
+      val scored = within
+        .join(broadcast(offs), Seq("event_type", "bkt"), "left")
+        .withColumn("rn", col("rn_in") + coalesce(col("rn_off"), lit(0L)))
+        .withColumn("running", col("run_in") + coalesce(col("run_off"), lit(0L)))
+        .join(broadcast(tot), Seq("event_type"))
         .withColumn("s_scaled", expr(
           "CAST(n AS DECIMAL(38,0)) * running - CAST(rn AS DECIMAL(38,0)) * t_cents"))
-      val wBest = Window.partitionBy(col("event_type"))
-        .orderBy(abs(col("s_scaled")).desc, col("rn"))
       scored
-        .withColumn("rb", row_number().over(wBest))
-        .filter(col("rb") === 1)
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max_by(
+            struct(col("rn"), abs(col("s_scaled")).as("abs_s"), col("event_id")),
+            struct(abs(col("s_scaled")).as("a"), (-col("rn")).as("nr"))).as("best"))
         .select(col("event_type"), col("n"),
-          col("rn").as("cusum_pos"),
-          abs(col("s_scaled")).cast("long").as("cusum_peak_scaled"),
-          col("event_id").as("change_event_id"))
+          col("best.rn").cast(IntegerType).as("cusum_pos"),
+          col("best.abs_s").cast("long").as("cusum_peak_scaled"),
+          col("best.event_id").as("change_event_id"))
         .orderBy(col("event_type"))
     }),
 
