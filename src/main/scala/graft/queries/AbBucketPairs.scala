@@ -60,36 +60,20 @@ object AbBucketPairs {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/scale100x")
     val reps = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = AbHarness.session()
 
     val banded = DedupQueries
       .bandedSignaturesOf(Tables.documentsSpread(spark, dir))
       .localCheckpoint()
 
-    val forms = Seq(
-      "minkby" -> ((b: DataFrame) => DedupQueries.cappedBucketPairs(b)),
-      "window" -> ((b: DataFrame) => windowForm(b)))
+    def forms(b: DataFrame): Seq[(String, () => DataFrame)] = Seq(
+      // Sanity inside the harness: identical kept pair set sizes (the
+      // set itself is pinned equal by MinKPairsSpec; the count agreeing
+      // checks the wiring).
+      "minkby" -> (() => DedupQueries.cappedBucketPairs(b)),
+      "window" -> (() => windowForm(b)))
 
-    // Sanity: identical kept pair set sizes (the set itself is pinned
-    // equal by MinKPairsSpec; the count agreeing here checks the wiring).
-    val counts = forms.map { case (n, f) => n -> f(banded).count() }
-    println(s"[ab] pair counts: ${counts.map { case (n, c) => s"$n=$c" }.mkString(" ")}")
-    require(counts.map(_._2).distinct.size == 1, "forms disagree on pair count")
-
-    for (r <- 1 to reps; (name, f) <- forms) {
-      val t0 = System.nanoTime()
-      f(banded).write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[ab] rep=$r form=$name%-7s secs=$secs%.1f")
-    }
+    AbHarness.run(forms(banded), reps)
 
     // The hub-skew case: one 2M-member bucket over a 6M-row uniform
     // background. The window form computes bsz/rep with FULL-bucket
@@ -99,15 +83,7 @@ object AbBucketPairs {
     // contribution at (CAP+1) rows per map partition.
     val hubN = if (args.length > 2) args(2).toLong else 2000000L
     val skew = skewedBanded(spark, hub = hubN, bg = 6000000L).localCheckpoint()
-    val skewCounts = forms.map { case (n, f) => n -> f(skew).count() }
-    println(s"[ab] skew pair counts: ${skewCounts.map { case (n, c) => s"$n=$c" }.mkString(" ")}")
-    require(skewCounts.map(_._2).distinct.size == 1, "forms disagree on skew pair count")
-    for (r <- 1 to reps; (name, f) <- forms) {
-      val t0 = System.nanoTime()
-      f(skew).write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[ab] skew rep=$r form=$name%-7s secs=$secs%.1f")
-    }
+    AbHarness.run(forms(skew), reps, tag = "skew")
     spark.stop()
   }
 }

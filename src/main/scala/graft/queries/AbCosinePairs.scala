@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -39,30 +39,10 @@ object AbCosinePairs {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/scale100x")
     val reps = if (args.length > 1) args(1).toInt else 3
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    val forms = Seq(
+    val spark = AbHarness.session()
+    AbHarness.run(Seq(
       "new" -> (() => SimilarityQueries.defs("q_cosine_pairs")(spark, dir)),
-      "old" -> (() => oldForm(Tables.embeddings(spark, dir))))
-
-    val counts = forms.map { case (n, f) => n -> f().count() }
-    println(s"[ab] row counts: ${counts.map { case (n, c) => s"$n=$c" }.mkString(" ")}")
-    require(counts.map(_._2).distinct.size == 1, "forms disagree on row count")
-
-    for (r <- 1 to reps; (name, f) <- forms) {
-      val t0 = System.nanoTime()
-      f().write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[ab] rep=$r form=$name%-4s secs=$secs%.1f")
-    }
+      "old" -> (() => oldForm(Tables.embeddings(spark, dir)))), reps)
     spark.stop()
   }
 }

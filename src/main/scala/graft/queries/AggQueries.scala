@@ -36,11 +36,17 @@ object AggQueries {
     // widest window partition is one (group, $2000-bucket) slice.
     "q_group_p90" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // localCheckpoint: the (group, cent) frame is value-domain
+      // bounded but referenced 4× below (within, totals, mx, tot) —
+      // un-materialized, that's 4 full lineitem scans + aggregations
+      // (ScanAudit round 10: x4 → x1; the family A/B representative,
+      // measured at 100× in SCALE.md round 10).
       val perKey = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("grp"),
           round(col("l_extendedprice") * 100).cast(LongType).as("cents"))
         .groupBy(col("grp"), col("cents")).agg(count(lit(1)).as("w"))
         .withColumn("bkt", expr("cents DIV 200000"))
+        .localCheckpoint()
       val wIn = Window.partitionBy(col("grp"), col("bkt"))
         .orderBy(col("cents"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -216,11 +222,18 @@ object AggQueries {
     // arrive by broadcast, and the answer is the smallest cent whose
     // cumulative weight reaches ⌈W/2⌉ (1-row broadcast of the total).
     "q_weighted_median" -> ((s, d) => {
+      // localCheckpoint: the per-cent frame is VALUE-DOMAIN bounded
+      // (~10^7 possible cents) but is referenced 3× inside rangeCumsum
+      // plus once for the total — un-materialized, each reference
+      // re-runs the full fact scan + aggregate (ScanAudit round 10:
+      // lineitem x4 → x1; A/B'd at 100× on the q_group_p90
+      // representative, see SCALE.md round 10).
       val perCent = Tables.lineitem(s, d)
         .select(round(col("l_extendedprice") * 100).cast(LongType)
             .as("cents"),
           round(col("l_quantity")).cast(LongType).as("qty"))
         .groupBy(col("cents")).agg(sum(col("qty")).as("w"))
+        .localCheckpoint()
       val cum = rangeCumsum(perCent, "cents", Seq("w"), 200000L)
       val tot = perCent.agg(sum(col("w")).as("total_w"))
         .select(col("total_w"), expr("(total_w + 1) DIV 2").as("half"))
@@ -738,9 +751,13 @@ object AggQueries {
     // — no single-task window anywhere, same re-shape as the drift
     // family (q_ks_test/q_rank_sum/q_gini_split).
     "q_equidepth_hist" -> ((s, d) => {
+      // localCheckpoint: bounded dollar domain, 4 references (3 in
+      // rangeCumsum + the total) — same treatment and A/B as
+      // q_weighted_median (ScanAudit round 10: orders x4 → x1).
       val dom = Tables.orders(s, d)
         .groupBy(floor(col("o_totalprice")).cast(LongType).as("price_d"))
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val tot = dom.agg(sum(col("cnt")).as("total"))
       rangeCumsum(dom, "price_d", Seq("cnt"), 1L << 14)
         .crossJoin(broadcast(tot))
@@ -911,11 +928,16 @@ object AggQueries {
       val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .select(col("v"),
           when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("a"))
+      // localCheckpoint + totals-from-the-rollup: perV is bounded by
+      // the distinct-cent domain and feeds rangeCumsum 3× plus the
+      // totals (n1 = Σca, n2 = Σcb exactly) — one fact scan total
+      // (ScanAudit round 10: orders x4 → x1, same A/B as the family).
       val perV = j.groupBy(col("v")).agg(
         sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+        .localCheckpoint()
       val cum = rangeCumsum(perV, "v", Seq("ca", "cb"), 1L << 20)
         .select(col("v"), col("cum_ca").as("cua"), col("cum_cb").as("cub"))
-      val tot = j.agg(sum(col("a")).as("n1"), sum(lit(1L) - col("a")).as("n2"))
+      val tot = perV.agg(sum(col("ca")).as("n1"), sum(col("cb")).as("n2"))
       cum.crossJoin(broadcast(tot))
         .groupBy(col("n1"), col("n2"))
         .agg(max(abs(col("cua") * col("n2") - col("cub") * col("n1")))
@@ -949,13 +971,16 @@ object AggQueries {
       val j = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .select(col("v"),
           when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("a"))
+      // Same one-scan treatment as q_ks_test: checkpoint the bounded
+      // per-cent frame, totals from its rollup (n1 = Σca, n2 = Σ(cnt−ca)).
       val perV = j.groupBy(col("v")).agg(
         sum(col("a")).as("ca"), count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val ranked = rangeCumsum(perV, "v", Seq("cnt"), 1L << 20)
         .withColumn("dr",
           lit(2L) * (col("cum_cnt") - col("cnt")) + col("cnt") + 1L)
-      val tot = j.agg(sum(col("a")).as("n1"),
-        sum(lit(1L) - col("a")).as("n2"))
+      val tot = perV.agg(sum(col("ca")).as("n1"),
+        sum(col("cnt") - col("ca")).as("n2"))
       ranked.crossJoin(broadcast(tot))
         .groupBy(col("n1"), col("n2"))
         .agg(sum(col("ca") * col("dr")).as("r2_sum_a"))
@@ -990,11 +1015,14 @@ object AggQueries {
         round(col("o_totalprice") * 100).cast(LongType).as("v"),
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
           .otherwise(0L).as("pos"))
+      // Same one-scan treatment as q_ks_test: checkpoint the bounded
+      // per-cent frame, totals from its rollup (n = Σcnt, ptot = Σp).
       val perV = o.groupBy(col("v"))
         .agg(sum(col("pos")).as("p"), count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val cum = rangeCumsum(perV, "v", Seq("p", "cnt"), 1L << 20)
         .select(col("v"), col("cum_p").as("pl"), col("cum_cnt").as("nl"))
-      val tot = o.agg(count(lit(1)).as("n"), sum(col("pos")).as("ptot"))
+      val tot = perV.agg(sum(col("cnt")).as("n"), sum(col("p")).as("ptot"))
       def nGiniMicro(n: String, p: String): String =
         s"CAST((CAST($n AS DECIMAL(38,0)) * $n - CAST($p AS DECIMAL(38,0)) * $p" +
           s" - CAST($n - $p AS DECIMAL(38,0)) * ($n - $p)) * 1000000 DIV $n AS BIGINT)"

@@ -411,12 +411,18 @@ object EventQueries {
     "q_markov_transitions" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // localCheckpoint: trans is O(event-type²) rows, but its lineage
+      // is the full per-user lead() window over the corpus — the marg
+      // rollup and the final join each re-ran that window pipeline
+      // (ScanAudit round 10: events x2 → x1; the window-pipeline
+      // re-derivation class, A/B'd on the q_group_p90 representative).
       val trans = Tables.events(s, d)
         .select(col("user_id"), col("event_type").as("from_type"),
           lead(col("event_type"), 1).over(w).as("to_type"))
         .filter(col("to_type").isNotNull)
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n_trans"))
+        .localCheckpoint()
       val marg = trans.groupBy(col("from_type"))
         .agg(sum(col("n_trans")).as("n_from"))
       trans.join(broadcast(marg), Seq("from_type"))
@@ -535,6 +541,15 @@ object EventQueries {
       val e = Tables.events(s, d).select(col("event_type"), col("event_id"),
         col("ts"), round(col("value") * 100).cast("long").as("cents"))
         .withColumn("bkt", expr("unix_timestamp(ts) DIV 86400"))
+      // ScanAudit round-10 disposition: events x4 is the measured
+      // optimum. The checkpoint-btotals-and-roll-up form (tot/mx as
+      // rollups of a localCheckpoint'd per-bucket frame, x4 → x2) was
+      // A/B'd at 100× (AbScanFix cusum, 3 alternating reps) and LOST
+      // best-of 5.3 vs 4.7 s — the eager checkpoint job costs more
+      // than the two page-cached aggregate re-scans it removes (the
+      // q_mad_outliers lesson again; unlike q_group_p90's 4 re-runs of
+      // a full groupBy+window pipeline, these duplicates are plain
+      // map-side-combined aggs).
       val tot = e.groupBy(col("event_type"))
         .agg(sum(col("cents")).as("t_cents"), count(lit(1)).as("n"))
       val wIn = Window.partitionBy(col("event_type"), col("bkt"))
@@ -567,7 +582,10 @@ object EventQueries {
             struct(col("rn"), abs(col("s_scaled")).as("abs_s"), col("event_id")),
             struct(abs(col("s_scaled")).as("a"), (-col("rn")).as("nr"))).as("best"))
         .select(col("event_type"), col("n"),
-          col("best.rn").cast(IntegerType).as("cusum_pos"),
+          // rn stays BIGINT end-to-end (matches the twin's row_number):
+          // an IntegerType cast would silently wrap negative past 2^31
+          // rows per type, inside the ~3e9 bound documented above.
+          col("best.rn").as("cusum_pos"),
           col("best.abs_s").cast("long").as("cusum_peak_scaled"),
           col("best.event_id").as("change_event_id"))
         .orderBy(col("event_type"))
@@ -600,16 +618,22 @@ object EventQueries {
           coalesce(col("k_view"), lit(0L)).as("kv"),
           coalesce(col("k_click"), lit(0L)).as("kc"))
         .withColumn("n", col("kv") + col("kc"))
-      val credits = p.filter(col("n") > 0)
-        .select(explode(array(
+      // ONE branch, not a union: the n>0 / n=0 split used to re-derive
+      // p — and with it the full per-user window pass over ALL events —
+      // once per union side (ScanAudit round 10: events x2 → x1). A
+      // conditional explode emits the same rows from a single pass:
+      // two split-credit structs when touches exist, one 'direct'
+      // struct otherwise.
+      val credits = p
+        .select(explode(when(col("n") > 0, array(
           struct(lit("view").as("touch_type"),
             expr("cents * 10000 * kv DIV n").as("credit_micro")),
           struct(lit("click").as("touch_type"),
-            expr("cents * 10000 * kc DIV n").as("credit_micro")))).as("c"))
+            expr("cents * 10000 * kc DIV n").as("credit_micro"))))
+          .otherwise(array(
+            struct(lit("direct").as("touch_type"),
+              (col("cents") * 10000L).as("credit_micro"))))).as("c"))
         .select(col("c.touch_type"), col("c.credit_micro"))
-        .unionByName(p.filter(col("n") === 0)
-          .select(lit("direct").as("touch_type"),
-            (col("cents") * 10000L).as("credit_micro")))
       credits.groupBy(col("touch_type"))
         .agg(count(lit(1)).as("n_credits"),
           sum(col("credit_micro")).as("credited_micro"))

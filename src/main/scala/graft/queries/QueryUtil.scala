@@ -150,15 +150,7 @@ object QueryUtil {
               .format("parquet").option("path", stgLoc.toString)
               .saveAsTable(stg)
             s.sql(s"DROP TABLE $stg") // metadata only — table is external
-            if (fs.exists(loc) || !fs.rename(stgLoc, loc)) {
-              // another JVM committed first; its data is complete
-              fs.delete(stgLoc, true)
-              // local-fs rename can MOVE-INTO an existing destination
-              // dir if it appeared between the check and the rename —
-              // scrub any such nested orphan from the winner's table
-              fs.delete(new org.apache.hadoop.fs.Path(
-                loc, stgLoc.getName), true)
-            }
+            commitStaged(fs, stgLoc, loc)
             df.schema.toDDL
           }
         s.sql(
@@ -169,6 +161,32 @@ object QueryUtil {
       }
     }
     s.table(tbl)
+  }
+
+  /** The commit point of the sharedTable protocol: atomically rename
+    * the staged dir into the final location, or — having lost the race
+    * to another JVM — clean up the loser's data. Package-private so
+    * SharedTableSpec can drive the lost-race interleavings directly.
+    *
+    * The subtle case (round-10 advice): local-FS rename onto a
+    * destination that APPEARED between the exists check and the rename
+    * call MOVES the source INTO the destination and reports SUCCESS —
+    * the lost race is then only visible as our staged dir nested inside
+    * the winner's table, where a recursive parquet listing would double
+    * every row for all later readers. So the nested-orphan scrub runs
+    * UNCONDITIONALLY after every commit attempt, not just on the
+    * exists/rename-failure branch (where it was dead code).
+    */
+  private[queries] def commitStaged(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stgLoc: org.apache.hadoop.fs.Path,
+      loc: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(loc) || !fs.rename(stgLoc, loc)) {
+      // another JVM committed first; its data is complete
+      fs.delete(stgLoc, true)
+    }
+    val nested = new org.apache.hadoop.fs.Path(loc, stgLoc.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
   }
 
   /** SQL-side twin fragments (kept next to the Scala forms above). */

@@ -58,7 +58,7 @@ object SimilarityQueries {
     * bit-identical to DuckDB's double list_cosine_similarity on the
     * fixed-dim non-null embeddings domain (CustomFunctionsSpec), but a
     * single fused loop. */
-  private def cosine(a: Column, b: Column): Column =
+  private[queries] def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine_sim(a, b)
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5) for
@@ -145,7 +145,7 @@ object SimilarityQueries {
     * sessions (SCALE.md round 9). */
   private val RerankBroadcastCap = 250000L
 
-  private def rerankTopK(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+  private[queries] def rerankTopK(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val bc: DataFrame => DataFrame =
       if (embCount(s, d) <= RerankBroadcastCap) broadcast else identity
@@ -161,6 +161,49 @@ object SimilarityQueries {
       .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("rn"))
   }
+
+  /** [[rerankTopK]] over a DUP-CARRYING candidate stream — built for
+    * round-10 verdict item 4 and then MEASUREMENT REJECTED for
+    * q_lsh_ann (kept only as [[AbLshAnn]]'s B form). The idea:
+    * `dense_rank` in place of `row_number` makes duplicate pairs share
+    * a rank — the ordering key (cos DESC, id_b) is unique per DISTINCT
+    * pair — and a distinct over the already-rank-filtered output
+    * absorbs them, so the kept set is IDENTICAL to
+    * `rerankTopK(s, d, cand.distinct())` while the full-frame
+    * candidate-distinct exchange disappears (dense_rank is rank-like,
+    * so InferWindowGroupLimit partial-limits the rank window's
+    * exchange map-side). The measurement (AbLshAnn, 100× dup-saturated
+    * replica, 3 alternating same-JVM reps): raw 129.5/47.5/62.5 vs
+    * distinct 86.3/39.6/37.3 — the distinct form wins EVERY rep and
+    * best-of by ~21%, because on a dup-saturated corpus (duplication ≈
+    * LSH_TABLES) the raw form pushes 4× rows through the 64-dim cosine
+    * and the rank sort, and that CPU exceeds the one exchange the
+    * distinct pays. Hash-equivalence of the two forms was pinned at
+    * sf0.01 + 10× before the A/B. */
+  private def rerankTopKRaw(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val bc: DataFrame => DataFrame =
+      if (embCount(s, d) <= RerankBroadcastCap) broadcast else identity
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    cand
+      .join(bc(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))), Seq("id_a"))
+      .join(bc(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))), Seq("id_b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("rn", dense_rank().over(w))
+      .filter(col("rn") <= K)
+      .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
+      .distinct()
+      .orderBy(col("id_a"), col("rn"))
+  }
+
+  /** [[AbLshAnn]]-only access to both rerank forms over the same
+    * candidate recipe. */
+  private[queries] def lshAnnFormsForAb(s: SparkSession, d: String)
+      : Seq[(String, () => DataFrame)] = Seq(
+    "raw" -> (() => rerankTopKRaw(s, d, lshCandidatesRaw(Tables.embeddings(s, d)))),
+    "distinct" -> (() => rerankTopK(s, d, lshCandidates(Tables.embeddings(s, d)))))
 
   /** Test-only FULL brute-force top-k (unbounded O(n²) all-pairs): the
     * exact recall reference for the ANN queries (QueryLibrarySpec). Not
@@ -554,9 +597,15 @@ object SimilarityQueries {
     // √n so expected cluster size stays constant (same argument as
     // IVF), and τ comes from a held-out calibration, not from here.
     "q_semdedup" -> ((s, d) => {
-      val scored = seededScored(s, d, 16)
-      val assign = scored.filter(col("crn") === 1)
+      // The assignment table (vec_id → nearest cell) is consumed by
+      // THREE branches (cap window, pair index side, final join-back);
+      // un-materialized, each re-derives seededScored from its own
+      // embeddings scans and re-scores n×16 cosines (ScanAudit
+      // round 10: 8 scans → 2, scoring once — the q_ivf_ann fix, A/B'd
+      // there; O(n) ints, the table every production IVF persists).
+      val assign = seededScored(s, d, 16).filter(col("crn") === 1)
         .select(col("vec_id"), col("cid"))
+        .localCheckpoint()
       val wM = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cid")).orderBy(col("vec_id"))
       val capped = assign.withColumn("mrn", row_number().over(wM))
@@ -611,7 +660,7 @@ object SimilarityQueries {
 
   /** SemDeDup per-cluster earlier-member cap and cosine threshold. */
   private[queries] val SEM_CAP = 128
-  private val SEM_TAU = 0.5
+  private[queries] val SEM_TAU = 0.5
 
   /** DOUBLE[] casts are load-bearing: DuckDB's list_cosine_similarity on
     * FLOAT[] computes (and returns) float32, which diverges from Spark's
@@ -643,7 +692,7 @@ object SimilarityQueries {
   /** Hash-seeded coarse quantizer scoring, shared by [[ivfAnn]] and the
     * centroid-update query: every vector scored against the broadcast
     * seed centroids, `crn` ranking nearest-first. */
-  private def seededScored(s: SparkSession, d: String, nCent: Int): DataFrame = {
+  private[queries] def seededScored(s: SparkSession, d: String, nCent: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cents = emb
       .withColumn("h", graft.functions.GraftFunctions.portable_hash60(
@@ -663,7 +712,17 @@ object SimilarityQueries {
   private def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val nCent = 16
     val nProbe = 4
+    // ONE scoring pass feeds both the posting lists and the probe
+    // assignments: pruned to (cid, vec_id, crn ≤ nProbe) — O(n·nprobe)
+    // ints, the assignment table every production IVF persists anyway —
+    // and localCheckpoint'd, because without the materialization each
+    // consumer branch re-derives seededScored from its own pair of
+    // embeddings scans (round-10 ScanAudit sweep: 6 scans → 2·scoring
+    // once; the n×nCent cosine scoring was running TWICE).
     val scored = seededScored(s, d, nCent)
+      .filter(col("crn") <= nProbe)
+      .select(col("cid"), col("vec_id"), col("crn"))
+      .localCheckpoint()
     val wMember = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cid")).orderBy(col("id_b"))
     val members = scored.filter(col("crn") === 1)

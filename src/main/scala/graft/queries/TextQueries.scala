@@ -239,10 +239,18 @@ object TextQueries {
     // production BPE trainer distributes (the winning pair is the only
     // cross-partition fact per round).
     "q_bpe_merges" -> ((s, d) => {
+      // localCheckpoint: the vocab is ≤ VocabCap rows but every BPE
+      // round's functional rebuild of `segs` otherwise re-grows its
+      // lineage back to the corpus scan — 7 documents scans for 3
+      // rounds (ScanAudit round 10), each re-running the full
+      // explode+count+top-k. Iterative algorithms checkpoint between
+      // rounds; here once at the root suffices because rounds only
+      // rewrite the bounded frame.
       val words = Tables.documents(s, d)
         .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("wn"))
         .orderBy(col("wn").desc, col("w")).limit(VocabCap)
+        .localCheckpoint()
       val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
       var segs = words.select(col("w"), col("wn"),
         array_join(chars, "  ").as("seg"))

@@ -46,10 +46,13 @@ class ExchangeBudgetSpec extends SparkTestBase {
       "items distinct + ok-keyed pair self-join + pair agg + supp agg; " +
         "the top-100 cut precedes the support joins, so those are " +
         "100-row broadcasts, not pair-frame re-shuffles"),
-    ("q_equidepth_hist", 10,
-      "only the orders-scan dollar-domain agg carries data volume; the " +
-        "other nine (rangeCumsum's bucket window/totals/offsets, the " +
-        "total, bucket agg, output sort) all move the tiny domain frame"),
+    ("q_equidepth_hist", 7,
+      "round-10 plan: the orders-scan dollar-domain agg now runs ONCE " +
+        "inside the localCheckpoint (its exchange left the gated plan " +
+        "along with the two duplicate re-derivations); the remaining " +
+        "seven (rangeCumsum's bucket window/totals/offsets over the " +
+        "checkpointed frame, the total, bucket agg, output sort) all " +
+        "move the tiny domain frame"),
     // the 100×-heaviest class (SCALE.md): each budget is the count the
     // single-enumeration / bucketed-layout design needs
     ("q_ktruss", 7,
@@ -77,13 +80,15 @@ class ExchangeBudgetSpec extends SparkTestBase {
         "pair count agg; the existing-edge anti-join broadcasts the " +
         "pairs side at gate scale and the top-100 lands via " +
         "TakeOrdered"),
-    ("q_ivf_ann", 6,
-      "post-RerankBroadcastCap plan (round 9): probe nprobe-cell " +
-        "window + member cell-assignment window + per-cell member-cap " +
-        "window + the cid-keyed probe-x-index join exchange + the per-" +
-        "probe top-5 window + output range sort — every exchange moves " +
-        "(id, cid, cos) rows only; both embedding joins ride the size-" +
-        "gated broadcast so the candidate frame never re-shuffles"),
+    ("q_ivf_ann", 4,
+      "round-10 plan: the scoring pass (probe nprobe-cell window) runs " +
+        "ONCE inside the localCheckpoint'd assignment table, so its " +
+        "exchanges left the gated plan; what remains is the per-cell " +
+        "member-cap window + the cid-keyed probe-x-index join exchange " +
+        "+ the per-probe top-5 window + output range sort — every " +
+        "exchange moves (id, cid, cos) rows only; both embedding joins " +
+        "ride the size-gated broadcast so the candidate frame never " +
+        "re-shuffles"),
     ("q_kcore", 2,
       "checkpoint-terminal peel (round 8): the gated plan is the final " +
         "degree aggregate + output sort over the round-2 checkpoint; " +

@@ -76,4 +76,38 @@ class SharedTableSpec extends SparkTestBase {
     assert(fs.exists(orphan), "orphans are inert, not load-bearing")
     fs.delete(orphan, true)
   }
+
+  test("lost race where the destination appears AFTER the exists check: " +
+      "the move-into rename leaves no nested duplicate of the data") {
+    import org.apache.hadoop.fs.Path
+    val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val realFs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new Path(warehouse, s"graft_spec_t4_$runTag")
+    val stgLoc = new Path(warehouse, s"graft_spec_t4_${runTag}_stg_loser")
+    // the winner's committed table: one data file directly under loc
+    realFs.mkdirs(loc)
+    val winnerFile = new Path(loc, "part-winner.parquet")
+    realFs.create(winnerFile).close()
+    // the loser's staged copy of the same table
+    realFs.mkdirs(stgLoc)
+    realFs.create(new Path(stgLoc, "part-loser.parquet")).close()
+    // Simulate the TOCTOU window: the loser's exists(loc) check returns
+    // a STALE false (the winner commits immediately after), so
+    // commitStaged proceeds to rename — which on the local FS MOVES the
+    // staging dir INTO the existing destination and reports success.
+    val raceFs = new org.apache.hadoop.fs.FilterFileSystem(realFs) {
+      private var stale = true
+      override def exists(p: Path): Boolean =
+        if (stale && p == loc) { stale = false; false } else super.exists(p)
+    }
+    QueryUtil.commitStaged(raceFs, stgLoc, loc)
+    assert(realFs.exists(winnerFile), "winner's data must survive")
+    assert(!realFs.exists(new Path(loc, stgLoc.getName)),
+      "loser's staged dir must not persist nested inside the winner's " +
+        "table (a recursive listing would double every row)")
+    assert(!realFs.exists(stgLoc), "loser's staging dir must be gone")
+    assert(realFs.listStatus(loc).map(_.getPath.getName).toSeq ===
+      Seq("part-winner.parquet"))
+    realFs.delete(loc, true)
+  }
 }
