@@ -31,6 +31,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val loadStart = BenchUtil.loadAvg1m() // before ANY work — see BenchUtil
+    val ticksStart = BenchUtil.cpuTicks()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
@@ -143,25 +144,50 @@ object Bench {
     val total = results.map { case (_, v, _) => math.abs(v) }.sum
     val canarySpread =
       if (canaryTimes.size >= 2) canaryTimes.max / canaryTimes.min else 1.0
+    // Robust noise statistic (round 10): raw max/min spread trips on a
+    // SINGLE transient spike in an otherwise-quiet run (measured: a
+    // 39-sample run with 37 canaries in a tight 0.18-0.56 band and two
+    // brief 1.4/3.2 s spikes read spread=18) — but the per-query times
+    // are best-of-N SEPARATED passes, which filter brief spikes by
+    // construction. Only SUSTAINED noise invalidates the run, so the
+    // gate trips when >25% of canary samples exceed 2× the canary
+    // MEDIAN. Raw spread and every sample stay in the artifact.
+    val canaryMed =
+      if (canaryTimes.nonEmpty) canaryTimes.sorted.apply(canaryTimes.size / 2)
+      else 0.0
+    val overFrac =
+      if (canaryTimes.nonEmpty)
+        canaryTimes.count(_ > 2.0 * canaryMed).toDouble / canaryTimes.size
+      else 0.0
     // Two independent contention signals (round-9 lesson: a UNIFORM
-    // noise floor slows canary and queries alike, so spread alone
-    // passes a slow run — SCALE.md round-9 fleet section): canary
-    // spread catches bursty neighbors, pre-run loadavg catches the
-    // steady floor the spread provably misses.
+    // noise floor slows canary and queries alike, so a canary statistic
+    // alone passes a slow run — SCALE.md round-9 fleet section): the
+    // sustained-canary fraction catches neighbor bursts, pre-run
+    // loadavg catches the steady floor the canary provably misses.
     val loadEnd = BenchUtil.loadAvg1m()
-    val spreadTrip = canarySpread > 2.0
+    // Third signal (round 10): CPU-steal fraction over the whole run —
+    // the VM-neighbor regime where loadavg stays low and canary spread
+    // stays ~1 while every task runs uniformly slow (measured: an
+    // sf0.1 fleet pass with clean load/canary gates but wall 682 s vs
+    // a quiet host's 390 s for identical reps).
+    val stealFrac = BenchUtil.stealFrac(ticksStart, BenchUtil.cpuTicks())
+    val spreadTrip = overFrac > 0.25
     val loadTrip = BenchUtil.loadContended(loadStart, cpus.toInt)
-    val contended = spreadTrip || loadTrip
+    val stealTrip = stealFrac > 0.05
+    val contended = spreadTrip || loadTrip || stealTrip
     val contendedBy =
       (if (spreadTrip) List("spread") else Nil) ++
-        (if (loadTrip) List("load") else Nil)
+        (if (loadTrip) List("load") else Nil) ++
+        (if (stealTrip) List("steal") else Nil)
     val canaryJson = canaryTimes.map(t => f"$t%.3f").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wallSec,""" +
         s""""canary":{"name":"$canaryName","times":$canaryJson,""" +
-        f""""spread":$canarySpread%.3f},""" +
+        f""""spread":$canarySpread%.3f,"median":$canaryMed%.3f,""" +
+        f""""over_2x_median_frac":$overFrac%.3f},""" +
         f""""loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
+        f""""steal_frac":$stealFrac%.4f,""" +
         s""""contended":$contended,""" +
         s""""contended_by":${contendedBy.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(line)

@@ -34,4 +34,29 @@ object BenchUtil {
       Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete()
   }
+
+  /** (busyTicks, stealTicks, totalTicks) from /proc/stat's aggregate
+    * cpu line. Steal is the UNIFORM-noise signal loadavg and canaries
+    * both miss on a VM host: a neighbor stealing cycles slows every
+    * task proportionally — loadavg stays low (runnable count is ours),
+    * canary spread stays ~1 (the floor is uniform) — but steal ticks
+    * accumulate and are directly attributable. */
+  def cpuTicks(): (Long, Long, Long) =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal [guest guest_nice]
+      val steal = if (cpu.length > 7) cpu(7) else 0L
+      val total = cpu.sum
+      val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L)
+      (total - idle - steal, steal, total)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+
+  /** Steal fraction of the elapsed interval between two cpuTicks()
+    * samples: stolen ticks / total ticks. Above ~0.05 the run lost a
+    * visible share of the machine to a neighbor. */
+  def stealFrac(start: (Long, Long, Long), end: (Long, Long, Long)): Double = {
+    val dTotal = end._3 - start._3
+    if (dTotal <= 0) 0.0 else (end._2 - start._2).toDouble / dTotal
+  }
 }

@@ -45,6 +45,7 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val loadStart = BenchUtil.loadAvg1m() // before ANY work — see BenchUtil
+    val ticksStart = BenchUtil.cpuTicks()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/scale10x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -167,11 +168,14 @@ object StreamBench {
     def jstr(x: String): String =
       x.replace("\\", "\\\\").replace("\"", "\\\"")
     val loadEnd = BenchUtil.loadAvg1m()
-    val contended = BenchUtil.loadContended(loadStart, cpus.toInt)
+    val stealFrac = BenchUtil.stealFrac(ticksStart, BenchUtil.cpuTicks())
+    val contended =
+      BenchUtil.loadContended(loadStart, cpus.toInt) || stealFrac > 0.05
     println(s"""{"metric":"stream_throughput","rows":$nRows,""" +
       s""""files":$nFiles,"per_trigger":$perTrigger,""" +
       s""""pipelines":{$paced},"pipelines_single_batch":{$single},""" +
       f""""loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
+      f""""steal_frac":$stealFrac%.4f,""" +
       s""""contended":$contended,"dir":"${jstr(dir)}"}""")
     spark.stop()
     tmpDirs.foreach(d => BenchUtil.deleteRecursively(new java.io.File(d)))
