@@ -49,6 +49,7 @@ object StreamBench {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/scale10x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

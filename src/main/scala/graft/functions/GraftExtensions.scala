@@ -14,7 +14,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Rule/SparkStrategy is REQUIRED — every reference operator composes
   * from built-ins — so the extension surface carries only the two native
   * expressions that earn their place on performance
-  * (`CosineSimilarity`, `PortableHash60`).
+  * (`CosineSimilarity`, `PortableHash60`) and the one optimizer rule
+  * that earns its place on scan pruning
+  * ([[SimplifyCaseWhenPredicates]]: filters over `when(p, v)`-derived
+  * columns become parquet-pushable base-column predicates — found by
+  * PruneAudit, round 10). All engine session builders (Verify, Bench,
+  * StreamBench, the audits, SparkTestBase) register this, so the gated
+  * results and the benched plans are the extension-enabled ones.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -26,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("portable_hash60"),
       new ExpressionInfo(classOf[PortableHash60].getName, "portable_hash60"),
       (exprs: Seq[Expression]) => PortableHash60(exprs.head)))
+    e.injectOptimizerRule(_ => SimplifyCaseWhenPredicates)
   }
 }

@@ -17,6 +17,7 @@ import org.apache.spark.sql.SparkSession
 object Ea1141Main {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .appName("ea1141")
       .config("spark.sql.shuffle.partitions",
