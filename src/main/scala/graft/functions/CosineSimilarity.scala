@@ -101,6 +101,10 @@ object GraftFunctions {
   def hashed_shingles(s: Column): Column =
     GraftShim.toColumn(HashedShingles(GraftShim.toExpression(s)))
 
+  /** Full MinHash signature (all slots, one fused pass). */
+  def min_hash_slots(sh: Column, numHashes: Int): Column =
+    GraftShim.toColumn(MinHashSlots(GraftShim.toExpression(sh), numHashes))
+
   /** Bounded bottom-k cap as a partial-combinable aggregate — the
     * skew-proof form of the `row_number() <= k` fan-out caps. */
   def min_k_by(sortKey: Column, id: Column, k: Int): Column =

@@ -70,14 +70,21 @@ object DedupQueries {
   private val sqlHashedShingles =
     s"list_distinct(list_transform($sqlShingles, x -> ${sqlPhash("x", 0)}))"
 
-  private val P = 1000000007L
-  private def hashA(j: Int): Long = 1000003L * (j + 1)
-  private def hashB(j: Int): Long = 7919L * (j + 1)
+  /** Universal-hash constants — single source is the native expression
+    * ([[graft.functions.MinHashSlots]]); the SQL twins and the
+    * explode-form aggregate in q_minhash_signature interpolate the same
+    * values. */
+  private val P = graft.functions.MinHashSlots.P
+  private def hashA(j: Int): Long = graft.functions.MinHashSlots.hashA(j)
+  private def hashB(j: Int): Long = graft.functions.MinHashSlots.hashB(j)
 
-  /** MinHash signature entry j = min over hashed shingles of the j-th
-    * universal hash. */
-  private def minhash(shh: Column, j: Int): Column =
-    array_min(transform(shh, h => (lit(hashA(j)) * (h % P) + hashB(j)) % P))
+  /** Full signature array in one fused codegen pass — value-identical
+    * to `array((0 until n).map(j => array_min(transform(sh, h =>
+    * (hashA(j) * (h % P) + hashB(j)) % P))))` (MinHashSlotsSpec pins
+    * the equivalence as a property test; the composed form ran
+    * 2·NUM_HASHES interpreted traversals per document). */
+  private def minhashSlots(shh: Column): Column =
+    graft.functions.GraftFunctions.min_hash_slots(shh, NUM_HASHES)
 
   /** The corpus through the fixture-level multi-file layout
     * ([[graft.Tables.documentsSpread]]) — a plain parquet scan that
@@ -115,7 +122,7 @@ object DedupQueries {
     * carries arrays). */
   private[queries] def bandedSignaturesOf(docs: DataFrame): DataFrame = {
     docShinglesOf(docs)
-      .withColumn("sig", array((0 until NUM_HASHES).map(j => minhash(col("sh"), j)): _*))
+      .withColumn("sig", minhashSlots(col("sh")))
       .select(col("doc_id"),
         explode(array((0 until BANDS).map(b => struct(
           lit(b).as("band"),
@@ -304,7 +311,7 @@ object DedupQueries {
       // read the checkpointed frame instead of re-tokenizing the whole
       // corpus per branch (3 full map passes → 1 at the 100× point).
       val sig = docShinglesOf(docs).select(col("doc_id"), col("sh"),
-        array((0 until NUM_HASHES).map(j => minhash(col("sh"), j)): _*).as("sig"))
+        minhashSlots(col("sh")).as("sig"))
         .localCheckpoint()
       val banded = sig
         .select(col("doc_id"),
