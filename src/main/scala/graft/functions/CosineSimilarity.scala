@@ -105,6 +105,11 @@ object GraftFunctions {
   def min_hash_slots(sh: Column, numHashes: Int): Column =
     GraftShim.toColumn(MinHashSlots(GraftShim.toExpression(sh), numHashes))
 
+  /** Squared L2 distance in one fused pass (float/double arrays). */
+  def sq_l2(a: Column, b: Column): Column =
+    GraftShim.toColumn(SquaredL2(
+      GraftShim.toExpression(a), GraftShim.toExpression(b)))
+
   /** Bounded bottom-k cap as a partial-combinable aggregate — the
     * skew-proof form of the `row_number() <= k` fan-out caps. */
   def min_k_by(sortKey: Column, id: Column, k: Int): Column =

@@ -816,9 +816,9 @@ object SimilarityQueries {
         col("embedding"))
         .select(col("vec_id"), col("m"),
           slice(col("embedding"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sv"))
-      val d2 = aggregate(
-        zip_with(col("sv"), col("cw"), (a, b) => (a.cast(DoubleType) - b) * (a.cast(DoubleType) - b)),
-        lit(0.0), (acc, x) => acc + x)
+      // fused codegen form — bit-identical to the composed
+      // aggregate(zip_with((cast(a)-b)²)) fold (SquaredL2Spec)
+      val d2 = graft.functions.GraftFunctions.sq_l2(col("sv"), col("cw"))
       val assigned = subs.join(cbDf, Seq("m"))
         .withColumn("d2", d2)
         .withColumn("rn", row_number().over(
@@ -976,11 +976,9 @@ object SimilarityQueries {
   private def exactL2TopK(corpus: DataFrame, probes: DataFrame): DataFrame = {
     val q = probes.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val d2 = aggregate(
-      zip_with(col("emb_a"), col("emb_b"),
-        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)) *
-          (x.cast(DoubleType) - y.cast(DoubleType))),
-      lit(0.0), (acc, x) => acc + x)
+    // fused codegen form of aggregate(zip_with((x-y)²)) — this runs on
+    // the |probes| × |corpus| product, the recall gates' exact side
+    val d2 = graft.functions.GraftFunctions.sq_l2(col("emb_a"), col("emb_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a")).orderBy(col("d2"), col("id_b"))
     b.join(broadcast(q), col("id_a") =!= col("id_b"))
