@@ -241,13 +241,31 @@ object EventQueries {
 
     // Stateful-dedup batch twin: first event per (user, type), explicit
     // order — mirrors dropDuplicatesWithinWatermark keyed semantics.
+    // The argmin is PACK-ENCODED instead of min_by(_, struct(ts, id)):
+    // a struct ordering key is a var-length aggregation buffer, which
+    // HashAggregate cannot hold, so the planner falls to SortAggregate
+    // (every task sorts its rows by group key — the CodegenAudit
+    // SORT-AGG class). ts_micros · 10¹⁹ + event_id in DECIMAL(38,0) is
+    // order-isomorphic to the (ts, id) lexicographic order for any
+    // NON-NEGATIVE int64 id (10¹⁹ > Long.MaxValue; max value ~1.8e34
+    // fits DECIMAL(38)), and fixed-precision decimals ARE mutable
+    // buffer types — the agg hash-aggregates. Priced on the 100×
+    // replica (AbSortAgg, same-JVM alternating, argmin agreement
+    // verified exact): 1.0 → 0.6 s best-of, faster on every rep.
     "q_event_dedup_first" -> ((s, d) => {
+      val packBase = expr("CAST(10000000000000000000 AS DECIMAL(38,0))")
       Tables.events(s, d)
+        .withColumn("pk",
+          unix_micros(col("ts").cast("timestamp")).cast("decimal(38,0)") *
+            packBase + col("event_id"))
         .groupBy(col("user_id"), col("event_type"))
         .agg(
-          min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("first_event_id"),
+          min(col("pk")).as("pk_min"),
           fmt(min(col("ts"))).as("first_ts"),
           count(lit(1)).as("n_total"))
+        .select(col("user_id"), col("event_type"),
+          (col("pk_min") % packBase).cast("long").as("first_event_id"),
+          col("first_ts"), col("n_total"))
         .orderBy(col("user_id"), col("event_type"))
     }),
 
