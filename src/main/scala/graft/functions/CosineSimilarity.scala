@@ -110,6 +110,11 @@ object GraftFunctions {
     GraftShim.toColumn(SquaredL2(
       GraftShim.toExpression(a), GraftShim.toExpression(b)))
 
+  /** size(array_intersect(a, b)) without materializing the array. */
+  def set_intersect_size(a: Column, b: Column): Column =
+    GraftShim.toColumn(SetIntersectSize(
+      GraftShim.toExpression(a), GraftShim.toExpression(b)))
+
   /** Bounded bottom-k cap as a partial-combinable aggregate — the
     * skew-proof form of the `row_number() <= k` fan-out caps. */
   def min_k_by(sortKey: Column, id: Column, k: Int): Column =

@@ -49,15 +49,17 @@ object AbMinHash {
             element_at(col("sig"), 2 * b + 2)).as("band_key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
 
-  /** verifiedPairsOf with a pluggable signature expression. */
-  private def e2e(s: SparkSession, d: String, sig: Column => Column): DataFrame = {
+  /** verifiedPairsOf with pluggable signature AND intersect kernels. */
+  private def e2e(s: SparkSession, d: String, sig: Column => Column,
+      interOf: (Column, Column) => Column =
+        GraftFunctions.set_intersect_size): DataFrame = {
     val docs = shingled(s, d)
     val pairs = DedupQueries.cappedBucketPairs(banded(docs, sig))
     val sh = docs.select(col("doc_id"), col("sh"))
     val joined = pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val inter = interOf(col("sh_a"), col("sh_b"))
     val uni = size(col("sh_a")) + size(col("sh_b")) - inter
     joined.select(col("id_a"), col("id_b"),
         (inter.cast(DoubleType) / uni.cast(DoubleType)).as("jaccard"))
@@ -77,6 +79,13 @@ object AbMinHash {
           nativeSig(col("sh")).as("sig"))))
       case "e2e" => Seq(
         "composed" -> (() => e2e(spark, dir, composedSig)),
+        "native" -> (() => e2e(spark, dir, nativeSig)))
+      // verify-kernel A/B: identical candidates (native sig both
+      // sides), composed size(array_intersect) vs fused membership
+      // count (round-10 SetIntersectSize)
+      case "verify" => Seq(
+        "composed" -> (() => e2e(spark, dir, nativeSig,
+          (a, b) => size(array_intersect(a, b)))),
         "native" -> (() => e2e(spark, dir, nativeSig)))
       case other => sys.error(s"unknown section $other")
     }

@@ -229,7 +229,10 @@ object DedupQueries {
     val joined = pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    // fused membership count — value-identical to
+    // size(array_intersect(...)) on non-null arrays (SetIntersectSizeSpec)
+    val inter = graft.functions.GraftFunctions.set_intersect_size(
+      col("sh_a"), col("sh_b"))
     val uni = size(col("sh_a")) + size(col("sh_b")) - inter
     joined.select(col("id_a"), col("id_b"),
         (inter.cast(DoubleType) / uni.cast(DoubleType)).as("jaccard"))
@@ -331,7 +334,10 @@ object DedupQueries {
           col("sig").as("sig_a")), Seq("id_a"))
         .join(sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
           col("sig").as("sig_b")), Seq("id_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      // fused membership count — value-identical to
+    // size(array_intersect(...)) on non-null arrays (SetIntersectSizeSpec)
+    val inter = graft.functions.GraftFunctions.set_intersect_size(
+      col("sh_a"), col("sh_b"))
       val uni = size(col("sh_a")) + size(col("sh_b")) - inter
       joined
         .withColumn("jaccard",
@@ -736,7 +742,8 @@ object DedupQueries {
       cand
         .join(full.toDF("id_a", "toks_a", "n_a", "n_mem_a"), Seq("id_a"))
         .join(full.toDF("id_b", "toks_b", "n_b", "n_mem_b"), Seq("id_b"))
-        .withColumn("n_common", size(array_intersect(col("toks_a"), col("toks_b"))))
+        .withColumn("n_common", graft.functions.GraftFunctions
+          .set_intersect_size(col("toks_a"), col("toks_b")))
         .withColumn("jac_micro",
           expr("CAST(n_common AS BIGINT) * 1000000 DIV (n_a + n_b - n_common)"))
         .filter(col("jac_micro") >= 500000)
