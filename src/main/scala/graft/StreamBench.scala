@@ -26,12 +26,16 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Reported rows/sec = input rows / wall seconds per pipeline
   * (includes source listing, state store maintenance and sink costs —
-  * end-to-end, not kernel time). Each pipeline runs TWICE: paced
+  * end-to-end, not kernel time). Each pipeline runs THREE ways: paced
   * (`pipelines` — maxFilesPerTrigger splits the input over several
-  * micro-batches so state crosses batch boundaries) and single-batch
+  * micro-batches so state crosses batch boundaries), single-batch
   * (`pipelines_single_batch` — one AvailableNow batch, the per-batch-
-  * overhead-free throughput ceiling; the gap between the columns IS
-  * the fixed per-batch cost). Scale note: every pipeline keys state
+  * overhead-free throughput ceiling for THIS input size; the gap
+  * between the columns IS the fixed per-batch cost), and a SATURATION
+  * sweep (`saturation` — 1×/2×/4×/8× key-shifted input replicas each
+  * in one batch, until rows/sec plateaus: the engine's actual
+  * throughput ceiling with fixed costs amortized away; round-10
+  * verdict item 6). Scale note: every pipeline keys state
   * by (window[, user]) so state shards by key hash across executors;
   * nothing here is driver-resident — the same jobs run unchanged on a
   * cluster against a streaming 100 TB/day feed, with the watermark
@@ -166,6 +170,50 @@ object StreamBench {
 
     val paced = section(paced = true)
     val single = section(paced = false)
+
+    // ---- saturation sweep (round-10 verdict item 6) ----
+    // The paced and single-batch columns both measure a FIXED input, so
+    // they bound per-batch overhead but not the engine's throughput
+    // ceiling: single-batch rows/sec still amortizes one batch's fixed
+    // cost over only `nRows` rows. The sweep GROWS the input — 1×, 2×,
+    // 4×, 8× key-shifted replicas (event_id/user_id shifted per replica
+    // so dropDuplicatesWithinWatermark doesn't collapse rows and the
+    // per-user join fan-out stays constant; ts unshifted, i.e. a higher
+    // event RATE into the same windows — exactly the load shape that
+    // saturates a stream) — each consumed in ONE AvailableNow batch.
+    // rows/sec plateauing across the last two points IS the saturated
+    // engine throughput; state_bytes is reported at the largest input
+    // (watermark-bounded state must NOT scale with input multiplier —
+    // tumbling/tws key by window×user with ts unshifted, so only the
+    // user-shift grows the keyspace, linear in mult by design).
+    def nextPow10(mx: Long): Long = { var s = 10L; while (s <= mx) s *= 10; s }
+    val strides = batch.agg(max(col("event_id")).cast("long"),
+      max(col("user_id")).cast("long")).head
+    val (eStride, uStride) = (nextPow10(strides.getLong(0)), nextPow10(strides.getLong(1)))
+    val satMults = Seq(1, 2, 4, 8)
+    val satDirs: Map[Int, String] = satMults.map { m =>
+      val sd = tempDir(s"graft_sb_sat$m")
+      (0 until m).map(i => batch
+          .withColumn("event_id", col("event_id") + lit(eStride * i))
+          .withColumn("user_id", col("user_id") + lit(uStride * i)))
+        .reduce(_ unionAll _)
+        .repartition(8 * m).write.mode("overwrite").parquet(sd)
+      m -> sd
+    }.toMap
+    def satStream(m: Int): DataFrame =
+      fixTs(spark.readStream.schema(batch.schema).parquet(satDirs(m)))
+    val saturation = pipelines.map { case (n, mk, mode) =>
+      val pts = satMults.map { m =>
+        val (sec, st) = run(s"${n}_sat$m", mk(satStream(m)), mode)
+        (m, m * nRows / sec, sec, st)
+      }
+      val plateau = pts.last._2 <= pts(pts.size - 2)._2 * 1.10
+      val ptsJson = pts.map { case (m, rps, sec, _) =>
+        f"""{"mult":$m,"sec":$sec%.3f,"rows_per_sec":$rps%.0f}"""
+      }.mkString("[", ",", "]")
+      f""""$n":{"points":$ptsJson,"rows_per_sec":${pts.last._2}%.0f,""" +
+        s""""plateau":$plateau,"state_bytes":${pts.last._4}}"""
+    }.mkString(",")
     def jstr(x: String): String =
       x.replace("\\", "\\\\").replace("\"", "\\\"")
     val loadEnd = BenchUtil.loadAvg1m()
@@ -175,6 +223,7 @@ object StreamBench {
     println(s"""{"metric":"stream_throughput","rows":$nRows,""" +
       s""""files":$nFiles,"per_trigger":$perTrigger,""" +
       s""""pipelines":{$paced},"pipelines_single_batch":{$single},""" +
+      s""""saturation":{$saturation},""" +
       f""""loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
       f""""steal_frac":$stealFrac%.4f,""" +
       s""""contended":$contended,"dir":"${jstr(dir)}"}""")

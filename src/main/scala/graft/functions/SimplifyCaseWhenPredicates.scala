@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreePattern
 import org.apache.spark.sql.types.BooleanType
 
 /** Optimizer rule: make null-intolerant predicates over single-branch
@@ -96,11 +97,46 @@ object SimplifyCaseWhenPredicates extends Rule[LogicalPlan]
     case other => other
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** A/B mode switch (AbDriftRule): `pruned` (production), `blanket`
+    * (the round-10 traversal, kept as a measurement fixture), `off`.
+    * Session-settable at runtime so the three forms alternate inside
+    * one warmed JVM — the AbHarness protocol. */
+  val ModeConf = "spark.graft.simplifyCaseWhenMode"
+
+  private val rewriteFilter: PartialFunction[LogicalPlan, LogicalPlan] = {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val rewritten = conjuncts.map(rewriteConjunct)
       if (rewritten == conjuncts) f
       else Filter(rewritten.reduceLeft(And), child)
   }
+
+  /** Tree-pattern-pruned traversal (round 11): this rule sits in the
+    * operator-optimization FIXED-POINT batch, so it re-walks every
+    * query's whole logical plan once per batch iteration — for the
+    * iterative graph queries (unioned fixed-point plans, thousands of
+    * nodes) the round-10 blanket `plan.transform` was pure overhead on
+    * the 99% of Filters that carry no CASE, and the round-10 verdict's
+    * "family-shaped sf0.1 drift" (graph fixed-point + shingle-Jaccard,
+    * +20–40% while the fleet median stayed flat) is exactly the
+    * biggest-logical-plan family — dispositioned by AbDriftRule and
+    * SCALE.md round 11. The pruning bits skip entire subtrees whose
+    * pattern sets lack FILTER+CASE_WHEN, and the per-node guard skips
+    * conjunct-splitting on CASE-free conditions.
+    * `transformDownWithSubqueriesAndPruning` also reaches Filter nodes
+    * inside scalar/IN/EXISTS subqueries (round-10 advice: those kept
+    * the unpushed CASE predicate). */
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    conf.getConfString(ModeConf, "pruned") match {
+      case "off" => plan
+      case "blanket" => plan.transform(rewriteFilter)
+      case _ =>
+        plan.transformDownWithSubqueriesAndPruning(
+          t => t.containsPattern(TreePattern.FILTER) &&
+            t.containsPattern(TreePattern.CASE_WHEN)) {
+          case f @ Filter(cond, child)
+              if cond.containsPattern(TreePattern.CASE_WHEN) =>
+            rewriteFilter(f)
+        }
+    }
 }

@@ -14,10 +14,11 @@ import graft.Tables
   * The candidate fix, priced here on the family's largest raw-fact
   * member (q_event_dedup_first, one min_by over every event row):
   * pack the (ts, event_id) ordering struct into one fixed-width
-  * DECIMAL(38,0) — `ts_micros · 10¹² + event_id`, order-isomorphic to
-  * the struct's lexicographic order since event_id < 10¹² — take a
-  * plain `min`, decode. Fixed-precision decimals ARE mutable buffer
-  * types, so the packed form hash-aggregates.
+  * DECIMAL(38,0) — `ts_micros · 10¹⁹ + event_id`, order-isomorphic to
+  * the struct's lexicographic order since 0 ≤ event_id < 10¹⁹ (any
+  * non-negative int64 id) — take a plain `min`, decode. Fixed-
+  * precision decimals ARE mutable buffer types, so the packed form
+  * hash-aggregates.
   * Run: `runMain graft.queries.AbSortAgg <dir> [reps]`.
   */
 object AbSortAgg {
@@ -34,7 +35,9 @@ object AbSortAgg {
 
   /** Packed-decimal candidate (HashAggregate) — the form shipped in
     * q_event_dedup_first: 10¹⁹ multiplier covers ANY non-negative
-    * int64 id (the 100 TB contract), still inside DECIMAL(38). */
+    * int64 id (the 100 TB contract, guarded at the production query
+    * with a raise_error branch), still inside DECIMAL(38); pmod makes
+    * the decode sign-safe for pre-epoch (negative) timestamps. */
   private def packedForm(s: SparkSession, d: String): DataFrame = {
     val packBase = expr("CAST(10000000000000000000 AS DECIMAL(38,0))")
     Tables.events(s, d)
@@ -49,7 +52,7 @@ object AbSortAgg {
         min(col("ts")).as("first_ts"),
         count(lit(1)).as("n_total"))
       .select(col("user_id"), col("event_type"),
-        (col("pk_min") % packBase).cast("long").as("first_event_id"),
+        pmod(col("pk_min"), packBase).cast("long").as("first_event_id"),
         col("first_ts"), col("n_total"))
   }
 

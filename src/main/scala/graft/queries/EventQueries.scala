@@ -252,19 +252,32 @@ object EventQueries {
     // buffer types — the agg hash-aggregates. Priced on the 100×
     // replica (AbSortAgg, same-JVM alternating, argmin agreement
     // verified exact): 1.0 → 0.6 s best-of, faster on every rep.
+    //
+    // DOMAIN CONTRACT (round-10 advice): the pack is order-isomorphic
+    // for ANY ts (a pre-epoch ts just makes pk negative; ts·B + id with
+    // 0 ≤ id < B is still lexicographic, and the pmod decode below is
+    // sign-safe) but REQUIRES event_id ≥ 0 — a negative id would break
+    // the isomorphism silently, so it raises at runtime instead
+    // (codegen'd branch on an already-read column; the min_by form had
+    // no restriction, and this guard is what makes dropping it safe).
     "q_event_dedup_first" -> ((s, d) => {
       val packBase = expr("CAST(10000000000000000000 AS DECIMAL(38,0))")
+      val guardedId = when(col("event_id") >= 0, col("event_id"))
+        .otherwise(raise_error(concat(
+          lit("q_event_dedup_first: negative event_id breaks the " +
+            "packed-decimal argmin contract: "),
+          col("event_id").cast("string"))))
       Tables.events(s, d)
         .withColumn("pk",
           unix_micros(col("ts").cast("timestamp")).cast("decimal(38,0)") *
-            packBase + col("event_id"))
+            packBase + guardedId)
         .groupBy(col("user_id"), col("event_type"))
         .agg(
           min(col("pk")).as("pk_min"),
           fmt(min(col("ts"))).as("first_ts"),
           count(lit(1)).as("n_total"))
         .select(col("user_id"), col("event_type"),
-          (col("pk_min") % packBase).cast("long").as("first_event_id"),
+          pmod(col("pk_min"), packBase).cast("long").as("first_event_id"),
           col("first_ts"), col("n_total"))
         .orderBy(col("user_id"), col("event_type"))
     }),

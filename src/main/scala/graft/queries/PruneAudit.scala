@@ -63,7 +63,21 @@ object PruneAudit {
           val read = f.requiredSchema.size
           val readNames = f.requiredSchema.fieldNames.toSet
           val pushed = f.metadata.getOrElse("PushedFilters", "[]")
-          val nPushed = if (pushed == "[]") 0 else pushed.count(_ == ',') + 1
+          // count TOP-LEVEL commas only: a filter whose rendering
+          // itself contains commas (In(x, [1,2,3])) must count once
+          // (round-10 advice; the UNPUSHED flag is nPushed==0 either way)
+          val nPushed =
+            if (pushed == "[]") 0
+            else {
+              var depth = 0; var n = 1
+              pushed.drop(1).dropRight(1).foreach {
+                case '(' | '[' => depth += 1
+                case ')' | ']' => depth -= 1
+                case ',' if depth == 0 => n += 1
+                case _ => ()
+              }
+              n
+            }
           val flags = Seq(
             if (read == total && total >= 5) Some("FULL-WIDTH") else None,
             if (f.dataFilters.nonEmpty && nPushed == 0) Some("UNPUSHED") else None,

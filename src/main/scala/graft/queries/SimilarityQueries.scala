@@ -107,13 +107,13 @@ object SimilarityQueries {
     * LSH_TABLES times) — for consumers whose next step absorbs
     * duplicates anyway (an aggregate, or a coarser distinct), saving
     * the full-frame distinct exchange that [[lshCandidates]] pays. */
-  private def lshCandidatesRaw(e: DataFrame): DataFrame = {
+  private def lshCandidatesRaw(e: DataFrame, cap: Int = CAND_CAP): DataFrame = {
     val banded = lshBanded(e)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bk")).orderBy(col("vec_id"))
     val index = banded
       .withColumn("brn", row_number().over(wB))
-      .filter(col("brn") <= CAND_CAP)
+      .filter(col("brn") <= cap)
       .select(col("bk"), col("vec_id").as("id_b"))
     banded.select(col("bk"), col("vec_id").as("id_a"))
       .join(index, Seq("bk"))
@@ -128,6 +128,12 @@ object SimilarityQueries {
     * reconstructs the pre-round-9 plan outside this object). */
   private[queries] def lshCandidatesForAb(e: DataFrame): DataFrame =
     lshCandidatesRaw(e)
+
+  /** [[AbCandCap]]-only: raw candidates at an arbitrary index-side cap
+    * (the recall-vs-cap curve that makes CAND_CAP a measured contract —
+    * round-10 verdict item 4). */
+  private[queries] def lshCandidatesRawAtCap(e: DataFrame, cap: Int): DataFrame =
+    lshCandidatesRaw(e, cap)
 
   /** Exact cosine re-rank of candidate pairs to top-K per id_a.
     *

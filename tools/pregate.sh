@@ -27,5 +27,10 @@ done
 [ "$MISSING" -eq 0 ] || exit 1
 sbt -batch compile
 sbt -batch test
+# Plan-shape regression gate (round 11): the ScanAudit/PruneAudit/
+# CodegenAudit dispositions, re-adjudicated against the committed
+# expected file — a new duplicate scan / unpushed filter / sort-agg
+# fallback fails the commit instead of silently eroding the sweep.
+sbt -batch "runMain graft.queries.PlanAudit" | grep "plan-audit"
 sbt -batch "runMain graft.Verify /root/testdata/sf$SF $OUT"
 python3 tools/check_oracle.py "/root/testdata/sf$SF" "$OUT" | tail -3
