@@ -190,7 +190,11 @@ object StreamBench {
     val strides = batch.agg(max(col("event_id")).cast("long"),
       max(col("user_id")).cast("long")).head
     val (eStride, uStride) = (nextPow10(strides.getLong(0)), nextPow10(strides.getLong(1)))
-    val satMults = Seq(1, 2, 4, 8)
+    // 1×–32×: the first run's 8× point left tumbling/tws still scaling
+    // linearly (fixed-cost-dominated at 2.9 s wall even at 8 M rows);
+    // the sweep must actually reach each pipeline's plateau to report a
+    // ceiling rather than a lower bound.
+    val satMults = Seq(1, 2, 4, 8, 16, 32)
     val satDirs: Map[Int, String] = satMults.map { m =>
       val sd = tempDir(s"graft_sb_sat$m")
       (0 until m).map(i => batch

@@ -57,16 +57,27 @@ object AbCandCap {
     val nTrue = truth.count()
     println(s"[ab-candcap] exact true probe-pairs (cos>=0.85): $nTrue")
 
+    // probes with at least one true partner — the denominator of the
+    // VECTOR-level recall (a dedup pipeline collapses clusters through
+    // connected components, so a vector is served as long as ANY ONE of
+    // its true partners is found; pair recall understates that)
+    val nVecTrue = truth.select(col("p")).distinct().count()
+
     caps.foreach { c =>
       val cand = SimilarityQueries.lshCandidatesRawAtCap(e, c)
         .select(least(col("id_a"), col("id_b")).as("a"),
           greatest(col("id_a"), col("id_b")).as("b"))
         .distinct()
       val nCand = cand.count()
-      val found = truth.join(cand, Seq("a", "b"), "left_semi").count()
+      val foundPairs = truth.join(cand, Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      val found = foundPairs.count()
+      val foundVec = foundPairs.select(col("p")).distinct().count()
       val recall = if (nTrue == 0) 1.0 else found.toDouble / nTrue
+      val vRecall = if (nVecTrue == 0) 1.0 else foundVec.toDouble / nVecTrue
       println(f"[ab-candcap] cap=$c%-4d n_true=$nTrue n_found=$found " +
-        f"recall=$recall%.4f n_cand_total=$nCand")
+        f"pair_recall=$recall%.4f vec_recall=$vRecall%.4f " +
+        f"(n_vec_true=$nVecTrue) n_cand_total=$nCand")
     }
     spark.stop()
   }
