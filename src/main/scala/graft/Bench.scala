@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — runs every `SparkEntry.queries` entry against
-  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `SPARK_GRAFT_SF_DIR` and prints ONE full JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`,
+  * followed by a <=1600-char COMPACT summary line as the final stdout
+  * line (the driver's tail capture is 2000 chars — see the comment at
+  * the bottom of `main`).
   *
   * `SPARK_GRAFT_ONLY=q_a,q_b` restricts the run to named queries (for
   * single-query scale spot-checks); unset = full run (the driver mode).
@@ -202,5 +205,32 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    // Driver-parser-proof SECOND line (round-11, verdict item 5): the
+    // driver keeps only the LAST 2000 chars of stdout (BENCH_r10.json
+    // "tail" is exactly 2000 and starts mid-line), so the ~9 KB full
+    // line above loses its '{"metric"' head inside that window and the
+    // driver has recorded "parsed": null for two consecutive rounds.
+    // This line is the same summary under a 1600-char budget — headline
+    // stats plus as many of the SLOWEST queries as fit — printed as the
+    // very last stdout line (after spark.stop()) so only sbt's ~75-char
+    // trailer follows it inside the window. The complete per-query map
+    // stays in the full line and in `outFile`.
+    val compactHead =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
+        f""""reps":$reps,"wall_sec":$wallSec%.1f,"n_queries":${results.size},""" +
+        s""""n_errors":${results.count(_._3.isDefined)},""" +
+        f""""steal_frac":$stealFrac%.4f,"contended":$contended,""" +
+        s""""contended_by":${contendedBy.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""queries_truncated":true,"queries_full":${jstr(outFile)},"queries":{"""
+    val slowest = results.sortBy { case (_, v, _) => -math.abs(v) }
+      .iterator.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val budget = 1600 - compactHead.length - 2 // closing "}}"
+    val (kept, _) = slowest.foldLeft((List.empty[String], 0)) {
+      case ((acc, used), e) =>
+        val cost = e.length + (if (acc.isEmpty) 0 else 1)
+        if (used + cost <= budget) (e :: acc, used + cost) else (acc, budget + 1)
+    }
+    println(compactHead + kept.reverse.mkString(",") + "}}")
   }
 }
+

@@ -23,6 +23,10 @@ import org.apache.spark.sql.streaming.Trigger
   *   - `tws` — transformWithState typed per-user running stats on the
   *     RocksDB state store provider (EventStreams.userStatsTws): the
   *     arbitrary-state API under its production store.
+  *   - `neardup` — in-stream MinHash-LSH near-dup suppression over the
+  *     DOCUMENTS table (NearDupStream, round 11): transformWithState
+  *     bucket owners; its saturation sweep multiplies dup-saturated
+  *     input while state must stay content-bounded (flat).
   *
   * Reported rows/sec = input rows / wall seconds per pipeline
   * (includes source listing, state store maintenance and sink costs —
@@ -218,6 +222,53 @@ object StreamBench {
       f""""$n":{"points":$ptsJson,"rows_per_sec":${pts.last._2}%.0f,""" +
         s""""plateau":$plateau,"state_bytes":${pts.last._4}}"""
     }.mkString(",")
+    // ---- near-dup suppression pipeline (round 11) ----
+    // The fifth pipeline runs over the DOCUMENTS table, not events: in-
+    // stream MinHash-LSH near-dup suppression (NearDupStream) — the
+    // ingest-side twin of the batch dedup family. Its saturation sweep
+    // replicates docs with doc_id SHIFTED and text UNCHANGED (the
+    // dup-saturated ingest shape, same as the 10×/100× fleet corpora):
+    // every replica doc collides with the base owner in all 4 bands, so
+    // the sweep stresses the candidate-emit path while the state — one
+    // (doc_id, 8-slot sig) owner per DISTINCT-CONTENT bucket — must stay
+    // FLAT as input multiplies. state_bytes growing with mult here would
+    // falsify the 100 TB argument; staying flat proves state is bounded
+    // by content, not volume.
+    val docPath = s"$dir/documents.parquet"
+    val neardupJson = if (!new java.io.File(docPath).exists) "" else {
+      val docs = spark.read.parquet(docPath).select(col("doc_id"), col("text"))
+      val nDocs = docs.count()
+      val docSrc = tempDir("graft_sb_docsrc")
+      docs.repartition(8).write.mode("overwrite").parquet(docSrc)
+      def docStream(paced: Boolean, src: String = docSrc): DataFrame = {
+        val r = spark.readStream.schema(docs.schema)
+        (if (paced) r.option("maxFilesPerTrigger", 1) else r).parquet(src)
+      }
+      def mkNd(in: DataFrame): DataFrame =
+        streaming.NearDupStream.candidates(in).toDF()
+      val (pSec, pSt) = run("neardup", mkNd(docStream(paced = true)), "update")
+      val (sSec, sSt) = run("neardup_1b", mkNd(docStream(paced = false)), "update")
+      val dStride =
+        nextPow10(docs.agg(max(col("doc_id")).cast("long")).head.getLong(0))
+      val ndPts = satMults.map { m =>
+        val sd = tempDir(s"graft_sb_nd_sat$m")
+        (0 until m).map(i =>
+            docs.withColumn("doc_id", col("doc_id") + lit(dStride * i)))
+          .reduce(_ unionAll _)
+          .repartition(8 * m).write.mode("overwrite").parquet(sd)
+        val (sec, st) = run(s"neardup_sat$m", mkNd(docStream(paced = false, sd)), "update")
+        (m, m * nDocs / sec, sec, st)
+      }
+      val ndPlateau = ndPts.last._2 <= ndPts(ndPts.size - 2)._2 * 1.10
+      val ndPtsJson = ndPts.map { case (m, rps, sec, st) =>
+        f"""{"mult":$m,"sec":$sec%.3f,"rows_per_sec":$rps%.0f,"state_bytes":$st}"""
+      }.mkString("[", ",", "]")
+      f""""neardup":{"rows":$nDocs,""" +
+        f""""paced":{"sec":$pSec%.3f,"rows_per_sec":${nDocs / pSec}%.0f,"state_bytes":$pSt},""" +
+        f""""single_batch":{"sec":$sSec%.3f,"rows_per_sec":${nDocs / sSec}%.0f,"state_bytes":$sSt},""" +
+        f""""saturation":{"points":$ndPtsJson,"rows_per_sec":${ndPts.last._2}%.0f,""" +
+        s""""plateau":$ndPlateau,"state_bytes":${ndPts.last._4}}},"""
+    }
     def jstr(x: String): String =
       x.replace("\\", "\\\\").replace("\"", "\\\"")
     val loadEnd = BenchUtil.loadAvg1m()
@@ -227,7 +278,7 @@ object StreamBench {
     println(s"""{"metric":"stream_throughput","rows":$nRows,""" +
       s""""files":$nFiles,"per_trigger":$perTrigger,""" +
       s""""pipelines":{$paced},"pipelines_single_batch":{$single},""" +
-      s""""saturation":{$saturation},""" +
+      s""""saturation":{$saturation},$neardupJson""" +
       f""""loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
       f""""steal_frac":$stealFrac%.4f,""" +
       s""""contended":$contended,"dir":"${jstr(dir)}"}""")
@@ -235,3 +286,4 @@ object StreamBench {
     tmpDirs.foreach(d => BenchUtil.deleteRecursively(new java.io.File(d)))
   }
 }
+
