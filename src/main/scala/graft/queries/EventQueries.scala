@@ -870,10 +870,77 @@ object EventQueries {
           round((center - half) * 1000000.0).cast("long").as("wilson_lo_micro"),
           round((center + half) * 1000000.0).cast("long").as("wilson_hi_micro"))
         .orderBy(col("event_type"))
+    }),
+
+    // Exponentially weighted moving average of each user's event value —
+    // the feature-store "current user state" snapshot (α = 1/4, window
+    // truncated at the 16 most recent events). The truncation makes the
+    // weights exact integer rationals: weight(lag j) = 3^j·4^(15−j) over
+    // the fixed denominator 4^16, so the BIGINT numerator is
+    // bit-identical in the twin with no float pow anywhere, and
+    // ewma_milli is its exact integral milli-cent rescale. Domain
+    // contract: |cents| < 2.1e6 (|value| ≤ ~$21k) keeps num·1000 < 2^63;
+    // events.value ≤ $561 and never null (LmTokenizerSpec replays the
+    // numerator sequentially; a null value would also desync Spark's
+    // null-dropping collect_list from DuckDB's null-keeping list()).
+    // Shape: ONE user-keyed exchange — the bounded 16-row frame list,
+    // the per-user row count, and the latest-row rank all ride the same
+    // (user_id / ts, event_id) window sort; the position weight comes
+    // from a 16-element literal array inside codegen'd HOFs. No
+    // self-join, no second shuffle; at 100 TB the frame stays 16 rows
+    // per user regardless of history length.
+    "q_ewma" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val weights = (0 to 15).map(j =>
+        BigInt(3).pow(j).toLong * BigInt(4).pow(15 - j).toLong)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("lst", collect_list(col("cents"))
+          .over(w.rowsBetween(-15, 0)))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_events",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === col("n_events"))
+        .withColumn("ewma_num", expr(
+          "aggregate(transform(sequence(1, size(lst)), i -> " +
+            s"element_at(lst, i) * element_at(array(${weights.mkString("L, ")}L), " +
+            "size(lst) - i + 1)), 0L, (acc, x) -> acc + x)"))
+        .select(col("user_id"), col("n_events"), col("ewma_num"),
+          expr("ewma_num * 1000 DIV 4294967296").as("ewma_milli"))
+        .orderBy(col("user_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ewma" -> {
+      val weights = (0 to 15).map(j =>
+        BigInt(3).pow(j).toLong * BigInt(4).pow(15 - j).toLong)
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |w AS (
+         |  SELECT user_id,
+         |    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS lst,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY user_id) AS n
+         |  FROM e),
+         |num AS (
+         |  SELECT user_id, CAST(n AS BIGINT) AS n_events,
+         |    CAST(list_sum(list_transform(range(1, len(lst) + 1), i ->
+         |      lst[CAST(i AS INTEGER)]
+         |        * ([${weights.mkString(", ")}])[CAST(len(lst) - i + 1 AS INTEGER)]
+         |    )) AS BIGINT) AS ewma_num
+         |  FROM w WHERE rn = n)
+         |SELECT user_id, n_events, ewma_num,
+         |  ewma_num * 1000 // 4294967296 AS ewma_milli
+         |FROM num ORDER BY user_id""".stripMargin
+    },
+
     "q_wilson_ci" ->
       """WITH pt AS (
         |  SELECT event_type, COUNT(DISTINCT user_id) AS x FROM events

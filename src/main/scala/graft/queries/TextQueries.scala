@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{Column}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import QueryUtil._
@@ -56,6 +56,106 @@ object TextQueries {
 
   /** BPE vocabulary cap (top words by count desc, word asc). */
   private[queries] val VocabCap = 2000
+
+  /** The 3 BPE merge-training rounds on the VocabCap word frame: each
+    * round counts adjacent segment pairs weighted by word frequency,
+    * takes the top pair (count desc, pair asc), and applies it
+    * exhaustively left-to-right (the delimiter-string `replace` IS that
+    * semantic: non-overlapping, leftmost-first — both engines and
+    * java.lang.String agree, which LmTokenizerSpec's sequential replay
+    * pins). Returns the per-round 1-row (pa, pb, n, round) frames.
+    * Shared by q_bpe_merges (reports the merge table) and q_bpe_encode
+    * (applies it corpus-wide). localCheckpoint: the vocab is ≤ VocabCap
+    * rows but every round's functional rebuild of `segs` otherwise
+    * re-grows its lineage back to the corpus scan — 7 documents scans
+    * for 3 rounds (ScanAudit round 10); iterative algorithms checkpoint
+    * between rounds, and here once at the bounded root suffices. */
+  private[queries] def bpeMergeRounds(
+      s: SparkSession, d: String): Seq[DataFrame] = {
+    val words = Tables.documents(s, d)
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .orderBy(col("wn").desc, col("w")).limit(VocabCap)
+      .localCheckpoint()
+    val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    var segs = words.select(col("w"), col("wn"),
+      array_join(chars, "  ").as("seg"))
+    (1 to 3).map { r =>
+      val arr = split(col("seg"), "  ")
+      val pairs = segs
+        .select(col("wn"), arr.as("a"))
+        .select(col("wn"), explode(
+          when(size(col("a")) >= 2,
+            transform(sequence(lit(1), size(col("a")) - 1),
+              i => struct(element_at(col("a"), i).as("pa"),
+                element_at(col("a"), i + 1).as("pb"))))
+            .otherwise(array().cast(ArrayType(StructType(Seq(
+              StructField("pa", StringType), StructField("pb", StringType))))))).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("wn")).as("n"))
+      // Each round's winner is a 1-ROW artifact (the trained merge) —
+      // localCheckpoint it so consumers read the artifact instead of
+      // re-deriving the whole training round inside their own lineage
+      // (without this, q_bpe_encode's plan re-embedded the round-1 pair
+      // aggregate SEVEN times across the top2/top3/apply chains —
+      // 11 exchanges vs 4, and AbLmScore's interleaved 10× A/B has the
+      // checkpointed form faster in every rep, best-of 6.4 vs 9.2 s).
+      val top = pairs.orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
+        .select(col("pa"), col("pb"), col("n"), lit(r).as("round"))
+        .localCheckpoint()
+      segs = segs.crossJoin(broadcast(top.select(col("pa"), col("pb"))))
+        .select(col("w"), col("wn"),
+          trim(expr("replace(' ' || seg || ' ', ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')"))
+            .as("seg"))
+      top
+    }
+  }
+
+  /** Exhaustive left-to-right application of the round-`i` merge to the
+    * delimiter-joined segment string — the shared apply step of
+    * [[bpeMergeRounds]] and q_bpe_encode's corpus-wide pass. */
+  private def applyMerge(segs: DataFrame, top: DataFrame): DataFrame =
+    segs.crossJoin(broadcast(top.select(col("pa"), col("pb"))))
+      .select(col("w"),
+        trim(expr("replace(' ' || seg || ' ', ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')"))
+          .as("seg"))
+
+  /** DuckDB CTE chain that replicates [[bpeMergeRounds]] exactly —
+    * hoisted from the q_bpe_merges oracle so q_bpe_encode's twin can
+    * reuse the identical trained merge table (ends at `top3`). */
+  private[queries] val bpeTrainCtes: String = {
+    def pairsOf(segCte: String, i: Int) =
+      s"""pr$i AS (
+         |  SELECT a[i] AS pa, a[i + 1] AS pb, SUM(wn) AS n
+         |  FROM (
+         |    SELECT wn, a, unnest(range(1, len(a))) AS i
+         |    FROM (SELECT wn, string_split(seg, '  ') AS a FROM $segCte))
+         |  GROUP BY pa, pb),
+         |top$i AS (SELECT pa, pb, n FROM pr$i ORDER BY n DESC, pa, pb LIMIT 1)"""
+        .stripMargin
+    def applyOf(prev: String, i: Int) =
+      s"""seg$i AS (
+         |  SELECT w, wn,
+         |    trim(replace(' ' || seg || ' ',
+         |                 ' ' || t.pa || '  ' || t.pb || ' ',
+         |                 ' ' || t.pa || t.pb || ' ')) AS seg
+         |  FROM $prev CROSS JOIN top$i t)""".stripMargin
+    s"""words AS (
+       |  SELECT w, COUNT(*) AS wn FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+       |    FROM documents)
+       |  GROUP BY w ORDER BY wn DESC, w LIMIT $VocabCap),
+       |seg0 AS (
+       |  SELECT w, wn,
+       |    array_to_string(list_transform(range(1, len(w) + 1),
+       |      i -> substr(w, i, 1)), '  ') AS seg
+       |  FROM words),
+       |${pairsOf("seg0", 1)},
+       |${applyOf("seg0", 1)},
+       |${pairsOf("seg1", 2)},
+       |${applyOf("seg1", 2)},
+       |${pairsOf("seg2", 3)}""".stripMargin
+  }
 
   private val stop = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),
@@ -239,45 +339,103 @@ object TextQueries {
     // production BPE trainer distributes (the winning pair is the only
     // cross-partition fact per round).
     "q_bpe_merges" -> ((s, d) => {
-      // localCheckpoint: the vocab is ≤ VocabCap rows but every BPE
-      // round's functional rebuild of `segs` otherwise re-grows its
-      // lineage back to the corpus scan — 7 documents scans for 3
-      // rounds (ScanAudit round 10), each re-running the full
-      // explode+count+top-k. Iterative algorithms checkpoint between
-      // rounds; here once at the root suffices because rounds only
-      // rewrite the bounded frame.
-      val words = Tables.documents(s, d)
-        .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("wn"))
-        .orderBy(col("wn").desc, col("w")).limit(VocabCap)
-        .localCheckpoint()
-      val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-      var segs = words.select(col("w"), col("wn"),
-        array_join(chars, "  ").as("seg"))
-      val rounds = (1 to 3).map { r =>
-        val arr = split(col("seg"), "  ")
-        val pairs = segs
-          .select(col("wn"), arr.as("a"))
-          .select(col("wn"), explode(
-            when(size(col("a")) >= 2,
-              transform(sequence(lit(1), size(col("a")) - 1),
-                i => struct(element_at(col("a"), i).as("pa"),
-                  element_at(col("a"), i + 1).as("pb"))))
-              .otherwise(array().cast(ArrayType(StructType(Seq(
-                StructField("pa", StringType), StructField("pb", StringType))))))).as("p"))
-          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-          .agg(sum(col("wn")).as("n"))
-        val top = pairs.orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
-          .select(col("pa"), col("pb"), col("n"), lit(r).as("round"))
-        segs = segs.crossJoin(broadcast(top.select(col("pa"), col("pb"))))
-          .select(col("w"), col("wn"),
-            trim(expr("replace(' ' || seg || ' ', ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')"))
-              .as("seg"))
-        top
-      }
-      rounds.reduce(_ unionByName _)
+      bpeMergeRounds(s, d).reduce(_ unionByName _)
         .select(col("round"), col("pa"), col("pb"), col("n"))
         .orderBy(col("round"))
+    }),
+
+    // Tokenizer APPLICATION — the missing half of the BPE story
+    // (q_bpe_merges trains the merge table; this segments the corpus
+    // with it). The scale design is the word-level tokenization cache
+    // every production tokenizer uses: apply the merges once per
+    // DISTINCT corpus word (vocab-sized frame, 3 broadcast-merge
+    // rounds over a localCheckpoint'd root), then join the per-word
+    // token counts back to per-doc word multiplicities — the corpus
+    // text is never re-segmented per occurrence. Output is exact
+    // integers (counts + a DIV ratio), hash-gated against a twin that
+    // replays the identical trained merges. Shape: one WIDE-TEXT scan
+    // for training (bounded by VocabCap), one for the per-doc word
+    // multiset, a vocab-keyed join, one per-doc aggregate.
+    "q_bpe_encode" -> ((s, d) => {
+      val tops = bpeMergeRounds(s, d)
+      val docWords = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => length(t) > 0)).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+      val seg0 = docWords.select(col("w")).distinct()
+        .localCheckpoint() // vocab-sized; 3 merge rounds otherwise re-grow lineage to the corpus scan
+        .select(col("w"), array_join(chars, "  ").as("seg"))
+      val segN = tops.foldLeft(seg0)(applyMerge)
+      val wtok = segN.select(col("w"), size(split(col("seg"), "  ")).as("n_tok"))
+      val per = docWords.join(wtok, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_tok")).as("n_bpe_tokens"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+          when(coalesce(col("n_words"), lit(0L)) === 0, lit(0L))
+            .otherwise(expr("n_bpe_tokens * 100 DIV n_words"))
+            .as("tok_per_word_centi"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-document bigram-LM quality scoring — the CCNet-style filter:
+    // score each doc by its bigrams' add-one-smoothed conditional
+    // probability under the corpus's OWN bigram counts (the estimator
+    // is q_bigram_lm's (c12+1)·1000 DIV (c1+v), so the two queries
+    // cross-check). All integer: sum/avg permille is the fluency
+    // signal, min permille the rare-bigram signal, and docs too short
+    // for a bigram surface as zeros. Shape: ONE (doc, bigram)-grain
+    // explode+aggregate feeds everything — it is localCheckpoint'd
+    // (the bigram count table IS the LM artifact a production scorer
+    // persists) so the corpus-mass explode runs once, not three times;
+    // then c12/c1 reduce the checkpointed frame and the scoring join
+    // shuffles on the bigram key. The vocab size and doc spine are the
+    // only other corpus touches.
+    "q_doc_lm_score" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+      val dbg = toks.filter(size(col("a")) > 1)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(a) - 1)," +
+            " i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))"))
+          .as("p"))
+        .groupBy(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint()
+      val c12 = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("c12"))
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      val vocab = toks.select(explode(col("a")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      // Attach the estimator at c12-TABLE grain (c12 ⋈ c1 on w1, both
+      // count tables), so the corpus-mass doc-grain frame joins ONCE on
+      // the bigram key — the naive dbg⋈c12⋈c1 form re-shuffles the
+      // doc-grain rows a second time on w1. AbLmScore (same-JVM,
+      // interleaved, 10×): this form wins 6/8 reps, rep-mean −19%,
+      // best-of tie — kept on the structural argument (the re-shuffled
+      // frame is the count table, 10× smaller than dbg on the
+      // dup-saturated corpus and vocab²-bounded in general).
+      val ppt = c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          expr("(c12 + 1) * 1000 DIV (c1 + v)").as("pp"))
+      val scored = dbg.join(ppt, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("n_bigrams"),
+          sum(col("m") * col("pp")).as("sum_permille"),
+          min(col("pp")).as("min_permille"))
+      toks.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("sum_permille"), lit(0L)).as("sum_permille"),
+          coalesce(col("min_permille"), lit(0L)).as("min_permille"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+            .otherwise(expr("sum_permille DIV n_bigrams")).as("avg_permille"))
+        .orderBy(col("doc_id"))
     }),
 
     // Token counting: whitespace words + a BPE-ish regex segmentation.
@@ -676,46 +834,83 @@ object TextQueries {
         |       AS BIGINT) AS p_at_5_micro
         |FROM ranked GROUP BY query_id ORDER BY query_id""".stripMargin,
 
-    "q_bpe_merges" -> {
-      def pairsOf(segCte: String, i: Int) =
-        s"""pr$i AS (
-           |  SELECT a[i] AS pa, a[i + 1] AS pb, SUM(wn) AS n
-           |  FROM (
-           |    SELECT wn, a, unnest(range(1, len(a))) AS i
-           |    FROM (SELECT wn, string_split(seg, '  ') AS a FROM $segCte))
-           |  GROUP BY pa, pb),
-           |top$i AS (SELECT pa, pb, n FROM pr$i ORDER BY n DESC, pa, pb LIMIT 1)"""
-          .stripMargin
-      def applyOf(prev: String, i: Int) =
-        s"""seg$i AS (
-           |  SELECT w, wn,
-           |    trim(replace(' ' || seg || ' ',
-           |                 ' ' || t.pa || '  ' || t.pb || ' ',
-           |                 ' ' || t.pa || t.pb || ' ')) AS seg
-           |  FROM $prev CROSS JOIN top$i t)""".stripMargin
-      s"""WITH words AS (
-         |  SELECT w, COUNT(*) AS wn FROM (
-         |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
-         |    FROM documents)
-         |  GROUP BY w ORDER BY wn DESC, w LIMIT $VocabCap),
-         |seg0 AS (
-         |  SELECT w, wn,
-         |    array_to_string(list_transform(range(1, len(w) + 1),
-         |      i -> substr(w, i, 1)), '  ') AS seg
-         |  FROM words),
-         |${pairsOf("seg0", 1)},
-         |${applyOf("seg0", 1)},
-         |${pairsOf("seg1", 2)},
-         |${applyOf("seg1", 2)},
-         |${pairsOf("seg2", 3)}
+    "q_bpe_merges" ->
+      s"""WITH $bpeTrainCtes
          |SELECT * FROM (
          |  SELECT 1 AS round, pa, pb, CAST(n AS BIGINT) AS n FROM top1
          |  UNION ALL
          |  SELECT 2, pa, pb, CAST(n AS BIGINT) FROM top2
          |  UNION ALL
          |  SELECT 3, pa, pb, CAST(n AS BIGINT) FROM top3)
-         |ORDER BY round""".stripMargin
+         |ORDER BY round""".stripMargin,
+
+    "q_bpe_encode" -> {
+      def applyOf(prev: String, next: String, i: Int) =
+        s"""$next AS (
+           |  SELECT w, trim(replace(' ' || seg || ' ',
+           |                 ' ' || t.pa || '  ' || t.pb || ' ',
+           |                 ' ' || t.pa || t.pb || ' ')) AS seg
+           |  FROM $prev CROSS JOIN top$i t)""".stripMargin
+      s"""WITH $bpeTrainCtes,
+         |vocabw AS (
+         |  SELECT DISTINCT w FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+         |    FROM documents)),
+         |aseg0 AS (
+         |  SELECT w, array_to_string(list_transform(range(1, len(w) + 1),
+         |    i -> substr(w, i, 1)), '  ') AS seg
+         |  FROM vocabw),
+         |${applyOf("aseg0", "aseg1", 1)},
+         |${applyOf("aseg1", "aseg2", 2)},
+         |${applyOf("aseg2", "aseg3", 3)},
+         |wtok AS (SELECT w, len(string_split(seg, '  ')) AS n_tok FROM aseg3),
+         |dw AS (
+         |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+         |    FROM documents)
+         |  GROUP BY doc_id, w),
+         |per AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |    CAST(SUM(cnt * n_tok) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN wtok USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_words, 0) AS n_words,
+         |  COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens,
+         |  CASE WHEN COALESCE(n_words, 0) = 0 THEN 0
+         |       ELSE n_bpe_tokens * 100 // n_words END AS tok_per_word_centi
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
+
+    "q_doc_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |dbg AS (
+        |  SELECT doc_id, a[CAST(i AS INTEGER)] AS w1,
+        |    a[CAST(i AS INTEGER) + 1] AS w2, COUNT(*) AS m
+        |  FROM (SELECT doc_id, a, unnest(range(1, len(a))) AS i
+        |        FROM toks WHERE len(a) > 1) t
+        |  GROUP BY doc_id, w1, w2),
+        |c12 AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c12 FROM dbg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+        |vocab AS (
+        |  SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT unnest(a) AS w FROM toks) u),
+        |scored AS (
+        |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(m * ((c12 + 1) * 1000 // (c1 + v))) AS BIGINT) AS sum_permille,
+        |    CAST(MIN((c12 + 1) * 1000 // (c1 + v)) AS BIGINT) AS min_permille
+        |  FROM dbg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(sum_permille, 0) AS sum_permille,
+        |  COALESCE(min_permille, 0) AS min_permille,
+        |  CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0
+        |       ELSE sum_permille // n_bigrams END AS avg_permille
+        |FROM toks t LEFT JOIN scored USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

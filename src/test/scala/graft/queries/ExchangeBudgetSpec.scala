@@ -133,7 +133,25 @@ class ExchangeBudgetSpec extends SparkTestBase {
       "the AllPairs pipeline end to end: digest collapse + shingle df " +
         "agg + frequency-order prefix window + posting self-join + " +
         "candidate distinct + two full-set join-backs + output sort — " +
-        "each moves ids/digests, never document text"))
+        "each moves ids/digests, never document text"),
+    // round-11 additions
+    ("q_ewma", 2,
+      "ONE user-keyed exchange shared by the 16-row frame list, the " +
+        "per-user count and the latest-row rank, + the output range " +
+        "sort; no self-join — the position weights come from a literal " +
+        "array"),
+    ("q_bpe_encode", 4,
+      "(doc, word) multiset agg + per-doc token-sum agg + the doc-spine " +
+        "left-join exchange + output sort; merge training lives behind " +
+        "the 1-row top checkpoints and the vocab-side token-count join " +
+        "rides the broadcast"),
+    ("q_doc_lm_score", 8,
+      "c12 + c1 reductions over the checkpointed (doc, bigram) table, " +
+        "the w1-keyed c12⋈c1 estimator join + its (w1,w2) re-shuffle " +
+        "(both COUNT-TABLE grain — the point of the AbLmScore shape), " +
+        "the doc-grain side's one bigram-keyed exchange, the per-doc " +
+        "score agg, the doc-spine join exchange, + output sort — no " +
+        "exchange ever moves document text"))
 
   for ((name, budget, why) <- budgets)
     test(s"$name stays within its shuffle budget of $budget ($why)") {
