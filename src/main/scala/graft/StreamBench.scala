@@ -20,6 +20,9 @@ import org.apache.spark.sql.streaming.Trigger
   *     per-user session windows (EventStreams.dedupEvents →
   *     sessionCounts): two stateful operators in one query, the
   *     curation-stream shape (exactly-once event feed → sessionized).
+  *   - `ewma` — transformWithState truncated-16 EWMA user snapshot
+  *     (streaming twin of q_ewma): O(users) state like tws, but a
+  *     16-row list ValueState per key instead of two counters
   *   - `tws` — transformWithState typed per-user running stats on the
   *     RocksDB state store provider (EventStreams.userStatsTws): the
   *     arbitrary-state API under its production store.
@@ -155,6 +158,19 @@ object StreamBench {
           in.select(col("user_id").cast("long"),
             col("value").cast("double")).as[(Long, Double)])
           .toDF("user_id", "n_events", "total_cents"), "update"),
+      // truncated-16 EWMA snapshot (round 11): same O(users) state
+      // class as tws but with a 16-row ring buffer per key instead of
+      // two counters — prices the list-shaped ValueState against the
+      // scalar one on the same feed.
+      ("ewma", in =>
+        streaming.EventStreams.ewmaTws(
+          in.select(col("user_id").cast("long"),
+            unix_micros(col("ts").cast("timestamp")),
+            col("event_id").cast("long"),
+            round(col("value") * 100).cast("long"))
+            .as[(Long, Long, Long, Long)])
+          .toDF("user_id", "n_events", "ewma_num", "ewma_milli"),
+        "update"),
       // stream-stream interval join (click ← views within 10 min):
       // BOTH sides buffer in the state store until the watermark
       // releases them — the heaviest state shape here, and the one

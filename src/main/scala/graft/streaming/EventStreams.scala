@@ -181,4 +181,70 @@ object EventStreams {
           Iterator(UserCount(user, n, v))
       }
   }
+
+  /** q_ewma's exact integer-rational weights: weight(lag j) =
+    * 3^j·4^(15−j) over the fixed denominator 4^16 (α = 1/4, window
+    * truncated at the 16 most recent events). Shared by the batch
+    * query's sequential replay and the streaming twin below. */
+  val EwmaWeights: IndexedSeq[Long] = (0 to 15).map(j =>
+    BigInt(3).pow(j).toLong * BigInt(4).pow(15 - j).toLong)
+
+  /** Last-16 retained rows (ts_micros, event_id, cents) + running event
+    * count — the whole per-user EWMA state: O(1) bytes per user
+    * regardless of history length, the property that lets the snapshot
+    * run forever on an unbounded feed. */
+  case class EwmaState(buf: Seq[(Long, Long, Long)], n: Long)
+
+  /** Streaming twin of q_ewma (EventQueries): per-user truncated-16
+    * EWMA over event value cents, emitted after every micro-batch.
+    * Input rows are (user_id, ts_micros, event_id, cents); output is
+    * (user_id, n_events, ewma_num, ewma_milli) — bit-identical to the
+    * batch query's row for the same event set (EwmaStreamSpec pins
+    * single-batch AND cross-batch parity). The merged buffer re-sorts
+    * by (ts, event_id) before truncating, so in-batch disorder and
+    * stragglers WITHIN the retained 16-row horizon reorder correctly;
+    * rows older than the horizon are gone by construction — the same
+    * contract every watermarked op here carries, just expressed in
+    * rows instead of time. */
+  class EwmaProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[(Long, Long, Long, Long)] = {
+      val prev = if (st.exists()) st.get() else EwmaState(Seq.empty, 0L)
+      val incoming = rows.map(r => (r._2, r._3, r._4)).toSeq
+      val buf = (prev.buf ++ incoming)
+        .sortBy(t => (t._1, t._2)).takeRight(16)
+      val n = prev.n + incoming.size
+      st.update(EwmaState(buf, n))
+      val m = buf.length
+      val num = buf.iterator.zipWithIndex.map { case ((_, _, c), k) =>
+        c * EwmaWeights(m - 1 - k)
+      }.sum
+      Iterator((user, n, num, num * 1000 / 4294967296L))
+    }
+  }
+
+  /** (user_id, n_events, ewma_num, ewma_milli) running per-user EWMA
+    * snapshot via transformWithState — the streaming twin of q_ewma. */
+  def ewmaTws(events: Dataset[(Long, Long, Long, Long)]):
+      Dataset[(Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new EwmaProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }
