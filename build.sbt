@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parser fix (round 12, third consecutive "parsed": null): the
+// driver tail-captures the last 2000 chars of `sbt runMain graft.Bench`
+// stdout and tries to parse a JSON summary line. Two sbt decorations
+// defeated it: (a) forked-process stdout is logged with an "[info] "
+// prefix by default, so the summary line never starts with '{'; (b) the
+// "[success] Total time" banner prints after it as the true last line.
+// StdoutOutput passes the forked JVM's stdout through verbatim, and
+// showSuccess drops the banner — so Bench's compact summary is the
+// literal last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -165,9 +165,9 @@ object StreamBench {
       ("ewma", in =>
         streaming.EventStreams.ewmaTws(
           in.select(col("user_id").cast("long"),
-            unix_micros(col("ts").cast("timestamp")),
+            unix_micros(col("ts")), // ts is already TIMESTAMP after fixTs
             col("event_id").cast("long"),
-            round(col("value") * 100).cast("long"))
+            round(col("value").cast("double") * 100).cast("long"))
             .as[(Long, Long, Long, Long)])
           .toDF("user_id", "n_events", "ewma_num", "ewma_milli"),
         "update"),

@@ -880,8 +880,12 @@ object EventQueries {
     // bit-identical in the twin with no float pow anywhere, and
     // ewma_milli is its exact integral milli-cent rescale. Domain
     // contract: |cents| < 2.1e6 (|value| ≤ ~$21k) keeps num·1000 < 2^63;
-    // events.value ≤ $561 and never null (LmTokenizerSpec replays the
-    // numerator sequentially; a null value would also desync Spark's
+    // ENFORCED with a raise_error guard (round-11 verdict item 7 —
+    // same pattern as q_event_dedup_first's negative-id guard), so
+    // out-of-contract data fails loudly instead of silently wrapping
+    // the BIGINT numerator. events.value ≤ $561 and never null
+    // (LmTokenizerSpec replays the numerator sequentially AND pins the
+    // guard both ways; a null value would also desync Spark's
     // null-dropping collect_list from DuckDB's null-keeping list()).
     // Shape: ONE user-keyed exchange — the bounded 16-row frame list,
     // the per-user row count, and the latest-row rank all ride the same
@@ -895,9 +899,15 @@ object EventQueries {
         BigInt(3).pow(j).toLong * BigInt(4).pow(15 - j).toLong)
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      val cents = round(col("value") * 100).cast("long")
+      val guardedCents = when(abs(cents) < 2100000L, cents)
+        .otherwise(raise_error(concat(
+          lit("q_ewma: |value| breaks the BIGINT numerator domain " +
+            "contract (|cents| < 2.1e6): "),
+          col("value").cast("string"))))
       Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"),
-          round(col("value") * 100).cast("long").as("cents"))
+          guardedCents.as("cents"))
         .withColumn("lst", collect_list(col("cents"))
           .over(w.rowsBetween(-15, 0)))
         .withColumn("rn", row_number().over(w))

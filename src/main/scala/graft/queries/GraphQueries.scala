@@ -35,6 +35,23 @@ object GraphQueries {
   private val Iters = 3
   /** Exposed for BucketingSpec's exchange-count plan assertion. */
   private[graft] def ItersForTest: Int = Iters
+
+  /** Unrolled iteration count for the FLAT (unbucketed) q_pagerank /
+    * q_ppr teaching forms ONLY. The pair exists as the measured
+    * anti-lever next to the bucketed production forms, but at the 100×
+    * grain it burned ~410 s (~20%) of the clean wide pass re-deriving
+    * 80 M edges per iteration BY DESIGN (round-11 verdict item 6) — so
+    * the wide-pass runner may cap the flat unroll via
+    * `SPARK_GRAFT_FLAT_GRAPH_ITERS=1`: the teaching contrast
+    * (per-iteration edge Exchange vs bucket-aligned reads) is
+    * per-iteration, so it survives at any count. Unset — Verify,
+    * pregate, the oracle compare, every default run — means the full
+    * [[Iters]], so the DuckDB twins are untouched; the BUCKETED
+    * production forms always run the full unroll. Bench discloses the
+    * override in its JSON (`flat_graph_iters`) whenever it is set. */
+  private def flatIters: Int =
+    sys.env.get("SPARK_GRAFT_FLAT_GRAPH_ITERS")
+      .map(_.toInt.max(1).min(Iters)).getOrElse(Iters)
   private val Unit = 1000000L // 1.0 in micro-units
   private val Base = 150000L  // 0.15 * Unit
 
@@ -70,7 +87,7 @@ object GraphQueries {
     // the node list instead of paying a second distinct over edges.
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.withColumn("r", lit(Unit))
-    for (_ <- 0 until Iters) {
+    for (_ <- 0 until flatIters) {
       val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))
@@ -742,7 +759,7 @@ object GraphQueries {
           when(isSeed, expr("1000000 DIV ns")).otherwise(0L).as("pmu"))
         .withColumn("r", col("pmu"))
         .localCheckpoint()
-      for (_ <- 0 until 3) {
+      for (_ <- 0 until flatIters) {
         val contrib = ew
           .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
           .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))

@@ -38,6 +38,10 @@ object SimilarityQueries {
 
   private val DIM = 64
   private val K = 5
+  /** q_hard_negatives' false-negative denoise ceiling: a cross-label
+    * candidate whose ROUNDED cosine exceeds this is a probable
+    * mislabeled near-dup, not a hard negative. */
+  private val FalseNegCeiling = 0.999
   private val N_PLANES = 8    // single-table histogram (q_lsh_buckets)
   private val LSH_TABLES = 4  // multi-table ANN (q_lsh_ann and pair queries)
   private val LSH_BITS = 4
@@ -315,6 +319,39 @@ object SimilarityQueries {
     "q_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       cosineTopK(e, e.filter(col("vec_id") < N_QUERIES))
+    }),
+
+    // HARD-NEGATIVE mining for contrastive training (round 12) — the
+    // retrieval-training data recipe (DPR/SimCSE class): for each
+    // anchor, the top-K most similar vectors with a DIFFERENT label are
+    // the informative negatives; candidates ABOVE the denoise ceiling
+    // (cos > 0.999 after the shared 6-decimal rounding) are excluded as
+    // probable false negatives (cross-label near-dups = label noise —
+    // the standard top-similar filter). Exact-arithmetic contract:
+    // cosine is the proven bit-parity double, rounded once, so ranks
+    // and the ceiling cut are hash-exact in the twin. Shape: the
+    // anchor set broadcasts (|Q| rows) against ONE linear corpus scan,
+    // then a WindowGroupLimit top-K per anchor — the q_cosine_topk
+    // class; at production scale the anchor batches route through the
+    // recall-gated IVF/LSH candidate path exactly like q_lsh_ann, with
+    // the label-disequality predicate applied post-candidate.
+    "q_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("id_a"), col("label").as("label_a"),
+          col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+        col("embedding").as("emb_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a"))
+        .orderBy(col("cos").desc, col("id_b"))
+      b.join(broadcast(q), col("label_a") =!= col("label_b"))
+        .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+        .filter(col("cos") <= FalseNegCeiling)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("id_a"), col("rn"), col("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("rn"))
     }),
 
     // MMR (maximal-marginal-relevance) re-ranking — the retrieval
@@ -1139,6 +1176,19 @@ object SimilarityQueries {
          |  SELECT id_a, id_b, cos,
          |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
          |  FROM pairs)
+         |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
+         |ORDER BY id_a, rn""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $sqlCosine AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.label <> b.label
+         |  WHERE a.vec_id < $N_QUERIES),
+         |f AS (SELECT * FROM pairs WHERE cos <= $FalseNegCeiling),
+         |ranked AS (
+         |  SELECT id_a, id_b, cos,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+         |  FROM f)
          |SELECT id_a, rn, id_b, cos FROM ranked WHERE rn <= $K
          |ORDER BY id_a, rn""".stripMargin,
 

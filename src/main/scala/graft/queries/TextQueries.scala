@@ -103,22 +103,23 @@ object TextQueries {
       val top = pairs.orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
         .select(col("pa"), col("pb"), col("n"), lit(r).as("round"))
         .localCheckpoint()
-      segs = segs.crossJoin(broadcast(top.select(col("pa"), col("pb"))))
-        .select(col("w"), col("wn"),
-          trim(expr("replace(' ' || seg || ' ', ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')"))
-            .as("seg"))
+      segs = applyMerge(segs, top, "wn")
       top
     }
   }
 
-  /** Exhaustive left-to-right application of the round-`i` merge to the
-    * delimiter-joined segment string — the shared apply step of
-    * [[bpeMergeRounds]] and q_bpe_encode's corpus-wide pass. */
-  private def applyMerge(segs: DataFrame, top: DataFrame): DataFrame =
+  /** Exhaustive left-to-right application of a trained merge to the
+    * delimiter-joined segment string — THE definition of the
+    * merge-apply semantics, in exactly one place (round-11 ADVICE):
+    * shared by the training rounds ([[bpeMergeRounds]], which passes
+    * the word count `wn` through) and q_bpe_encode's corpus-wide pass
+    * (no passthrough). */
+  private def applyMerge(segs: DataFrame, top: DataFrame,
+      passThrough: String*): DataFrame =
     segs.crossJoin(broadcast(top.select(col("pa"), col("pb"))))
-      .select(col("w"),
+      .select((col("w") +: passThrough.map(col)) :+
         trim(expr("replace(' ' || seg || ' ', ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')"))
-          .as("seg"))
+          .as("seg"): _*)
 
   /** DuckDB CTE chain that replicates [[bpeMergeRounds]] exactly —
     * hoisted from the q_bpe_merges oracle so q_bpe_encode's twin can
@@ -366,7 +367,7 @@ object TextQueries {
       val seg0 = docWords.select(col("w")).distinct()
         .localCheckpoint() // vocab-sized; 3 merge rounds otherwise re-grow lineage to the corpus scan
         .select(col("w"), array_join(chars, "  ").as("seg"))
-      val segN = tops.foldLeft(seg0)(applyMerge)
+      val segN = tops.foldLeft(seg0)((sg, t) => applyMerge(sg, t))
       val wtok = segN.select(col("w"), size(split(col("seg"), "  ")).as("n_tok"))
       val per = docWords.join(wtok, Seq("w"))
         .groupBy(col("doc_id"))

@@ -152,6 +152,56 @@ object TrainPrepQueries {
     // (80/10/10). Pure map-side; the assignment is a property of the row,
     // not of the partitioning, so executors can split shards
     // independently and a doc never migrates between splits across runs.
+    // DSIR-style importance weights for data SELECTION (round 12) —
+    // the hashed n-gram importance-resampling recipe of Xie et al.
+    // 2023 ("Data Selection for Language Models via Importance
+    // Resampling", public paper), in this library's all-integer form:
+    // tokens hash into 4096 buckets (portable md5 hash, twin-exact);
+    // the target distribution is the English sub-corpus, the source is
+    // the whole corpus; each bucket's affinity is the difference of
+    // add-one-smoothed MICRO-probabilities (c+1)·1e6 DIV (N+B) — the
+    // q_doc_lm_score estimator family, log-free so the score is
+    // hash-gated — and a doc's weight is the count-weighted sum.
+    // keep = (weight > 0): docs that look more target than source.
+    // Shape: ONE corpus-mass explode to (doc, lang, bucket, m) grain,
+    // localCheckpoint'd (it is the persisted feature-count artifact);
+    // the bucket tables (≤ 4096 rows) and the 1-row totals reduce from
+    // it; the estimator attaches at BUCKET grain so the doc-grain rows
+    // shuffle once on the bucket key — the exact q_doc_lm_score
+    // join-shape argument (AbLmScore), with a 4096-row bound instead
+    // of vocab². At 100 TB the bucket table is a broadcast constant.
+    "q_dsir_weights" -> ((s, d) => {
+      val B = 4096L
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
+        .select(col("doc_id"), col("lang"), (phash(col("tok"), 29) % B).as("b"))
+      val dbc = toks.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("m"))
+        .localCheckpoint()
+      val srcC = dbc.groupBy(col("b")).agg(sum(col("m")).as("c_s"))
+      val tgtC = dbc.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(sum(col("m")).as("c_t"))
+      val totals = dbc.agg(sum(col("m")).as("n_s"),
+        sum(when(col("lang") === "en", col("m")).otherwise(0L)).as("n_t"))
+      val ratio = srcC.join(tgtC, Seq("b"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("b"),
+          (expr(s"(coalesce(c_t, CAST(0 AS BIGINT)) + 1) * 1000000 DIV (n_t + $B)") -
+            expr(s"(c_s + 1) * 1000000 DIV (n_s + $B)")).as("dpm"))
+      val scored = dbc.join(ratio, Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("n_toks"),
+          sum(col("m") * col("dpm")).as("dsir_micro"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"),
+          (coalesce(col("dsir_micro"), lit(0L)) > 0L).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_hash_split" -> ((s, d) => {
       val bucket = phash(col("doc_id").cast(StringType), 7) % 100L
       Tables.documents(s, d).select(
@@ -536,6 +586,42 @@ object TrainPrepQueries {
         |    AS dup_trigram_cover
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_dsir_weights" -> {
+      val bkt = s"${sqlPhash("tok", 29)} % 4096"
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $bkt AS b
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(list_filter(string_split(text, ' '),
+         |        t -> len(t) > 0)) AS tok
+         |    FROM documents)),
+         |dbc AS (
+         |  SELECT doc_id, lang, b, COUNT(*) AS m FROM toks GROUP BY 1, 2, 3),
+         |src AS (SELECT b, CAST(SUM(m) AS BIGINT) AS c_s FROM dbc GROUP BY b),
+         |tgt AS (
+         |  SELECT b, CAST(SUM(m) AS BIGINT) AS c_t FROM dbc
+         |  WHERE lang = 'en' GROUP BY b),
+         |tot AS (
+         |  SELECT CAST(SUM(m) AS BIGINT) AS n_s,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN m ELSE 0 END) AS BIGINT) AS n_t
+         |  FROM dbc),
+         |ratio AS (
+         |  SELECT src.b,
+         |    (COALESCE(c_t, 0) + 1) * 1000000 // (n_t + 4096)
+         |      - (c_s + 1) * 1000000 // (n_s + 4096) AS dpm
+         |  FROM src LEFT JOIN tgt ON src.b = tgt.b CROSS JOIN tot),
+         |scored AS (
+         |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_toks,
+         |    CAST(SUM(m * dpm) AS BIGINT) AS dsir_micro
+         |  FROM dbc JOIN ratio ON dbc.b = ratio.b GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_toks, 0) AS n_toks,
+         |  COALESCE(dsir_micro, 0) AS dsir_micro,
+         |  COALESCE(dsir_micro, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_hash_split" -> {
       val b = s"${sqlPhash("CAST(doc_id AS VARCHAR)", 7)} % 100"

@@ -200,12 +200,13 @@ object EventStreams {
     * Input rows are (user_id, ts_micros, event_id, cents); output is
     * (user_id, n_events, ewma_num, ewma_milli) — bit-identical to the
     * batch query's row for the same event set (EwmaStreamSpec pins
-    * single-batch AND cross-batch parity). The merged buffer re-sorts
-    * by (ts, event_id) before truncating, so in-batch disorder and
-    * stragglers WITHIN the retained 16-row horizon reorder correctly;
-    * rows older than the horizon are gone by construction — the same
-    * contract every watermarked op here carries, just expressed in
-    * rows instead of time. */
+    * single-batch AND cross-batch parity). The invariant is stronger
+    * than a watermark contract: merge-sort-takeRight(16) keeps the 16
+    * globally NEWEST (ts, event_id) rows seen so far, and
+    * "16-newest-so-far" is monotone under any arrival order — so the
+    * final snapshot equals the batch row for ANY cross-batch disorder,
+    * not just disorder within the retained horizon (this is what the
+    * spec's cross-batch test actually relies on). */
   class EwmaProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, Long), (Long, Long, Long, Long)] {

@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** In-stream MinHash-LSH near-duplicate suppression — the streaming twin
   * of the batch MinHash family (`queries/DedupQueries.scala`): every
@@ -118,7 +118,13 @@ object NearDupStream {
   /** TTL'd variant: owners expire `ttlMs` after their last write — the
     * dedup-within-retention-window production contract (processing-time
     * TTL is the only mode RocksDB TTL supports without event-time
-    * timers; an expired bucket is simply re-claimable). */
+    * timers; an expired bucket is simply re-claimable). WALL-CLOCK
+    * expiry: a backfill replayed at full speed dedups against the wrong
+    * horizon — use [[candidatesEventTime]] for replays. Harness note: a
+    * ProcessingTime-mode query never quiesces (timers keep the engine
+    * scheduling batches), so tests must drive it with the terminating
+    * `Trigger.AvailableNow`, never `processAllAvailable` (which
+    * live-locks — NearDupStreamSpec's contrast test documents this). */
   class TtlBucketOwnerProcessor(ttlMs: Long) extends BucketOwnerProcessor {
     override def ttl: TTLConfig = TTLConfig(java.time.Duration.ofMillis(ttlMs))
   }
@@ -136,6 +142,119 @@ object NearDupStream {
       .transformWithState(proc,
         if (ttlMs > 0L) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** [[BandedDoc]] with the event-time column carried through — the
+    * input row of [[candidatesEventTime]]. `ts` is the WATERMARKED
+    * column itself (declared upstream by `withWatermark`; the
+    * projection preserves the marker), so event-time timers and
+    * late-row handling both key off it. */
+  case class TsBandedDoc(band: Int, band_key: String, doc_id: Long,
+      sig: Array[Long], ts: java.sql.Timestamp)
+
+  /** [[bandedDocs]] with `ts` carried through. */
+  def bandedDocsTs(docs: DataFrame): Dataset[TsBandedDoc] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.GraftFunctions.{hashed_shingles, min_hash_slots}
+    docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        hashed_shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", min_hash_slots(col("sh"), NumHashes))
+      .select(col("doc_id"), col("sig"), col("ts"),
+        explode(array((0 until Bands).map(b => struct(
+          lit(b).as("band"),
+          concat_ws("_", element_at(col("sig"), 2 * b + 1),
+            element_at(col("sig"), 2 * b + 2)).as("band_key"))): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.band_key").as("band_key"),
+        col("doc_id"), col("sig"), col("ts"))
+      .as[TsBandedDoc]
+  }
+
+  /** EVENT-TIME retention (round-11 verdict item 5): the
+    * processing-time TTL of [[TtlBucketOwnerProcessor]] expires buckets
+    * by WALL clock, so a backfill replayed at full speed dedups against
+    * the wrong horizon (10 data-days replay in seconds — nothing
+    * expires; NearDupStreamSpec pins that contrast). This processor
+    * keys retention on the event-time watermark instead:
+    *
+    *   - the owner state carries its expiry (last touch ts + ttl);
+    *     every touch refreshes it (mirroring TTLConfig's
+    *     refresh-on-write), re-arming the bucket's ONE timer;
+    *   - `handleExpiredTimer` clears the owner once the watermark
+    *     passes the expiry (a stale timer from an earlier re-arm fires
+    *     harmlessly: it only clears when the CURRENT expiry has passed);
+    *   - arrivals ALSO check the stored expiry against the current
+    *     watermark inline, so replay equivalence never depends on
+    *     timer-vs-input ordering inside a batch.
+    *
+    * In-batch ties resolve by (ts, doc_id) — the EARLIEST event claims
+    * the bucket — so re-running a backfill reproduces identical owners.
+    * State stays O(occupied buckets), now additionally bounded by the
+    * event-time horizon. */
+  class EventTimeBucketOwnerProcessor(ttlMs: Long)
+      extends StatefulProcessor[(Int, String), TsBandedDoc, DupCandidate] {
+    @transient private var owner: ValueState[(Long, Array[Long], Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[(Long, Array[Long], Long)]("owner",
+        Encoders.product[(Long, Array[Long], Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, String),
+        rows: Iterator[TsBandedDoc],
+        tv: TimerValues): Iterator[DupCandidate] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val batch = rows.toArray.sortBy(d => (d.ts.getTime, d.doc_id))
+      var (oid, osig, oexp) =
+        if (owner.exists()) owner.get()
+        else (Long.MaxValue, null: Array[Long], Long.MinValue)
+      // expired by event time even if the timer hasn't fired yet
+      if (osig != null && oexp <= wm) { oid = Long.MaxValue; osig = null }
+      val prevExp = if (osig != null) Some(oexp) else None
+      val out = new scala.collection.mutable.ArrayBuffer[DupCandidate](batch.length)
+      batch.foreach { d =>
+        if (osig == null) {
+          oid = d.doc_id; osig = d.sig; oexp = d.ts.getTime + ttlMs
+        } else {
+          if (d.doc_id != oid) {
+            var m = 0
+            var j = 0
+            val n = math.min(osig.length, d.sig.length)
+            while (j < n) { if (d.sig(j) == osig(j)) m += 1; j += 1 }
+            out += DupCandidate(d.doc_id, d.band, oid, m)
+          }
+          oexp = math.max(oexp, d.ts.getTime + ttlMs)
+        }
+      }
+      if (osig != null) {
+        if (!prevExp.contains(oexp)) {
+          prevExp.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(oexp)
+        }
+        owner.update((oid, osig, oexp))
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, String), tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[DupCandidate] = {
+      if (owner.exists() && owner.get()._3 <= info.getExpiryTimeInMs)
+        owner.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[candidates]] with event-time retention: docs(doc_id, text, ts) →
+    * dup-candidate stream, buckets expiring `ttlMs` after their last
+    * touch IN EVENT TIME (timer on the watermark). `delay` is the
+    * allowed event-time disorder, the standard watermark knob. */
+  def candidatesEventTime(docs: DataFrame, ttlMs: Long,
+      delay: String = "1 minute"): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    bandedDocsTs(docs.withWatermark("ts", delay))
+      .groupByKey(d => (d.band, d.band_key))
+      .transformWithState(new EventTimeBucketOwnerProcessor(ttlMs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Batch twin of a SINGLE-BATCH run of [[candidates]]: bucket owner =

@@ -140,6 +140,33 @@ class LmTokenizerSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("q_ewma enforces the |value| domain contract with raise_error") {
+    // The overflow contract (|cents| < 2.1e6 keeps num·1000 < 2^63) is
+    // ENFORCED, not just documented — same pattern as
+    // q_event_dedup_first's negative-id guard. Out-of-contract data
+    // must fail loudly instead of silently wrapping the numerator.
+    import spark.implicits._
+    def writeEvents(value: Double): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ewma_guard").toString
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, value, "click"))
+        .toDF("user_id", "ts", "event_id", "value", "event_type")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // just inside the contract: must not trip the guard
+    val ok = SparkEntry.queries("q_ewma")(spark, writeEvents(20999.99)).collect()
+    assert(ok.length === 1 && ok(0).getLong(2) === 2099999L * 1073741824L)
+    // out of contract: must raise, naming the query
+    val ex = intercept[Throwable] {
+      SparkEntry.queries("q_ewma")(spark, writeEvents(21000.01)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("q_ewma")),
+      s"expected the q_ewma contract error, got: ${chain(ex).mkString(" | ")}")
+  }
+
   test("q_doc_lm_score internal consistency: permille bounds and DIV identities") {
     val scores = SparkEntry.queries("q_doc_lm_score")(spark, sf())
       .filter(col("n_bigrams") > 0).collect()

@@ -75,6 +75,59 @@ class EwmaStreamSpec extends SparkTestBase {
     assert(runStream(batches, "ewma_three") === batchExpected)
   }
 
+  test("checkpoint restart: the 16-row ring survives bit-identically") {
+    // The crash-recovery contract for the ring state (round-11 verdict
+    // item 4): kill the query after a 20-event batch, start a FRESH
+    // query from the same checkpoint, feed 4 more events — the final
+    // row must equal an UNBROKEN run over the same two batches. A
+    // restore that truncated or reordered the ring desyncs the
+    // numerator; one that lost the running count desyncs n_events.
+    val b1 = (1 to 20).map(i => (7L, i.toLong * 1000000L, i.toLong, i.toLong * 100))
+    val b2 = (21 to 24).map(i => (7L, i.toLong * 1000000L, i.toLong, i.toLong * 100))
+    val unbroken = runStream(Seq(b1, b2), "ewma_restore_ref")(7L)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ewma_ckpt").toString
+      val stream = MemoryStream[(Long, Long, Long, Long)]
+      // memory sink refuses checkpoint recovery by design; foreachBatch
+      // is the recoverable sink shape (same as EventStreamsSpec's tws
+      // restart test).
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      def start() = EventStreams.ewmaTws(stream.toDS())
+        .toDF("user_id", "n_events", "ewma_num", "ewma_milli")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          out.synchronized { out ++= rows; () }
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val q1 = start()
+      try { stream.addData(b1); q1.processAllAvailable() }
+      finally q1.stop() // the "crash": query gone, ring only in ckpt
+      val q2 = start()
+      try { stream.addData(b2); q2.processAllAvailable() } finally q2.stop()
+      val last = out.synchronized { out.filter(_._1 == 7L).maxBy(_._2) }
+      // n_events = 24 is only reachable THROUGH recovered state (a reset
+      // store would report 4); the numerator equality pins the ring's
+      // contents and order bit-for-bit.
+      assert(last._2 === 24L, s"running count not recovered: $last")
+      assert((last._2, last._3, last._4) === unbroken,
+        "restored ring must reproduce the unbroken run exactly")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("state horizon: 20 events converge to the last-16 numerator") {
     // One user, 20 in-order events; the first 4 must not influence the
     // final numerator (weights cover only the 16 most recent).

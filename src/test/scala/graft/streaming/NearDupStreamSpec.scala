@@ -105,6 +105,45 @@ class NearDupStreamSpec extends SparkTestBase {
     }
   }
 
+  test("checkpoint restart: bucket owners survive — late copies hit the pre-crash owner") {
+    // Crash-recovery for the owner state (round-11 verdict item 4):
+    // batch 1 claims all 20 synthetic buckets, the query is killed, a
+    // FRESH query restarts from the checkpoint, and batch 2's exact
+    // copies must each emit 4 candidates against the PRE-CRASH owner.
+    // The failure mode this pins: a reset store lets the copies claim
+    // fresh buckets and emit NOTHING — silent dup admission.
+    withRocksDb {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_neardup_ckpt").toString
+      val stream = MemoryStream[(Long, String)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Int)]
+      def start() = NearDupStream.candidates(stream.toDF().toDF("doc_id", "text"))
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("doc_id", "band", "owner_id", "n_sig_match")
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+          out.synchronized { out ++= rows; () }
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val q1 = start()
+      try { stream.addData(synthDocs); q1.processAllAvailable() }
+      finally q1.stop() // the "crash": owners exist only in the checkpoint
+      assert(out.synchronized(out.isEmpty), "claims must be silent")
+      val q2 = start()
+      try {
+        stream.addData(synthCopies)
+        q2.processAllAvailable()
+        val got = out.synchronized(out.toSet)
+        for ((copyId, _) <- synthCopies; b <- 0 until NearDupStream.Bands)
+          assert(got.contains((copyId, b, copyId - 1000000L, 8)),
+            s"copy $copyId band $b must match the recovered owner " +
+              s"(a reset store claims silently): $got")
+      } finally q2.stop()
+    }
+  }
+
   test("short docs (no 3-gram) are dropped, not errored") {
     withRocksDb {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -117,6 +156,94 @@ class NearDupStreamSpec extends SparkTestBase {
         q.processAllAvailable()
         assert(spark.table("neardup_short_out").count() === 0L)
       } finally q.stop()
+    }
+  }
+
+  test("event-time TTL: backfill replay dedups against the DATA's horizon, not wall clock") {
+    // Round-11 verdict item 5: the processing-time TTLConfig expires
+    // buckets by wall clock, so a backfill replayed at full speed dedups
+    // against the wrong horizon. candidatesEventTime keys retention on
+    // the event-time watermark instead: this replay compresses 10 data
+    // days into seconds and the 7-day horizon must still hold.
+    withRocksDb {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val day = 86400000L
+      val t0 = 1700000000000L
+      def ts(ms: Long) = new java.sql.Timestamp(ms)
+      val textA = synthDocs(0)._2
+      val textB = synthDocs(1)._2
+      val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = NearDupStream.candidatesEventTime(
+        stream.toDF().toDF("doc_id", "text", "ts"), ttlMs = 7 * day)
+        .toDF().writeStream.format("memory").queryName("neardup_et_out")
+        .outputMode("update").start()
+      try {
+        // day 0: A and B claim their buckets
+        stream.addData(Seq((100L, textA, ts(t0)), (300L, textB, ts(t0))))
+        q.processAllAvailable()
+        // day 3 (inside the horizon): B's copy must still match; the
+        // day-10 filler advances the watermark past A/B's day-7 expiry
+        stream.addData(Seq((400L, textB, ts(t0 + 3 * day)),
+          (900L, synthDocs(2)._2, ts(t0 + 10 * day))))
+        q.processAllAvailable()
+        // watermark is now ~day 10: the expired owners' timers fire
+        stream.addData(Seq((901L, synthDocs(3)._2, ts(t0 + 10 * day + 3600000L))))
+        q.processAllAvailable()
+        // day 10+2h: A's copy arrives PAST the retention horizon — it
+        // must claim a fresh bucket, not match the expired owner
+        stream.addData(Seq((200L, textA, ts(t0 + 10 * day + 7200000L))))
+        q.processAllAvailable()
+        val got = asSet(spark.table("neardup_et_out")
+          .select("doc_id", "band", "owner_id", "n_sig_match").collect())
+        for (b <- 0 until NearDupStream.Bands)
+          assert(got.contains((400L, b, 300L, 8)),
+            s"within-horizon copy must match its owner in band $b: $got")
+        assert(!got.exists(_._1 == 200L),
+          s"copy past the event-time horizon must NOT match: $got")
+      } finally q.stop()
+    }
+  }
+
+  test("processing-time TTL on a fast replay keeps the stale owner (the contrast event-time mode fixes)") {
+    // NOTE: a TimeMode.ProcessingTime query never quiesces — its timers
+    // keep the micro-batch engine scheduling, so `processAllAvailable`
+    // live-locks (measured: ~11k stages in 35 min on a 1-doc batch).
+    // Production streams run forever so this is only a HARNESS concern:
+    // drive it with the terminating Trigger.AvailableNow, one query per
+    // batch, recoverable foreachBatch sink (the restore-test shape).
+    withRocksDb {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_neardup_pt").toString
+      val stream = MemoryStream[(Long, String)]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Int)]
+      def runBatch(): Unit = {
+        val q = NearDupStream.candidates(
+          stream.toDF().toDF("doc_id", "text"), ttlMs = 7 * 86400000L)
+          .toDF().writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = df.select("doc_id", "band", "owner_id", "n_sig_match")
+              .collect()
+              .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+            out.synchronized { out ++= rows; () }
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination(120000) finally q.stop()
+      }
+      stream.addData(Seq((100L, synthDocs(0)._2)))
+      runBatch()
+      // the "day-10" copy replayed seconds later in wall clock: the
+      // processing-time TTL has not expired, so the copy matches the
+      // stale owner — correct under the within-wall-clock-window
+      // contract, wrong for a backfill; the documented reason
+      // candidatesEventTime exists.
+      stream.addData(Seq((200L, synthDocs(0)._2)))
+      runBatch()
+      val got = out.synchronized(out.toSet)
+      for (b <- 0 until NearDupStream.Bands)
+        assert(got.contains((200L, b, 100L, 8)), s"got: $got")
     }
   }
 
