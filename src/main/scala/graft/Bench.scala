@@ -91,7 +91,17 @@ object Bench {
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Outside the timed section: drop this query's localCheckpoint RDD
+      // blocks. Checkpoint-heavy queries otherwise accumulate storage
+      // faster than the ContextCleaner reclaims it, and at 100× a
+      // late-alphabet query can OOM the shared local-mode heap (measured:
+      // the first r12 final-tree 100× pass died at q_pagerank with heap
+      // OOM after two new checkpoint-carrying queries joined the fleet;
+      // every query builds its checkpoints fresh, so nothing is shared
+      // across queries and the unpersist is free).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      (sec, err)
     }
 
     // Canary: a cheap fixed query interleaved through every pass. Its
