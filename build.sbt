@@ -39,4 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // JDK-17 G1 GCLocker starvation workaround (round 12): three 100×
+  // fleet passes died at the shuffle-heaviest query with
+  // "[gc,alloc] Retried waiting for GCLocker too often" followed by a
+  // SPURIOUS OutOfMemoryError (heap had room; allocation failed because
+  // 32 concurrent tasks' JNI critical sections — shuffle compression
+  // codecs — starved the GC lock). The standard mitigation: retry the
+  // GCLocker-blocked allocation more times before surfacing OOM.
+  "-XX:GCLockerRetryAllocationCount=100",
 )
