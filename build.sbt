@@ -45,6 +45,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // SPURIOUS OutOfMemoryError (heap had room; allocation failed because
   // 32 concurrent tasks' JNI critical sections — shuffle compression
   // codecs — starved the GC lock). The standard mitigation: retry the
-  // GCLocker-blocked allocation more times before surfacing OOM.
+  // GCLocker-blocked allocation more times before surfacing OOM
+  // (diagnostic flag on JDK 17, hence the unlock).
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
 )
