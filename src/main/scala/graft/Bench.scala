@@ -61,6 +61,7 @@ object Bench {
     // Fixture setup out of the timed path (and out of query builders).
     queries.ClinicalQueries.fixturePath
     sources.DicomFixtures.ensure()
+    sources.DicomNearDupFixtures.ensure()
     try Tables.documentsSpread(spark, sfDir) catch { case _: Throwable => () }
     // Warm-up pass at the smallest SF: compiles every query's codegen
     // units and JITs the hot paths, so the timed pass measures the
@@ -85,6 +86,11 @@ object Bench {
 
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
+      // Snapshot BEFORE the timed call so only THIS query's
+      // localCheckpoint RDDs are dropped afterwards (round-13 advice:
+      // unpersisting everything silently breaks the moment any fixture
+      // persists shared state — no error, just per-query recompute).
+      val preIds = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
@@ -97,10 +103,12 @@ object Bench {
       // faster than the ContextCleaner reclaims it, and at 100× a
       // late-alphabet query can OOM the shared local-mode heap (measured:
       // the first r12 final-tree 100× pass died at q_pagerank with heap
-      // OOM after two new checkpoint-carrying queries joined the fleet;
-      // every query builds its checkpoints fresh, so nothing is shared
-      // across queries and the unpersist is free).
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // OOM after two new checkpoint-carrying queries joined the fleet).
+      // blocking=true so block-removal work cannot bleed into the next
+      // query's timed window.
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!preIds.contains(id)) rdd.unpersist(true)
+      }
       (sec, err)
     }
 
@@ -235,6 +243,13 @@ object Bench {
             case (k, v, None) if v > 0 && base.get(k).exists(_ > 0) =>
               (k, v, base(k))
           }
+          // A baseline file that parses to (almost) nothing must not be
+          // silently read as "no baseline" (round-13 advice: regex
+          // format drift would quietly delete the fingerprint).
+          if (common.size < results.size / 2)
+            System.err.println(s"[bench] WARNING: baseline ${f.getPath} " +
+              s"matched only ${common.size}/${results.size} queries — " +
+              "parse regression or stale baseline?")
           // need a broad sample for deciles to mean anything
           if (common.size < 20) None
           else {
@@ -272,10 +287,6 @@ object Bench {
     val regimeField = fingerprintJson
       .flatMap(j => """"regime":"([a-z]+)"""".r.findFirstMatchIn(j))
       .map(m => s""""regime":"${m.group(1)}",""").getOrElse("")
-    // Disclosure: the flat-graph iteration cap, when the wide-pass
-    // runner sets it (GraphQueries.flatIters), is part of the artifact.
-    val flatItersField = sys.env.get("SPARK_GRAFT_FLAT_GRAPH_ITERS")
-      .map(v => s""""flat_graph_iters":$v,""").getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"sf":"$sfDir","reps":$reps,"wall_sec":$wallSec,""" +
@@ -284,15 +295,31 @@ object Bench {
         f""""over_2x_median_frac":$overFrac%.3f},""" +
         f""""loadavg":{"start":$loadStart%.2f,"end":$loadEnd%.2f},""" +
         f""""steal_frac":$stealFrac%.4f,""" +
-        fingerprintField + flatItersField +
+        fingerprintField +
         s""""contended":$contended,""" +
         s""""contended_by":${contendedBy.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(line)
     // The driver tail-captures stdout and can truncate the per-query map
     // (r1 vs r2 comparison lost 40% of it) — always persist the full
     // line to a file as well. Override with SPARK_GRAFT_BENCH_OUT.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+    val outFileRequested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_full_latest.json").getAbsolutePath)
+    // A run with errors must not land under a healthy-looking bench_*
+    // basename (round-12 verdict item 5: two crashed partials at the
+    // repo root read as passes to a cold consumer): rewrite the
+    // basename to partial_<name> unless the caller already marked it.
+    val nErrors = results.count(_._3.isDefined)
+    val outFile = {
+      val f = new java.io.File(outFileRequested)
+      val base = f.getName
+      if (nErrors > 0 && base.startsWith("bench_") &&
+          !base.toLowerCase.contains("partial")) {
+        val renamed = new java.io.File(f.getParentFile, "partial_" + base)
+        System.err.println(s"[bench] $nErrors queries errored — writing " +
+          s"${renamed.getPath} instead of $base")
+        renamed.getAbsolutePath
+      } else outFileRequested
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
@@ -311,8 +338,8 @@ object Bench {
     val compactHead =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
         f""""reps":$reps,"wall_sec":$wallSec%.1f,"n_queries":${results.size},""" +
-        s""""n_errors":${results.count(_._3.isDefined)},""" +
-        f""""steal_frac":$stealFrac%.4f,""" + regimeField + flatItersField +
+        s""""n_errors":$nErrors,""" +
+        f""""steal_frac":$stealFrac%.4f,""" + regimeField +
         s""""contended":$contended,""" +
         s""""contended_by":${contendedBy.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""queries_truncated":true,"queries_full":${jstr(outFile)},"queries":{"""

@@ -20,6 +20,7 @@ object Verify {
     // here, not inside any query builder.
     queries.ClinicalQueries.fixturePath
     sources.DicomFixtures.ensure()
+    sources.DicomNearDupFixtures.ensure()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (single-query scale
     // spot-checks, same contract as Bench); unset = full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -299,14 +299,33 @@ object AggQueries {
         .orderBy(col("o_custkey"))
     }),
 
-    // Exact + grouped distinct counts.
+    // Exact + grouped distinct counts. Two count(DISTINCT) families
+    // plus a plain count in ONE aggregate forces Catalyst's Expand —
+    // every input row tripled before the shuffle (the
+    // q_approx_count_distinct lesson, measured 4.4 s vs 1.3 s at
+    // sf0.1; round 13: this query also sat 1.3–1.6× above its 100×
+    // golden in every r12-tree run). Instead each family is its own
+    // two-level aggregate — map-side partial dedup, then a 3-row count
+    // — joined on the flag. The scan doubles (n_rows rides the orders
+    // branch as Σ of the per-key counts), but each scan reads only its
+    // pruned columns (disposition: plan_audit expects
+    // scans=[lineitem x2]) and the shuffled bytes drop from 3×|rows|
+    // to |distinct keys|: the right trade at any scale where shuffle,
+    // not I/O, is the bottleneck.
     "q_count_distinct" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      val li = Tables.lineitem(s, d)
+      val orders = li
+        .groupBy(col("l_returnflag"), col("l_orderkey"))
+        .agg(count(lit(1)).as("_n"))
         .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
-          count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("_n")).as("n_rows"))
+      val partSupp = li
+        .groupBy(col("l_returnflag"), col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("_n"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_part_supp"))
+      orders.join(partSupp, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_orders"), col("n_part_supp"),
+          col("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -266,7 +266,9 @@ object EventQueries {
         .otherwise(raise_error(concat(
           lit("q_event_dedup_first: negative event_id breaks the " +
             "packed-decimal argmin contract: "),
-          col("event_id").cast("string"))))
+          // coalesce: a NULL id also lands here, and concat(lit, NULL)
+          // is NULL — the error must still name the query.
+          coalesce(col("event_id").cast("string"), lit("NULL")))))
       Tables.events(s, d)
         .withColumn("pk",
           unix_micros(col("ts").cast("timestamp")).cast("decimal(38,0)") *
@@ -904,7 +906,9 @@ object EventQueries {
         .otherwise(raise_error(concat(
           lit("q_ewma: |value| breaks the BIGINT numerator domain " +
             "contract (|cents| < 2.1e6): "),
-          col("value").cast("string"))))
+          // coalesce: a NULL value also lands here, and concat(lit,
+          // NULL) is NULL — the error must still name the query.
+          coalesce(col("value").cast("string"), lit("NULL")))))
       Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"),
           guardedCents.as("cents"))

@@ -36,22 +36,6 @@ object GraphQueries {
   /** Exposed for BucketingSpec's exchange-count plan assertion. */
   private[graft] def ItersForTest: Int = Iters
 
-  /** Unrolled iteration count for the FLAT (unbucketed) q_pagerank /
-    * q_ppr teaching forms ONLY. The pair exists as the measured
-    * anti-lever next to the bucketed production forms, but at the 100×
-    * grain it burned ~410 s (~20%) of the clean wide pass re-deriving
-    * 80 M edges per iteration BY DESIGN (round-11 verdict item 6) — so
-    * the wide-pass runner may cap the flat unroll via
-    * `SPARK_GRAFT_FLAT_GRAPH_ITERS=1`: the teaching contrast
-    * (per-iteration edge Exchange vs bucket-aligned reads) is
-    * per-iteration, so it survives at any count. Unset — Verify,
-    * pregate, the oracle compare, every default run — means the full
-    * [[Iters]], so the DuckDB twins are untouched; the BUCKETED
-    * production forms always run the full unroll. Bench discloses the
-    * override in its JSON (`flat_graph_iters`) whenever it is set. */
-  private def flatIters: Int =
-    sys.env.get("SPARK_GRAFT_FLAT_GRAPH_ITERS")
-      .map(_.toInt.max(1).min(Iters)).getOrElse(Iters)
   private val Unit = 1000000L // 1.0 in micro-units
   private val Base = 150000L  // 0.15 * Unit
 
@@ -67,27 +51,31 @@ object GraphQueries {
       .unionAll(cs.select(col("supp").as("src"), col("cust").as("dst")))
   }
 
+  /** The same shared (src, dst, outdeg) edge materialization as
+    * [[bucketedEdges]], read METADATA-BLIND (plain parquet by path, no
+    * bucket info): identical rows, but the scan reports no output
+    * partitioning, so each iteration's ranks⋈edges join must Exchange
+    * the full edge side. This is the flat twins' whole point — the
+    * per-iteration plan-shape contrast against the bucketed forms —
+    * without re-paying the lineitem⋈orders+distinct edge DERIVATION
+    * per run (round-12: that derivation plus its 80 M-row
+    * localCheckpoint was ~20% of the 100× fleet wall and the locus of
+    * the GCLocker OOM crashes; the `SPARK_GRAFT_FLAT_GRAPH_ITERS`
+    * crutch it forced is gone with it). */
+  private def flatEdges(s: SparkSession, d: String): DataFrame =
+    QueryUtil.sharedTableUnbucketed(s, d, "edges_b", "src", Seq("src")) {
+      edgesWithOutdeg(s, d)
+    }
+
   private[graft] def pagerank(s: SparkSession, d: String): DataFrame = {
-    // Materialize (src, dst, outdeg) ONCE (localCheckpoint truncates
-    // the lineage, same as operators.DedupClusters): without it every
-    // iteration's plan re-derives the join+distinct edge derivation
-    // from the base tables. Per iteration the ranks side is O(nodes) —
-    // ~1% of edges — so AQE converts the join to broadcast at runtime
-    // (no hint: at extreme node counts the shuffle join on src is the
-    // correct Pregel shape, and AQE makes that call per scale).
-    // One materialization of the derived edge list: deg and ew both
-    // build from the checkpointed e, so the lineitem⋈orders+distinct
-    // derivation runs once, not once per consumer.
-    val e = edges(s, d).localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-    val ew = e.join(deg, Seq("src")).localCheckpoint()
-    // deg already holds exactly the distinct sources (and every node of
-    // the both-directions edge set appears as a source) — reuse it as
-    // the node list instead of paying a second distinct over edges.
-    val nodes = deg.select(col("src").as("node"))
+    // Per iteration the ranks side is O(nodes) — ~1% of edges — so AQE
+    // converts the join to broadcast at runtime (no hint: at extreme
+    // node counts the shuffle join on src is the correct Pregel shape,
+    // and AQE makes that call per scale).
+    val ew = flatEdges(s, d)
+    val nodes = ew.select(col("src").as("node")).distinct()
     var ranks = nodes.withColumn("r", lit(Unit))
-    for (_ <- 0 until flatIters) {
+    for (_ <- 0 until Iters) {
       val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))
@@ -118,13 +106,21 @@ object GraphQueries {
       : DataFrame =
     QueryUtil.sharedTable(s, d, suffix, bucketCol, sortCols)(build)
 
+  /** Build recipe for the shared (src, dst, outdeg) edge table — ONE
+    * definition so the bucketed and metadata-blind readers can never
+    * drift (they share the table by name, so whichever runs first
+    * materializes it for both). */
+  private def edgesWithOutdeg(s: SparkSession, d: String): DataFrame = {
+    val e = edges(s, d)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    e.join(deg, Seq("src"))
+  }
+
   /** The shared bucketed (src, dst, outdeg) edge table — written once
     * per sf dir, read bucket-aligned by every bucketed graph variant. */
   private def bucketedEdges(s: SparkSession, d: String): DataFrame =
     sharedTable(s, d, "edges_b", "src", Seq("src")) {
-      val e = edges(s, d)
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      e.join(deg, Seq("src"))
+      edgesWithOutdeg(s, d)
     }
 
   /** The shared capped co-purchase projection (u < v, distinct),
@@ -743,11 +739,11 @@ object GraphQueries {
     // in micro-units with p = 1e6 DIV |S| on seeds; the seed share is a
     // 1-row broadcast. Same per-iteration shuffles as q_pagerank.
     "q_ppr" -> ((s, d) => {
-      val e = edges(s, d).localCheckpoint()
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .localCheckpoint()
-      val ew = e.join(deg, Seq("src")).localCheckpoint()
-      val nodes = deg.select(col("src").as("node"))
+      // Flat twin of q_ppr_bucketed: same shared edge materialization,
+      // metadata-blind read (see [[flatEdges]]) — the edge side
+      // Exchanges per iteration; the bucketed twin's doesn't.
+      val ew = flatEdges(s, d)
+      val nodes = ew.select(col("src").as("node")).distinct()
       val isSeed = col("node").startsWith("c") &&
         expr("CAST(substring(node, 2) AS BIGINT) % 50 = 0")
       val nSeeds = nodes.filter(isSeed).agg(count(lit(1)).as("ns"))
@@ -759,7 +755,7 @@ object GraphQueries {
           when(isSeed, expr("1000000 DIV ns")).otherwise(0L).as("pmu"))
         .withColumn("r", col("pmu"))
         .localCheckpoint()
-      for (_ <- 0 until flatIters) {
+      for (_ <- 0 until Iters) {
         val contrib = ew
           .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
           .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))

@@ -256,6 +256,49 @@ object RelationalQueries {
           (aggregate(col("px"), lit(0L), (acc, x) => acc + x).cast(DoubleType)
             / size(col("px")).cast(DoubleType)).as("px_mean"))
         .orderBy(col("uid"), col("slice"))
+    }),
+
+    // Multimodal PERCEPTUAL near-dup (round-13 verdict item 3): aHash
+    // over the decoded frames + hamming-banded candidate join — the
+    // image-side twin of q_simhash_near's chunk banding. q_frame_dedup
+    // only collapses bit-identical payloads; this finds re-encoded /
+    // brightness-shifted copies (the planted pairs in
+    // DicomNearDupFixtures: +40 on every pixel is aHash-invariant by
+    // construction). Scale shape: the 64-bit hash splits into 4 bands
+    // of 16; hamming ≤ 3 pigeonholes at least one exact band match, so
+    // candidates come from an equi-join on (band, value) — never an
+    // all-pairs product — and the hamming verify (xor + bit_count) is
+    // native codegen bitwise math. At 100 TB: one map-side decode+hash
+    // scan, one band-grain shuffle, candidate count bounded by bucket
+    // occupancy exactly like the text LSH family.
+    "q_frame_phash_near" -> ((s, _) => {
+      val root = graft.sources.DicomNearDupFixtures.ensure()
+      val hashed = s.read
+        .format(classOf[graft.sources.DicomLikeSource].getName)
+        .load(root.toString)
+        .filter(col("frames").isNotNull && size(col("meta.ImageShape")) === 3)
+        .select(col("meta.SOPInstanceUID").as("uid"),
+          col("meta.ImageShape").as("shape"),
+          posexplode(col("frames")).as(Seq("slice", "px")))
+        .select(col("uid"), col("slice"),
+          graft.sources.DicomLike.ahash(col("px"),
+            col("shape")(1), col("shape")(2)).as("h"))
+        .filter(col("h").isNotNull)
+      val banded = hashed.select(col("uid"), col("slice"), col("h"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("h"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bv")))
+      val a = banded.select(col("uid").as("uid_a"), col("slice").as("slice_a"),
+        col("h").as("h_a"), col("band"), col("bv"))
+      val b = banded.select(col("uid").as("uid_b"), col("slice").as("slice_b"),
+        col("h").as("h_b"), col("band"), col("bv"))
+      a.join(b, Seq("band", "bv"))
+        .filter(col("uid_a") < col("uid_b"))
+        .select(col("uid_a"), col("slice_a"), col("uid_b"), col("slice_b"),
+          bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // several bands may match the same pair
+        .orderBy(col("uid_a"), col("slice_a"), col("uid_b"), col("slice_b"))
     })
   )
 
@@ -333,6 +376,14 @@ object RelationalQueries {
         |FROM read_parquet('/root/repo/tools/golden/binary_scan_golden.parquet')
         |WHERE pixel_checksum IS NOT NULL
         |GROUP BY pixel_checksum ORDER BY pixel_checksum""".stripMargin,
+
+    // Golden twin: tools/gen_phash_golden.py re-derives the fixture
+    // bytes, the uint8 decode, the integer aHash and the ≤3-hamming
+    // pair set in plain Python (no shared code) — DuckDB replays it.
+    "q_frame_phash_near" ->
+      """SELECT uid_a, slice_a, uid_b, slice_b, hamming
+        |FROM read_parquet('/root/repo/tools/golden/phash_near_golden.parquet')
+        |ORDER BY uid_a, slice_a, uid_b, slice_b""".stripMargin,
 
     "q_zorder_key" -> {
       val zTerms = (0 until 8).map(i =>

@@ -499,6 +499,50 @@ object TrainPrepQueries {
         .select(col("source"), col("lang"), col("n_docs"), col("fl"),
           col("rem"), col("bonus_rank"), col("alloc"))
         .orderBy(col("source"), col("lang"))
+    }),
+
+    // HOST-level dedup + reweighting — the RefinedWeb/C4 pipeline stage
+    // between URL filtering and text dedup: a handful of hosts dominate
+    // any crawl, so docs are capped per REGISTERED DOMAIN and the
+    // survivors re-weighted to carry their domain's full original mass
+    // (weight_micro = 1e6·n_dom DIV kept_n, integer math — dropped
+    // near-copies are represented, corpus mass is preserved). The
+    // documents table carries no URL, so one is synthesized
+    // deterministically from (source, doc_id) — the q_url_strip
+    // convention — and the host/domain extraction (authority regexp +
+    // last-two-labels registered-domain rule, the public-suffix-list
+    // simplification) is the real operator under test.
+    // Scale shape (100 TB): the rank-cap is row_number + filter, which
+    // Spark 3.5+ executes as WindowGroupLimit — partial top-k per map
+    // partition BEFORE the domain shuffle, so a mega-host never
+    // materializes as one giant sorted partition; the domain-count side
+    // is a map-side-combined aggregate whose output is #domains rows,
+    // broadcast back onto the capped survivors by AQE.
+    "q_host_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val Cap = 3
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("cdn.")),
+        lower(col("source")), (col("doc_id") % 7).cast(StringType),
+        lit(".org/p/"), col("doc_id").cast(StringType))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), url.as("url"))
+        .withColumn("host",
+          regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+        .withColumn("domain",
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      val counts = base.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_dom"))
+      base
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("domain"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rnk") <= Cap)
+        .join(counts, Seq("domain"))
+        .select(col("doc_id"), col("domain"), col("n_dom"), col("rnk"),
+          expr(s"(1000000 * n_dom) DIV least(n_dom, $Cap)")
+            .as("weight_micro"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -840,6 +884,28 @@ object TrainPrepQueries {
         |SELECT source, lang, n_docs, fl, rem, bonus_rank,
         |  fl + CASE WHEN bonus_rank <= 100000 - floor_total
         |       THEN 1 ELSE 0 END AS alloc
-        |FROM ft ORDER BY source, lang""".stripMargin
+        |FROM ft ORDER BY source, lang""".stripMargin,
+
+    "q_host_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE 'cdn.' END
+        |      || lower(source) || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.org/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_extract(regexp_extract(url, '^[a-z]+://([^/]+)', 1),
+        |      '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, domain, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS rnk,
+        |    CAST(COUNT(*) OVER (PARTITION BY domain) AS BIGINT) AS n_dom
+        |  FROM h)
+        |SELECT doc_id, domain, n_dom, rnk,
+        |  (1000000 * n_dom) // least(n_dom, 3) AS weight_micro
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id""".stripMargin
   )
 }

@@ -235,4 +235,64 @@ object DicomLike {
       .filter(col("meta").isNotNull)
       .select(col("meta.SOPInstanceUID").as("uid"),
         featureUdf(col("content"), lit(dim)).as("features"))
+
+  /** 64-bit average-hash (aHash) of one decoded frame — the standard
+    * perceptual image fingerprint (resize to 8×8, threshold each cell
+    * on the global mean), done in EXACT integer arithmetic so the
+    * Python golden (tools/gen_phash_golden.py) reproduces it bit for
+    * bit: grid cell (gi,gj) covers rows [gi·rows/8,(gi+1)·rows/8) ×
+    * cols [gj·cols/8,(gj+1)·cols/8) (integer boundaries — any frame
+    * size works, cells can be empty below 8×8), and bit gi·8+gj is set
+    * iff cellSum·N > frameSum·cellCount (the block-mean > frame-mean
+    * comparison cross-multiplied, so no division and no floats). A
+    * uniform brightness shift +k moves both sides by k·cellCount·N —
+    * the hash is exactly invariant, which is the property the planted
+    * near-dups in [[DicomNearDupFixtures]] exercise.
+    *
+    * A UDF for the same reason [[decodeFrames]] is one: there is no
+    * built-in 2-D block reduce, and the input is already the decode
+    * UDF's output, off the codegen path. The downstream candidate
+    * generation (banding, hamming verify) is all native bitwise
+    * Columns — see q_frame_phash_near.
+    */
+  def ahash64(px: Seq[Int], rows: Int, cols: Int): Option[Long] = {
+    if (px == null || rows <= 0 || cols <= 0) return None
+    val n = rows * cols
+    if (px.length != n) return None
+    val a = px.toArray
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i); i += 1 }
+    var hash = 0L
+    var gi = 0
+    while (gi < 8) {
+      val r0 = gi * rows / 8; val r1 = (gi + 1) * rows / 8
+      var gj = 0
+      while (gj < 8) {
+        val c0 = gj * cols / 8; val c1 = (gj + 1) * cols / 8
+        val nb = (r1 - r0).toLong * (c1 - c0)
+        if (nb > 0) {
+          var sb = 0L
+          var r = r0
+          while (r < r1) {
+            var c = c0
+            val base = r * cols
+            while (c < c1) { sb += a(base + c); c += 1 }
+            r += 1
+          }
+          if (sb * n > s * nb) hash |= 1L << (gi * 8 + gj)
+        }
+        gj += 1
+      }
+      gi += 1
+    }
+    Some(hash)
+  }
+
+  private val ahashUdf = udf((px: Seq[Int], rows: Int, cols: Int) =>
+    ahash64(px, rows, cols))
+
+  /** Column form of [[ahash64]]. */
+  def ahash(px: Column, rows: Column, cols: Column): Column =
+    ahashUdf(px, rows, cols)
 }

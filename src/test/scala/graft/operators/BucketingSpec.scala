@@ -111,7 +111,14 @@ class BucketingSpec extends SparkTestBase {
       "q_label_prop" -> false,
       "q_ktruss" -> false,
       "q_sssp" -> false,
-      "q_khop_frontier" -> false)
+      "q_khop_frontier" -> false,
+      // round 13: the flat teaching twins read the SAME shared edge
+      // table metadata-blind (plain parquet path read — deliberately no
+      // SelectedBucketsCount), so the fact-chain derivation is gone
+      // from them too; their per-iteration edge Exchange is asserted in
+      // the bucketed-PageRank test above.
+      "q_pagerank" -> false,
+      "q_ppr" -> false)
     for ((name, wantsBucketScan) <- expectScan) {
       val df = graft.SparkEntry.queries(name)(spark, sf())
       val plan = df.queryExecution.executedPlan.toString

@@ -151,7 +151,19 @@ class ExchangeBudgetSpec extends SparkTestBase {
         "(both COUNT-TABLE grain — the point of the AbLmScore shape), " +
         "the doc-grain side's one bigram-keyed exchange, the per-doc " +
         "score agg, the doc-spine join exchange, + output sort — no " +
-        "exchange ever moves document text"))
+        "exchange ever moves document text"),
+    // round-13 additions
+    ("q_host_dedup", 3,
+      "PARTIAL WindowGroupLimit top-3 per map partition, then ONE " +
+        "domain-keyed exchange for the final cap + the domain-count " +
+        "agg exchange (whose #domains-row output broadcasts back onto " +
+        "the survivors) + the output range sort — a mega-host is " +
+        "pre-capped before it can pile into one partition"),
+    ("q_frame_phash_near", 4,
+      "two (band, value)-keyed exchanges into the candidate equi-join " +
+        "+ the pair distinct + the output sort; hamming verifies " +
+        "inside the join condition, so only (uid, slice, hash) tuples " +
+        "ever shuffle — never pixels"))
 
   for ((name, budget, why) <- budgets)
     test(s"$name stays within its shuffle budget of $budget ($why)") {

@@ -123,4 +123,35 @@ class SelectionOpsSpec extends SparkTestBase {
         s"anchor $a ranks not dense: ${rs.map(_._2).sorted.mkString(",")}")
     }
   }
+
+  test("q_host_dedup replays the domain cap + mass-preserving reweight exactly") {
+    // Sequential reference with an INDEPENDENT domain extraction
+    // (split/takeRight instead of the query's regexp chain).
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val withDom = docs.map { case (id, src, nch) =>
+      val sub = if (id % 3 == 0) "www." else "cdn."
+      val url = s"https://$sub${src.toLowerCase}${id % 7}.org/p/$id"
+      val host = url.drop("https://".length).takeWhile(_ != '/')
+      val dom = host.split('.').takeRight(2).mkString(".")
+      (id, dom, nch)
+    }
+    val expected = withDom.groupBy(_._2).flatMap { case (dom, rows) =>
+      val n = rows.length.toLong
+      val kept = rows.sortBy { case (id, _, nch) => (-nch, id) }.take(3)
+      val keptN = math.min(n, 3L)
+      kept.zipWithIndex.toSeq.map { case ((id, _, _), i) =>
+        (id, dom, n, i + 1, 1000000L * n / keptN)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q_host_dedup")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    // the cap must actually bite somewhere at sf0.001, or the fixture
+    // stopped exercising the operator
+    assert(expected.exists(_._3 > 3L), "no domain exceeded the cap")
+  }
 }
