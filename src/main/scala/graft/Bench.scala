@@ -62,6 +62,8 @@ object Bench {
     queries.ClinicalQueries.fixturePath
     sources.DicomFixtures.ensure()
     sources.DicomNearDupFixtures.ensure()
+    sources.WavFixtures.ensure()
+    sources.VideoFixtures.ensure()
     try Tables.documentsSpread(spark, sfDir) catch { case _: Throwable => () }
     // Warm-up pass at the smallest SF: compiles every query's codegen
     // units and JITs the hot paths, so the timed pass measures the

@@ -21,6 +21,8 @@ object Verify {
     queries.ClinicalQueries.fixturePath
     sources.DicomFixtures.ensure()
     sources.DicomNearDupFixtures.ensure()
+    sources.WavFixtures.ensure()
+    sources.VideoFixtures.ensure()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (single-query scale
     // spot-checks, same contract as Bench); unset = full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

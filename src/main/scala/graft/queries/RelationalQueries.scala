@@ -299,6 +299,128 @@ object RelationalQueries {
         .filter(col("hamming") <= 3)
         .distinct() // several bands may match the same pair
         .orderBy(col("uid_a"), col("slice_a"), col("uid_b"), col("slice_b"))
+    }),
+
+    // Video modality, temporal shot-boundary detection: the decoded
+    // multi-frame volume IS a cine loop (leading axis = time, the
+    // reference's ndim==3 layout), and a scene cut is a frame whose
+    // sum-of-absolute-differences against its predecessor exceeds a
+    // mean-|Δ|>16-per-pixel threshold — all exact integers. Frames
+    // pair with their predecessor via lag() over (uid, t), the SAD is
+    // one zip_with+aggregate pass, and the 2-D still is excluded by
+    // the same ndim==3 filter the reference applies to non-tomo
+    // images. At 100 TB: decode is projection-driven in the V2
+    // source, the only shuffle is the per-volume window (video-grain
+    // keys — bounded partitions), SADs never leave their executor
+    // until reduced. Golden: tools/gen_video_golden.py recomputes the
+    // full SAD table from the planted formulas independently.
+    "q_frame_cuts" -> ((s, _) => {
+      val root = graft.sources.VideoFixtures.ensure()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("uid")).orderBy(col("t"))
+      s.read.format(classOf[graft.sources.DicomLikeSource].getName)
+        .load(root.toString)
+        .filter(col("frames").isNotNull && size(col("meta.ImageShape")) === 3)
+        .select(col("meta.SOPInstanceUID").as("uid"),
+          posexplode(col("frames")).as(Seq("t", "px")))
+        .withColumn("prev", lag(col("px"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("uid"), col("t"),
+          aggregate(zip_with(col("px"), col("prev"),
+              (a, b) => abs(a - b)),
+            lit(0L), (acc, x) => acc + x).as("sad"),
+          size(col("px")).as("n_px"))
+        .select(col("uid"), col("t"), col("sad"),
+          (col("sad") > col("n_px").cast(LongType) * 16L).as("is_cut"))
+        .orderBy(col("uid"), col("t"))
+    }),
+
+    // Audio modality, feature extraction: Spark's BUILT-IN binaryFile
+    // source scans the .wav tree, ONE UDF parses the RIFF container
+    // (graft.sources.WavLike — the same udf-confined-to-decode rule as
+    // the image source), and every feature is relational HOF math over
+    // the samples array: duration from the header, peak |amplitude|,
+    // exact sum-of-squares energy, zero-crossing count via zip_with of
+    // the array against its own shift. Undecodable files (corrupt
+    // container, stereo — outside the mono-PCM contract) keep a NULL
+    // feature row, the reference's try-parse-to-None branch. All
+    // integers → the golden (tools/gen_wav_golden.py, stdlib `wave`
+    // parse, independent) hash-gates every value. One map pass, no
+    // shuffle; at 100 TB this is scan-bound like any decode pipeline.
+    "q_audio_features" -> ((s, _) => {
+      val root = graft.sources.WavFixtures.ensure()
+      val sm = col("wav.samples")
+      // size()/aggregate() on a NULL array yield -1/NULL inconsistently
+      // in non-ANSI mode, so every feature is explicitly gated on a
+      // successful decode — undecodable rows are all-NULL by contract.
+      def ifWav(c: org.apache.spark.sql.Column) = when(col("wav").isNotNull, c)
+      graft.sources.WavLike.withWav(
+          s.read.format("binaryFile").load(root.toString))
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("wav.sample_rate").as("sample_rate"),
+          ifWav(size(sm)).as("n_samples"),
+          ifWav(size(sm).cast(LongType) * 1000000L /
+            col("wav.sample_rate")).cast(LongType).as("duration_us"),
+          ifWav(array_max(transform(sm, x => abs(x)))).as("peak_abs"),
+          ifWav(aggregate(sm, lit(0L),
+            (acc, x) => acc + x.cast(LongType) * x)).as("energy_sq"),
+          ifWav(size(filter(
+            zip_with(slice(sm, lit(1), size(sm) - 1),
+              slice(sm, lit(2), size(sm) - 1),
+              (a, b) => (a >= 0) =!= (b >= 0)),
+            x => x))).as("zero_cross"))
+        .orderBy(col("file_name"))
+    }),
+
+    // Audio modality, PERCEPTUAL near-dup: the sound-side twin of
+    // q_frame_phash_near. 64-window amplitude envelope (window w's
+    // sum of |sample|), bit w set iff winSum·64 > totalSum — the
+    // comparison is cross-multiplied exact integers, so an exact
+    // amplitude rescale (the planted ×3 twin) multiplies both sides
+    // equally and the 64-bit hash is IDENTICAL by construction, while
+    // the PCM checksum differs: the pair only perceptual dedup finds.
+    // Candidates come from a 16-bit-band equi-join (hamming ≤ 3
+    // pigeonholes ≥1 exact band), verify is native xor + bit_count —
+    // payloads never shuffle, band keys do. Golden: the independent
+    // Python recompute of the thresholded all-pairs truth.
+    "q_audio_near" -> ((s, _) => {
+      val root = graft.sources.WavFixtures.ensure()
+      val W = 64
+      val hashed = graft.sources.WavLike.withWav(
+          s.read.format("binaryFile").load(root.toString))
+        .filter(col("wav").isNotNull && size(col("wav.samples")) % W === 0)
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          transform(sequence(lit(0), lit(W - 1)),
+            w => aggregate(
+              slice(col("wav.samples"),
+                w * (size(col("wav.samples")) / W) + 1,
+                size(col("wav.samples")) / W),
+              lit(0L), (acc, x) => acc + abs(x).cast(LongType))).as("env"))
+        .select(col("file_name"),
+          aggregate(col("env"), lit(0L), (acc, x) => acc + x).as("total"),
+          col("env"))
+        .select(col("file_name"),
+          aggregate(sequence(lit(0), lit(W - 1)), lit(0L),
+            (acc, w) => acc.bitwiseOR(
+              when(element_at(col("env"), w + 1) * W > col("total"),
+                call_function("shiftleft", lit(1L), w)).otherwise(0L)))
+            .as("h"))
+      val banded = hashed.select(col("file_name"), col("h"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("h"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "bv")))
+      val a = banded.select(col("file_name").as("file_a"),
+        col("h").as("h_a"), col("band"), col("bv"))
+      val b = banded.select(col("file_name").as("file_b"),
+        col("h").as("h_b"), col("band"), col("bv"))
+      a.join(b, Seq("band", "bv"))
+        .filter(col("file_a") < col("file_b"))
+        .select(col("file_a"), col("file_b"),
+          bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy(col("file_a"), col("file_b"))
     })
   )
 
@@ -384,6 +506,30 @@ object RelationalQueries {
       """SELECT uid_a, slice_a, uid_b, slice_b, hamming
         |FROM read_parquet('/root/repo/tools/golden/phash_near_golden.parquet')
         |ORDER BY uid_a, slice_a, uid_b, slice_b""".stripMargin,
+
+    // Golden twin: tools/gen_video_golden.py recomputes the per-frame
+    // SAD table and cut flags from the planted segment formulas in
+    // plain Python (no shared code); DuckDB replays it.
+    "q_frame_cuts" ->
+      """SELECT uid, t, sad, is_cut
+        |FROM read_parquet('/root/repo/tools/golden/video_cuts_golden.parquet')
+        |ORDER BY uid, t""".stripMargin,
+
+    // Golden twins: tools/gen_wav_golden.py decodes the fixture .wav
+    // files with Python's STDLIB `wave` module (an independent parser
+    // of the public format — it would reject a malformed writer) and
+    // recomputes features / envelope hashes / the thresholded pair set
+    // in exact integers; DuckDB replays the committed parquet.
+    "q_audio_features" ->
+      """SELECT file_name, sample_rate, n_samples, duration_us,
+        |  peak_abs, energy_sq, zero_cross
+        |FROM read_parquet('/root/repo/tools/golden/wav_features_golden.parquet')
+        |ORDER BY file_name""".stripMargin,
+
+    "q_audio_near" ->
+      """SELECT file_a, file_b, hamming
+        |FROM read_parquet('/root/repo/tools/golden/wav_near_golden.parquet')
+        |ORDER BY file_a, file_b""".stripMargin,
 
     "q_zorder_key" -> {
       val zTerms = (0 until 8).map(i =>

@@ -203,30 +203,43 @@ object WindowQueries {
           col("l_quantity"), col("l_extendedprice"))
     }),
 
-    // RANGE frame over a numeric key: peers within quantity-5 .. quantity.
+    // RANGE frame over a numeric key: peers within quantity-5 .. quantity
+    // among the same supplier's lineitems. Partitioning is by l_suppkey
+    // DELIBERATELY: TPC-H scales supplier count with SF, so rows per
+    // partition stay ~600 at EVERY scale factor — the window task is
+    // constant-size and the query's cost is one suppkey shuffle + sort.
+    // (Round 13 demotion: this row used to partition by l_returnflag —
+    // 3 values, 3 endless tasks, the single heaviest 100× fleet row at
+    // ~125 s for a result q_window_range_agg reproduces in ~25 s. The
+    // flag-partitioned naive form survives only as the documented
+    // contrast on q_window_range_agg below; the fleet pays for the
+    // scalable shape. Only count/sum ride the frame — both are
+    // peer-order-deterministic under RANGE ties.)
     "q_window_range_frame" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
+      val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_quantity"))
         .rangeBetween(-5, 0)
       Tables.lineitem(s, d)
         .select(
-          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
           col("l_quantity"),
           count(lit(1)).over(w).as("peers_in_band"),
           sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("band_qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
           col("l_quantity"), col("peers_in_band"), col("band_qty"))
     }),
 
-    // Scale-path re-shape of q_window_range_frame (the heaviest 10×
-    // scaler in SCALE.md): the RANGE frame partitions by l_returnflag
-    // (3 values), so its per-partition work grows with the data and a
-    // 100 TB run has 3 endless tasks. But the band key l_quantity has a
-    // SMALL VALUE DOMAIN (integers 1..50), and rows with equal quantity
-    // are frame peers — so the per-row band count/sum equals a window
-    // over the per-(flag, quantity) PRE-AGGREGATE, joined back by
-    // broadcast. Window input shrinks from O(rows) to O(|domain|) per
-    // flag; everything else is map-side. Identical output, same oracle.
+    // Scale-path re-shape of the FLAG-partitioned RANGE band (the shape
+    // q_window_range_frame carried until round 13): partitioning by
+    // l_returnflag (3 values) makes per-partition work grow with the
+    // data — a 100 TB run has 3 endless tasks. But the band key
+    // l_quantity has a SMALL VALUE DOMAIN (integers 1..50), and rows
+    // with equal quantity are frame peers — so the per-row band
+    // count/sum equals a window over the per-(flag, quantity)
+    // PRE-AGGREGATE, joined back by broadcast. Window input shrinks
+    // from O(rows) to O(|domain|) per flag; everything else is
+    // map-side. Identical output to the naive flag-partitioned window,
+    // same oracle.
     "q_window_range_agg" -> ((s, d) => {
       val per = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_quantity"))
@@ -451,16 +464,17 @@ object WindowQueries {
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q_window_range_frame" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
         |  COUNT(*) OVER w AS peers_in_band,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS band_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity
         |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
-        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, peers_in_band, band_qty""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_quantity, peers_in_band, band_qty""".stripMargin,
 
-    // Same result as the RANGE-frame original by construction, so the
-    // twin is the same SQL — the re-shape must be output-invisible.
+    // Same result as the naive flag-partitioned RANGE window by
+    // construction, so the twin is that window's SQL — the re-shape
+    // must be output-invisible.
     "q_window_range_agg" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |  COUNT(*) OVER w AS peers_in_band,
