@@ -205,18 +205,30 @@ object GraphQueries {
     val isSeed = col("node").startsWith("c") &&
       expr("CAST(substring(node, 2) AS BIGINT) % 50 = 0")
     val nSeeds = nodes.filter(isSeed).agg(count(lit(1)).as("ns"))
-    var ranks = nodes.crossJoin(broadcast(nSeeds))
+    // The checkpointed seed-mass frame is the LEFT side of every
+    // iteration's rank update (round-13 optimization): the old form
+    // joined `ranks.select(node, pmu)` against contrib(ranks),
+    // referencing the previous iteration twice. Column pruning rescues
+    // the static plan (the pmu-only re-reference prunes through the
+    // outer join back to the checkpoint scan), but only because pmu
+    // happens to be iteration-invariant — one added rank-dependent
+    // column on the left side and the plan doubles per iteration.
+    // seedNodes ⋈ contrib references ranks ONCE (inside contrib), the
+    // same linear shape as q_pagerank, with nothing left for the
+    // optimizer to rescue; pmu is a pure function of (node, ns), so
+    // the update arithmetic — and the output — are unchanged.
+    val seedNodes = nodes.crossJoin(broadcast(nSeeds))
       .select(col("node"),
         when(isSeed, expr("1000000 DIV ns")).otherwise(0L).as("pmu"))
-      .withColumn("r", col("pmu"))
       .localCheckpoint()
+    var ranks = seedNodes.withColumn("r", col("pmu"))
     for (_ <- 0 until 3) {
       val contrib = ew
         .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
         .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))
         .groupBy(col("node"))
         .agg(sum(col("share")).as("inflow"))
-      ranks = ranks.select(col("node"), col("pmu"))
+      ranks = seedNodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"), col("pmu"),
           expr("(15 * pmu + 85 * coalesce(inflow, 0L)) DIV 100").as("r"))
@@ -747,21 +759,26 @@ object GraphQueries {
       val isSeed = col("node").startsWith("c") &&
         expr("CAST(substring(node, 2) AS BIGINT) % 50 = 0")
       val nSeeds = nodes.filter(isSeed).agg(count(lit(1)).as("ns"))
-      // pmu RIDES IN the ranks frame rather than re-joining a seeded
-      // table each iteration — saves three O(nodes) joins (measured
-      // 240 s → pagerank-parity at the 100× point).
-      var ranks = nodes.crossJoin(broadcast(nSeeds))
+      // pmu RIDES IN the checkpointed seed-mass frame rather than
+      // re-joining a seeded table each iteration — saves three O(nodes)
+      // joins (measured 240 s → pagerank-parity at the 100× point).
+      // seedNodes is the LEFT side of every rank update so `ranks` is
+      // referenced ONCE per iteration (round-13: the old
+      // ranks.select ⋈ contrib(ranks) form referenced it twice and
+      // relied on column pruning to collapse the re-reference — see
+      // [[pprBucketed]]).
+      val seedNodes = nodes.crossJoin(broadcast(nSeeds))
         .select(col("node"),
           when(isSeed, expr("1000000 DIV ns")).otherwise(0L).as("pmu"))
-        .withColumn("r", col("pmu"))
         .localCheckpoint()
+      var ranks = seedNodes.withColumn("r", col("pmu"))
       for (_ <- 0 until Iters) {
         val contrib = ew
           .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
           .select(col("dst").as("node"), expr("r DIV outdeg").as("share"))
           .groupBy(col("node"))
           .agg(sum(col("share")).as("inflow"))
-        ranks = ranks.select(col("node"), col("pmu"))
+        ranks = seedNodes
           .join(contrib, Seq("node"), "left")
           .select(col("node"), col("pmu"),
             expr("(15 * pmu + 85 * coalesce(inflow, 0L)) DIV 100").as("r"))

@@ -387,6 +387,18 @@ object RelationalQueries {
     "q_audio_near" -> ((s, _) => {
       val root = graft.sources.WavFixtures.ensure()
       val W = 64
+      // localCheckpoint BETWEEN the envelope and the hash/band stages
+      // (round-13 optimization, measured 57.8 s → sub-second at any sf):
+      // without the barrier CollapseProject + filter pushdown substitute
+      // the WHOLE hash expression — decode UDF included — into every
+      // downstream reference (the band projection, the join-key
+      // null filters on BOTH self-join sides), and interpreted HOF
+      // evaluation re-runs the 64-window envelope (64 slice+aggregate
+      // passes, 3 UDF decodes per window) once PER BIT per reference:
+      // ~25k decode calls per row per side. The checkpointed frame is
+      // fixture-grain (8 rows × 64 longs); at 100 TB this barrier is the
+      // standard fingerprint-materialization pass of guide §8 — heavy
+      // payload bytes are decoded exactly once, only (name, env) travel.
       val hashed = graft.sources.WavLike.withWav(
           s.read.format("binaryFile").load(root.toString))
         .filter(col("wav").isNotNull && size(col("wav.samples")) % W === 0)
@@ -397,6 +409,7 @@ object RelationalQueries {
                 w * (size(col("wav.samples")) / W) + 1,
                 size(col("wav.samples")) / W),
               lit(0L), (acc, x) => acc + abs(x).cast(LongType))).as("env"))
+        .localCheckpoint()
         .select(col("file_name"),
           aggregate(col("env"), lit(0L), (acc, x) => acc + x).as("total"),
           col("env"))
