@@ -124,6 +124,16 @@ object GraftFunctions {
   def pair_combinations(arr: Column): Column =
     GraftShim.toColumn(PairCombinations(GraftShim.toExpression(arr)))
 
+  /** trim(regexp_replace(regexp_replace(s, "[^a-z0-9 ]", " "), " +", " "))
+    * as one fused byte pass. */
+  def squash_non_alnum(s: Column): Column =
+    GraftShim.toColumn(SquashNonAlnum(GraftShim.toExpression(s)))
+
+  /** substring(regexp_replace(s, "[^a-z0-9 ]", ""), 1, n) as one fused
+    * byte pass that early-exits at the n-th kept byte. */
+  def strip_non_alnum_prefix(s: Column, n: Int): Column =
+    GraftShim.toColumn(StripNonAlnumPrefix(GraftShim.toExpression(s), n))
+
   /** Register the custom expressions for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

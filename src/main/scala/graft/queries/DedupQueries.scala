@@ -527,10 +527,16 @@ object DedupQueries {
     "q_sorted_neighborhood" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val W = 3
+      // Key derivation is the fused native prefix pass (round-13
+      // optimization): the composed substring(regexp_replace(...),1,24)
+      // regex-scans the whole document to keep 24 chars; the native
+      // form stops at the 24th kept byte. Bit-parity with the regex
+      // form pinned by SquashNonAlnumSpec; lower() stays the
+      // built-in Unicode casefold.
       val keyed = Tables.documents(s, d)
         .select(col("doc_id"),
-          substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 24)
-            .as("snkey"))
+          graft.functions.GraftFunctions.strip_non_alnum_prefix(
+            lower(col("text")), 24).as("snkey"))
         .withColumn("blk", substring(col("snkey"), 1, 4))
       val win = Window.partitionBy(col("blk")).orderBy(col("snkey"), col("doc_id"))
       keyed

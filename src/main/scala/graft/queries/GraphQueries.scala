@@ -886,6 +886,12 @@ object GraphQueries {
           .select(col("dst").as("node")).distinct()
           .join(visited.select(col("node")), Seq("node"), "left_anti")
           .localCheckpoint()
+        // The per-hop visited checkpoint looks redundant (a union of
+        // already-checkpointed frames) but is measured load-bearing:
+        // round-13 tried removing it and the 100× solo went 43→70 s —
+        // the anti-join side then plans as a widening union of
+        // UnknownPartitioning scans re-shuffled per hop instead of one
+        // compact materialized frame. Kept.
         visited = visited.unionAll(next.withColumn("hop", lit(h)))
           .localCheckpoint()
         frontier = next

@@ -460,13 +460,18 @@ object SimilarityQueries {
       val e = Tables.embeddings(s, d)
       val bc: DataFrame => DataFrame =
         if (embCount(s, d) <= RerankBroadcastCap) broadcast else identity
-      // Raw (dup-carrying) candidates: the single UNDIRECTED distinct
-      // below subsumes the directed one — one distinct exchange over
-      // the 10⁸-row frame instead of two.
+      // Raw (dup-carrying) candidates with the distinct AFTER the
+      // ≥0.85 verify (the q_embed_dedup treatment, promoted here by
+      // the round-13 AbCosinePairs A/B at 100×: late 23.3/41.8/44.6 s
+      // vs the distinct-first form's 120.7/171.3/260.7 s, same row
+      // counts, every rep) — the one full-frame exchange used to carry
+      // ~10⁸ candidate id pairs into the distinct; now only the
+      // threshold survivors reach it, and the ≤LSH_TABLES× duplicate
+      // candidates cost re-verified cosines map-side through the
+      // broadcast joins instead.
       val pairs = lshCandidatesRaw(e)
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
-        .distinct()
       pairs
         .join(bc(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
           col("label").as("label_a"))), Seq("id_a"))
@@ -476,6 +481,7 @@ object SimilarityQueries {
         .filter(col("cos") >= 0.85)
         .select(col("id_a"), col("id_b"), col("cos"),
           (col("label_a") === col("label_b")).cast(IntegerType).as("same_label"))
+        .distinct()
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -453,10 +453,14 @@ object TextQueries {
 
     // Normalization pipeline: casefold, strip non-alphanumerics,
     // collapse whitespace, distinct-token stats — the canonicalization
-    // step that feeds exact dedup.
+    // step that feeds exact dedup. The strip+collapse+trim runs as the
+    // fused native byte pass (graft.functions.SquashNonAlnum, round-13
+    // optimization — bit-parity with the two-regex form pinned by
+    // SquashNonAlnumSpec); lower() stays the built-in so the Unicode
+    // casefold (K→k etc.) is byte-identical to the twin's.
     "q_text_normalize" -> ((s, d) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val norm = graft.functions.GraftFunctions.squash_non_alnum(
+        lower(col("text")))
       Tables.documents(s, d).select(
         col("doc_id"),
         norm.as("norm_text"),
