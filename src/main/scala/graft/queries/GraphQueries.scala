@@ -715,8 +715,17 @@ object GraphQueries {
     // anti-join touches the O(candidate-pairs) frame only.
     "q_link_predict" -> ((s, d) => {
       val pairs = bucketedPairs(s, d)
-      val adj = pairs.select(col("u").as("w"), col("v").as("n"))
-        .unionAll(pairs.select(col("v").as("w"), col("u").as("n")))
+      // Both-directions adjacency comes from the src-BUCKETED bi table
+      // (round-13 optimization): the old unionAll of the two pair
+      // directions reported no output partitioning, so the per-center
+      // wedge aggregate below exchanged the full adjacency; the shared
+      // copair_bi layout (already materialized for SSSP) carries the
+      // identical (src, dst) multiset bucketed on the aggregate key —
+      // the groupBy(w) plans bucket-aligned with ZERO adjacency-side
+      // Exchange. Weight column ignored; rows identical by
+      // construction (both derive from copurchasePairs).
+      val adj = bucketedBiPairs(s, d)
+        .select(col("src").as("w"), col("dst").as("n"))
       // ONE per-center aggregate does both jobs (round 9, MinKBy):
       // the capped neighbor list (bounded bottom-k — a hub center
       // forwards at most WedgeCap rows per map partition, vs the old

@@ -150,19 +150,58 @@ object WindowQueries {
     }),
 
     // Ranking family over price buckets (ties exercised deliberately).
+    //
+    // DECOMPOSED from the naive single window (round-13 optimization):
+    // o_orderstatus has 3 values, so the direct
+    // `partitionBy(o_orderstatus)` windows were 3 endless tasks whose
+    // per-partition work grows with the data (the q_window_range_frame
+    // liability). But the rank ORDER key (price_bucket) has a tiny
+    // value domain, and every rank in the family is an exact function
+    // of per-(status, bucket) COUNTS plus a within-bucket row_number:
+    //   rn       = off + rn_local          (off = rows in earlier buckets)
+    //   rank     = off + 1                 (bucket peers all tie)
+    //   dense    = bucket's index within its status
+    //   ntile(4) = closed form over (rn, n_status): the first n MOD 4
+    //              tiles hold n DIV 4 + 1 rows (the SQL-standard fill)
+    // The count table is ~|status×bucket| rows (window'd at that tiny
+    // grain and broadcast back); the one per-row window partitions by
+    // (status, bucket) — bounded-domain keys, but 12–20× more of them,
+    // and each partition 12–20× smaller. Output identical (same
+    // oracle; rn/rnk quartile arithmetic all-integer). row_number is
+    // IntegerType in the naive form, so rn/rnk cast back to int — the
+    // same 2^31 row-count bound per status the naive form had.
     "q_window_rank" -> ((s, d) => {
       val bucket = floor(col("o_totalprice") / 50000).cast(IntegerType)
-      val wTies = Window.partitionBy(col("o_orderstatus")).orderBy(bucket)
-      val wUniq = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(bucket, col("o_orderkey"))
-      Tables.orders(s, d)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          bucket.as("price_bucket"))
+      val wS = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("price_bucket"))
+      val offs = base
+        .groupBy(col("o_orderstatus"), col("price_bucket"))
+        .agg(count(lit(1)).as("n_sb"))
+        .withColumn("off", coalesce(sum(col("n_sb")).over(
+          wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("drnk", row_number().over(wS))
+        .withColumn("n_s", sum(col("n_sb")).over(
+          Window.partitionBy(col("o_orderstatus"))))
+      val wLocal = Window
+        .partitionBy(col("o_orderstatus"), col("price_bucket"))
+        .orderBy(col("o_orderkey"))
+      base
+        .withColumn("rn_loc", row_number().over(wLocal))
+        .join(broadcast(offs), Seq("o_orderstatus", "price_bucket"))
         .select(
-          col("o_orderkey"), col("o_orderstatus"),
-          bucket.as("price_bucket"),
-          row_number().over(wUniq).as("rn"),
-          rank().over(wTies).as("rnk"),
-          dense_rank().over(wTies).as("drnk"),
-          ntile(4).over(wUniq).as("quartile"))
+          col("o_orderkey"), col("o_orderstatus"), col("price_bucket"),
+          (col("off") + col("rn_loc")).cast(IntegerType).as("rn"),
+          (col("off") + 1L).cast(IntegerType).as("rnk"),
+          col("drnk"),
+          expr("""CAST(CASE
+            | WHEN off + rn_loc <= (n_s % 4) * (n_s DIV 4 + 1)
+            |   THEN (off + rn_loc - 1) DIV (n_s DIV 4 + 1) + 1
+            | ELSE n_s % 4 + (off + rn_loc - (n_s % 4) * (n_s DIV 4 + 1) - 1)
+            |   DIV (n_s DIV 4) + 1
+            |END AS INT)""".stripMargin).as("quartile"))
         .orderBy(col("o_orderstatus"), col("rn"))
     }),
 
@@ -276,19 +315,58 @@ object WindowQueries {
     // order (both are deterministic per-row under ties) + nth_value with
     // an explicit ROWS frame over a unique order. Doubles are the exact
     // (rank-1)/(n-1) and peers/n ratios — IEEE-identical in DuckDB.
+    //
+    // DECOMPOSED like q_window_rank (round-13; same 3-partition window
+    // liability): every output is a function of per-(status, bucket)
+    // counts plus a within-bucket row_number —
+    //   percent_rank = off / (n_status − 1)       (0.0 when n = 1)
+    //   cume_dist    = (off + n_bucket) / n_status
+    //   nth_value(k, 2) under the running ROWS frame = the status's
+    //     2nd (bucket, orderkey)-ordered orderkey once rn ≥ 2, NULL on
+    //     the first row; the 2nd key itself comes off the tiny count
+    //     frame (per-bucket bottom-2 orderkeys via min_k_by — inside
+    //     one bucket the sort key IS the id, so the id-sorted array is
+    //     rank-sorted).
+    // The ratios divide the same integers in the same IEEE order as
+    // percent_rank/cume_dist, so doubles are bit-identical.
     "q_window_dist" -> ((s, d) => {
       val bucket = floor(col("o_totalprice") / 50000).cast(IntegerType)
-      val wTies = Window.partitionBy(col("o_orderstatus")).orderBy(bucket)
-      val wUniq = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(bucket, col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.orders(s, d)
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          bucket.as("price_bucket"))
+      val wS = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("price_bucket"))
+      val offs = base
+        .groupBy(col("o_orderstatus"), col("price_bucket"))
+        .agg(count(lit(1)).as("n_sb"),
+          graft.functions.GraftFunctions.min_k_by(
+            col("o_orderkey"), col("o_orderkey"), 2).as("min2"))
+        .withColumn("off", coalesce(sum(col("n_sb")).over(
+          wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("drnk", row_number().over(wS))
+        .withColumn("n_s", sum(col("n_sb")).over(
+          Window.partitionBy(col("o_orderstatus"))))
+        .withColumn("second", when(col("drnk") === 1,
+          when(col("n_sb") >= 2, element_at(col("min2"), 2))
+            .otherwise(element_at(lead(col("min2"), 1).over(wS), 1))))
+        .withColumn("second", max(col("second")).over(
+          Window.partitionBy(col("o_orderstatus"))))
+        .drop("min2", "drnk")
+      val wLocal = Window
+        .partitionBy(col("o_orderstatus"), col("price_bucket"))
+        .orderBy(col("o_orderkey"))
+      base
+        .withColumn("rn_loc", row_number().over(wLocal))
+        .join(broadcast(offs), Seq("o_orderstatus", "price_bucket"))
         .select(
-          col("o_orderkey"), col("o_orderstatus"),
-          bucket.as("price_bucket"),
-          percent_rank().over(wTies).as("pct_rank"),
-          cume_dist().over(wTies).as("cume"),
-          nth_value(col("o_orderkey"), 2).over(wUniq).as("second_key"))
+          col("o_orderkey"), col("o_orderstatus"), col("price_bucket"),
+          when(col("n_s") === 1L, lit(0.0d))
+            .otherwise(col("off").cast(DoubleType)
+              / (col("n_s") - 1L).cast(DoubleType)).as("pct_rank"),
+          ((col("off") + col("n_sb")).cast(DoubleType)
+            / col("n_s").cast(DoubleType)).as("cume"),
+          when(col("off") + col("rn_loc") >= 2L, col("second"))
+            .as("second_key"))
         .orderBy(col("o_orderstatus"), col("price_bucket"), col("o_orderkey"))
     }),
 
