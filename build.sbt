@@ -49,4 +49,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (diagnostic flag on JDK 17, hence the unlock).
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
+  // Round 14: Bench calls System.gc() at canary points (and Spark's
+  // ContextCleaner periodicGC every 45 s) to drain weak-ref'd
+  // broadcast/RDD state steadily. This flag turns those explicit calls
+  // into CONCURRENT G1 cycles instead of stop-the-world full
+  // collections, so the drain cannot itself stall a timed query.
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

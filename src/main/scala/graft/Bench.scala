@@ -45,6 +45,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Round 14 (verdict item 1): ContextCleaner reclaims broadcasts /
+      // RDDs only when a GC collects their weak refs, and its periodic
+      // GC defaults to 30 MIN — an ~8 min fleet run never gets one, so
+      // thousands of per-query broadcast relations accumulate until the
+      // heap fills and a collection storm lands mid-run (the driver's
+      // r13 32-core run showed exactly that signature: one alphabetical
+      // block 2.9× slow in BOTH separated passes while canary/steal
+      // stayed clean — allocation-rate-dependent, so 8 cores spread it
+      // thin). Steady 45 s cleanup keeps the heap level instead.
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -120,6 +130,13 @@ object Bench {
     val canaryFn = SparkEntry.queries.get(canaryName)
     val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runCanary(): Unit = canaryFn.foreach { fn =>
+      // Drain the cleaner BEFORE the canary times (outside every timed
+      // window): with -XX:+ExplicitGCInvokesConcurrent (build.sbt) this
+      // starts a concurrent G1 cycle, not a STW full collection, so the
+      // weak-ref'd broadcasts/RDDs of the last ~20 queries get enqueued
+      // for cleanup steadily instead of in one mid-run storm (verdict
+      // item 1 — the m-block 32-core pathology).
+      System.gc()
       val (sec, err) = timeOne(fn)
       if (err.isEmpty) canaryTimes += sec
     }
@@ -299,13 +316,23 @@ object Bench {
         f""""steal_frac":$stealFrac%.4f,""" +
         fingerprintField +
         s""""contended":$contended,""" +
+        // leak diagnostic (round 14, verdict item 1): RDDs still
+        // persisted when the run ends — warm-up/fixture leftovers the
+        // preIds-scoped unpersist deliberately never drops. Should stay
+        // small and constant; growth here means a query leaks.
+        s""""n_persistent_rdds_end":${spark.sparkContext.getPersistentRDDs.size},""" +
         s""""contended_by":${contendedBy.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(line)
     // The driver tail-captures stdout and can truncate the per-query map
     // (r1 vs r2 comparison lost 40% of it) — always persist the full
     // line to a file as well. Override with SPARK_GRAFT_BENCH_OUT.
+    // Round 14 (verdict item 9): the default is PER-RUN —
+    // bench_full_<grain>_c<cpus>.json — so the driver's 32- and 8-core
+    // runs stop overwriting each other and full-map diffs can cover all
+    // queries instead of the truncated top-slow list.
+    val grainName = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
     val outFileRequested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      new java.io.File("bench_full_latest.json").getAbsolutePath)
+      new java.io.File(s"bench_full_${grainName}_c$cpus.json").getAbsolutePath)
     // A run with errors must not land under a healthy-looking bench_*
     // basename (round-12 verdict item 5: two crashed partials at the
     // repo root read as passes to a cold consumer): rewrite the

@@ -35,7 +35,12 @@ object PlanDump {
     sources.DicomNearDupFixtures.ensure()
     sources.WavFixtures.ensure()
     sources.VideoFixtures.ensure()
-    try Tables.documentsSpread(spark, sfDir) catch { case _: Throwable => () }
+    // NonFatal only (round-13 advice): swallowing OOM/fatal errors here
+    // could mask a broken sf dir and ship misleading plan artifacts.
+    try Tables.documentsSpread(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[plandump] documentsSpread warm-up failed: $e")
+    }
     Files.createDirectories(outDir)
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -866,53 +866,76 @@ object AggQueries {
     // Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
     // heavy-tail-safe twin of q_zscore_outliers (mean/stddev are
     // dragged by the outliers they're meant to find; the median pair
-    // has a 50% breakdown point). Two median passes (percentile is a
-    // single-shuffle exact agg per group; the per-group medians then
-    // BROADCAST back — at 100 TB both joins stay broadcast because
-    // there is one row per group, not per input row). Deviations and
-    // the 3×MAD threshold are pure IEEE arithmetic in identical op
-    // order; medians interpolate (a+b)/2 identically in both engines.
+    // has a 50% breakdown point). Round 14 re-shape (verdict item 4):
+    // the old form ran `median()` over RAW ROWS twice — Spark's exact
+    // Percentile collects every group value into one final-merge task,
+    // so a 3-flag column means 3 endless tasks whose state grows with
+    // the data (measured core-insensitive: 3.0 s at both 8 and 32
+    // cores). Both medians now run WITH THE FREQUENCY ARGUMENT over a
+    // (flag, value) HISTOGRAM: `percentile(v, 0.5, cnt)` is the same
+    // Percentile buffer keyed by distinct values, so the result is
+    // bit-identical by construction (HistPercentileSpec pins it) —
+    // but per-group state is bounded by the VALUE DOMAIN (extendedprice
+    // = 2-decimal quantity×partprice grid), not the row count, and the
+    // one O(rows) pass left is the parallel map-combined histogram.
+    // lineitem is scanned ONCE (was 3×); the deviation frame derives
+    // map-side from the checkpointed histogram.
     "q_mad_outliers" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-      val med = li.groupBy(col("l_returnflag"))
-        .agg(median(col("l_extendedprice")).as("med"))
-      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      // localCheckpoint: hist feeds 4 downstream subtrees (med, the
+      // dev frame under mad and under the final agg) — without the
+      // barrier Catalyst re-plans scan+aggregate per reference
+      // (measured 5.6 s vs ~2 s at sf0.1/32c).
+      val hist = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val med = hist.groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.5), col("cnt"))
+          .as("med"))
+      val dev = hist.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("adev", abs(col("l_extendedprice") - col("med")))
       val mads = dev.groupBy(col("l_returnflag"))
-        .agg(median(col("adev")).as("mad"))
+        .agg(percentile(col("adev"), lit(0.5), col("cnt")).as("mad"))
       dev.join(broadcast(mads), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
-          count(lit(1)).as("n"),
-          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
-            .as("n_outliers"))
+          sum(col("cnt")).as("n"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), col("cnt"))
+            .otherwise(0L)).as("n_outliers"))
         .orderBy(col("l_returnflag"))
     }),
 
     // Winsorized aggregate: clamp each value into its group's
     // [p05, p95] before summing — the standard tail-taming step before
-    // training-weight or revenue statistics. Percentile bounds
-    // broadcast back (one row per group); the clamped sum routes
-    // through DECIMAL(18,4) per-value views (QueryUtil.dec) because
-    // clamped values are interpolated percentiles, not 2-decimal money
-    // — the decimal view makes the sum order-independent on both
-    // engines. One shuffle for the percentiles, one for the final agg.
+    // training-weight or revenue statistics. Round 14 re-shape (same
+    // rows-in-one-task exact-Percentile liability as q_mad_outliers):
+    // both bounds come off the (flag, value) histogram via
+    // frequency-weighted `percentile(v, p, cnt)` (bit-identical buffer,
+    // domain-bounded per-group state), and the clamped sum/counters
+    // fold the histogram weights — sum(dec(w)·cnt) is decimal-exact,
+    // so it equals the per-row sum(dec(w)) bit-for-bit; ONE lineitem
+    // scan (was 2), no per-group value collection anywhere.
     "q_winsorize" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-      val pct = li.groupBy(col("l_returnflag")).agg(
-        percentile(col("l_extendedprice"), lit(0.05)).as("p05"),
-        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
-      li.join(broadcast(pct), Seq("l_returnflag"))
+      // localCheckpoint for the same subtree-replication reason as
+      // q_mad_outliers above.
+      val hist = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val pct = hist.groupBy(col("l_returnflag")).agg(
+        percentile(col("l_extendedprice"), lit(0.05), col("cnt")).as("p05"),
+        percentile(col("l_extendedprice"), lit(0.95), col("cnt")).as("p95"))
+      hist.join(broadcast(pct), Seq("l_returnflag"))
         .withColumn("w",
           least(greatest(col("l_extendedprice"), col("p05")), col("p95")))
         .groupBy(col("l_returnflag"))
         .agg(max(col("p05")).as("p05"), max(col("p95")).as("p95"),
-          count(lit(1)).as("n"),
-          sum(when(col("l_extendedprice") < col("p05"), 1L).otherwise(0L)).as("n_low"),
-          sum(when(col("l_extendedprice") > col("p95"), 1L).otherwise(0L)).as("n_high"),
-          sum(dec(col("w"))).cast(DoubleType).as("winsor_sum"))
+          sum(col("cnt")).as("n"),
+          sum(when(col("l_extendedprice") < col("p05"), col("cnt"))
+            .otherwise(0L)).as("n_low"),
+          sum(when(col("l_extendedprice") > col("p95"), col("cnt"))
+            .otherwise(0L)).as("n_high"),
+          sum(dec(col("w")) * col("cnt")).cast(DoubleType).as("winsor_sum"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -364,9 +364,19 @@ object JoinQueries {
       val dem = cumSide("O", "d")
       def onGrid(side: DataFrame, pfx: String) = side.withColumn("bkt",
         explode(expr(s"sequence(${pfx}_lo DIV $grid, (${pfx}_hi - 1) DIV $grid)")))
+      // Owner-bucket dedup (round 14): a pair whose intervals both span
+      // two grid buckets used to surface twice and was collapsed by a
+      // DISTINCT — a full exchange of the candidate frame. Each
+      // overlapping pair is instead kept ONLY in the bucket containing
+      // its overlap start max(s_lo, d_lo): that bucket is within both
+      // intervals' bucket ranges (overlap start < min(s_hi, d_hi)), so
+      // exactly one copy survives and the exchange disappears
+      // (plans/r14: 8 → 7 Exchanges; NewOpsSpec's staircase property
+      // pins the output).
       val pairs = onGrid(sup, "s").join(onGrid(dem, "d"), Seq("pk", "bkt"))
-        .filter(col("s_hi") > col("d_lo") && col("d_hi") > col("s_lo"))
-        .drop("bkt").distinct()
+        .filter(col("s_hi") > col("d_lo") && col("d_hi") > col("s_lo") &&
+          col("bkt") === expr(s"greatest(s_lo, d_lo) DIV $grid"))
+        .drop("bkt")
         .withColumn("m_units", least(col("s_hi"), col("d_hi"))
           - greatest(col("s_lo"), col("d_lo")))
       val perDemand = pairs.groupBy(col("pk"), col("d_ok"), col("d_ln"))

@@ -89,10 +89,25 @@ object PlanAudit {
     }.distinct.sorted
     val cartesian = all.count(_.isInstanceOf[CartesianProductExec])
     val wscg = all.count(_.isInstanceOf[WholeStageCodegenExec])
+    // Round 14 (verdict item 10): every WindowExec with NO partitioning
+    // funnels its whole input through one task — legitimate only when
+    // the input is a domain-grain frame (a bounded pre-aggregate, e.g.
+    // the ~60-row count tables of the decomposed rank/dist windows).
+    // Flagging them here makes each one a REVIEWED expected-file row
+    // with its rationale, so a future O(rows) single-partition window
+    // fails the gate instead of hiding in Verify's warning burst.
+    val unpartWindows = all.count {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        g.partitionSpec.isEmpty
+      case _ => false
+    }
     val cg = Seq(
       if (fallbacks.nonEmpty) Some(s"FALLBACK-EXPR[${fallbacks.mkString(",")}]") else None,
       if (sortAggs.nonEmpty) Some(s"SORT-AGG[${sortAggs.mkString(";")}]") else None,
       if (cartesian > 0) Some(s"CARTESIAN x$cartesian") else None,
+      if (unpartWindows > 0) Some(s"UNPART-WINDOW x$unpartWindows") else None,
       if (wscg == 0) Some("NO-WSCG") else None
     ).flatten
 

@@ -399,6 +399,14 @@ object RelationalQueries {
       // fixture-grain (8 rows × 64 longs); at 100 TB this barrier is the
       // standard fingerprint-materialization pass of guide §8 — heavy
       // payload bytes are decoded exactly once, only (name, env) travel.
+      // AUDIT NOTE (round-13 advice): the localCheckpoint below makes
+      // query construction EAGER (the binaryFile scan + decode runs as
+      // a Spark job before any action) and hides that scan from the
+      // plan audit — the old graft_wav_fixture_v1 UNPUSHED marker
+      // disappeared from plan_audit_expected.txt because the scan now
+      // sits behind the barrier, not because pruning improved. The
+      // pre-checkpoint fragment executes exactly once per build;
+      // its prune behavior is unobservable downstream by design.
       val hashed = graft.sources.WavLike.withWav(
           s.read.format("binaryFile").load(root.toString))
         .filter(col("wav").isNotNull && size(col("wav.samples")) % W === 0)

@@ -469,6 +469,13 @@ object SimilarityQueries {
       // threshold survivors reach it, and the ≤LSH_TABLES× duplicate
       // candidates cost re-verified cosines map-side through the
       // broadcast joins instead.
+      // DETERMINISM PRECONDITION (round-13 advice): the late distinct
+      // collapses duplicate LSH candidates only because cos/same_label
+      // are pure functions of the (id_a, id_b) pair, evaluated
+      // identically on every duplicate row. If the verify expression
+      // ever becomes nondeterministic-tagged, duplicates stop matching
+      // and leak as extra output rows — CosinePairsDistinctSpec pins
+      // distinct-on-(id_a,id_b) count == full-row distinct count.
       val pairs = lshCandidatesRaw(e)
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))

@@ -27,6 +27,35 @@ import QueryUtil._
   */
 object WindowQueries {
 
+  /** Shared implementation of the flag-partitioned RANGE band
+    * (q_window_range_frame = q_window_range_agg): per-(flag, quantity)
+    * pre-aggregate → domain-grain window (≤ |quantity domain| rows per
+    * flag) → broadcast join back. Output-identical to
+    * `count/sum OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+    * RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)` because equal
+    * quantities are RANGE peers and only frame-deterministic aggregates
+    * ride the frame. */
+  private def flagRangeBand(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n_q"), sum(dec(col("l_quantity"))).as("s_q"))
+    val wq = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"))
+      .rangeBetween(-5, 0)
+    val banded = per.select(col("l_returnflag"), col("l_quantity"),
+      sum(col("n_q")).over(wq).as("peers_in_band"),
+      sum(col("s_q")).over(wq).cast(DoubleType).as("band_qty"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"))
+      .join(broadcast(banded), Seq("l_returnflag", "l_quantity"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("peers_in_band"), col("band_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("peers_in_band"), col("band_qty"))
+  }
+
   val defs: Map[String, Q] = Map(
     // Trailing 7-day regression trend of daily revenue, as the EXACT
     // integer slope numerator/denominator (n·Σxy−ΣxΣy, n·Σxx−Σx²) —
@@ -243,61 +272,25 @@ object WindowQueries {
     }),
 
     // RANGE frame over a numeric key: peers within quantity-5 .. quantity
-    // among the same supplier's lineitems. Partitioning is by l_suppkey
-    // DELIBERATELY: TPC-H scales supplier count with SF, so rows per
-    // partition stay ~600 at EVERY scale factor — the window task is
-    // constant-size and the query's cost is one suppkey shuffle + sort.
-    // (Round 13 demotion: this row used to partition by l_returnflag —
-    // 3 values, 3 endless tasks, the single heaviest 100× fleet row at
-    // ~125 s for a result q_window_range_agg reproduces in ~25 s. The
-    // flag-partitioned naive form survives only as the documented
-    // contrast on q_window_range_agg below; the fleet pays for the
-    // scalable shape. Only count/sum ride the frame — both are
-    // peer-order-deterministic under RANGE ties.)
-    "q_window_range_frame" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_quantity"))
-        .rangeBetween(-5, 0)
-      Tables.lineitem(s, d)
-        .select(
-          col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-          col("l_quantity"),
-          count(lit(1)).over(w).as("peers_in_band"),
-          sum(dec(col("l_quantity"))).over(w).cast(DoubleType).as("band_qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
-          col("l_quantity"), col("peers_in_band"), col("band_qty"))
-    }),
-
-    // Scale-path re-shape of the FLAG-partitioned RANGE band (the shape
-    // q_window_range_frame carried until round 13): partitioning by
-    // l_returnflag (3 values) makes per-partition work grow with the
-    // data — a 100 TB run has 3 endless tasks. But the band key
-    // l_quantity has a SMALL VALUE DOMAIN (integers 1..50), and rows
-    // with equal quantity are frame peers — so the per-row band
+    // among lineitems of the same return flag — the ORIGINAL declared
+    // semantics, restored in round 14 (the round-13 re-key to l_suppkey
+    // changed what the query computes, which the optimization brief
+    // forbids; round-13 verdict item 2 prescribed this revert). The
+    // IMPLEMENTATION is the bounded-domain decomposition, not the naive
+    // 3-partition window (3 endless tasks at scale, ~125 s at 100× vs
+    // ~25 s decomposed): l_quantity has a small value domain (integers
+    // 1..50) and equal quantities are RANGE peers, so the per-row band
     // count/sum equals a window over the per-(flag, quantity)
-    // PRE-AGGREGATE, joined back by broadcast. Window input shrinks
-    // from O(rows) to O(|domain|) per flag; everything else is
-    // map-side. Identical output to the naive flag-partitioned window,
-    // same oracle.
-    "q_window_range_agg" -> ((s, d) => {
-      val per = Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"), col("l_quantity"))
-        .agg(count(lit(1)).as("n_q"), sum(dec(col("l_quantity"))).as("s_q"))
-      val wq = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"))
-        .rangeBetween(-5, 0)
-      val banded = per.select(col("l_returnflag"), col("l_quantity"),
-        sum(col("n_q")).over(wq).as("peers_in_band"),
-        sum(col("s_q")).over(wq).cast(DoubleType).as("band_qty"))
-      Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_quantity"))
-        .join(broadcast(banded), Seq("l_returnflag", "l_quantity"))
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_quantity"), col("peers_in_band"), col("band_qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("l_quantity"), col("peers_in_band"), col("band_qty"))
-    }),
+    // pre-aggregate, broadcast-joined back. Identical output to the
+    // naive flag-partitioned window; the oracle twin IS that window.
+    "q_window_range_frame" -> ((s, d) => flagRangeBand(s, d)),
+
+    // Scale-path re-shape of the FLAG-partitioned RANGE band, kept as
+    // the named decomposition row since round 13 (same result by
+    // construction; q_window_range_frame shares the implementation
+    // since round 14 — the naive window survives only as the oracle
+    // twin and the WindowRangeDecompSpec contrast).
+    "q_window_range_agg" -> ((s, d) => flagRangeBand(s, d)),
 
     // Top-k per group (k=3 orders per customer by price; unique tiebreak).
     "q_topk_per_group" -> ((s, d) => {
@@ -541,14 +534,18 @@ object WindowQueries {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
+    // Restored round 14 (verdict item 2): the declared semantics are the
+    // flag-partitioned window again; the Spark side implements it via
+    // the bounded-quantity-domain decomposition, which must be
+    // output-invisible against this naive-window twin.
     "q_window_range_frame" ->
-      """SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity,
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
         |  COUNT(*) OVER w AS peers_in_band,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS band_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_quantity
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
         |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
-        |ORDER BY l_orderkey, l_linenumber, l_suppkey, l_quantity, peers_in_band, band_qty""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, peers_in_band, band_qty""".stripMargin,
 
     // Same result as the naive flag-partitioned RANGE window by
     // construction, so the twin is that window's SQL — the re-shape
